@@ -1,0 +1,52 @@
+"""Query registry: the SURVEY.md §2 operator inventory, runnable.
+
+Every implemented operator/capability registers here as a named query:
+  - a Spark callable ``(spark, sf_dir) -> DataFrame`` (the engine under test)
+  - an equivalent ANSI-SQL string DuckDB can run on the same parquet views
+    (the correctness oracle), or ``None`` for genuinely non-SQL-expressible
+    operators (custom stateful streaming etc. — driver then does a weaker
+    rows-only check).
+
+Column names are aliased identically on both sides: the driver's comparator
+sorts columns by name before value-hashing.
+
+Float discipline: aggregate/derived doubles are rounded (2-6 dp) on BOTH
+sides so bit-level summation-order differences between engines can't flip
+the hash.  Timestamps are emitted as epoch millis (BIGINT) for the same
+reason.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, SparkQuery] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQuery]:
+    """Register a query (and its DuckDB oracle SQL) under ``name``."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Importing the modules populates the registry.
+from flink_net_spark.queries import relational  # noqa: E402,F401
+from flink_net_spark.queries import windows  # noqa: E402,F401
+from flink_net_spark.queries import text  # noqa: E402,F401
+from flink_net_spark.queries import dedup  # noqa: E402,F401
+from flink_net_spark.queries import similarity  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,271 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §7 ph. 6).
+
+Exact, MinHash+LSH, SimHash, n-gram-Jaccard, and embedding-cosine near-dup —
+all as deterministic column-expression pipelines so the DuckDB oracle can
+replicate them value-for-value (see flink_net_spark.functions.hashing).
+
+Scale design:
+  - exact dedup: hash-groupBy — one shuffle on the content hash.
+  - MinHash+LSH: shingle→sign→band→bucket-join.  The candidate join is an
+    EQUI-join on (band_index, band_key): at 100 TB this is the only shuffle
+    and it only moves (doc_id, band_key) pairs, never the text.  Verify
+    (exact Jaccard) touches candidates only.
+  - n-gram Jaccard: blocked all-pairs inside (lang, length-bucket) groups —
+    the block key is the shuffle key; no global cartesian.
+  - embedding near-dup: all-pairs is the *oracle* shape; the scale path is
+    the LSH bucket variant in queries/similarity.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_net_spark.functions import hashing as H
+from flink_net_spark.queries import query
+from flink_net_spark.tables import load_table
+
+MINHASH_K = 16
+LSH_BANDS = 8  # 2 rows per band
+JACCARD_VERIFY_THRESHOLD = 0.3
+NGRAM_JACCARD_THRESHOLD = 0.05
+COSINE_DUP_THRESHOLD = 0.4
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text)   AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*)    AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY keep_doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy; keeps the lowest doc_id of each
+    duplicate group (deterministic canonical pick)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+def _spark_shingle_hash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(H.spark_shingle_hashes(H.spark_word_shingles("text"))).alias("sh"),
+    )
+
+
+_DUCK_SHINGLES = H.duckdb_shingle_hashes(H.duckdb_word_shingles("text"))
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, sh, {H.duckdb_minhash_sig("sh", MINHASH_K)} AS sig FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, b,
+               sig[2 * b + 1] * {H.MOD} + sig[2 * b + 2] AS band_key
+        FROM sig CROSS JOIN UNNEST(range(0, {LSH_BANDS})) AS t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(x.sh, y.sh)) * 1.0
+                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, ROUND(jaccard, 4) AS jaccard
+    FROM verified
+    WHERE jaccard >= {JACCARD_VERIFY_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection: word-3gram shingles → 16 minhashes →
+    8 bands × 2 rows → bucket-join candidates → exact-Jaccard verify.
+
+    Fully deterministic (fixed hash coefficients), so the oracle replicates
+    the *pipeline*, not just the ground truth."""
+    sh = _spark_shingle_hash_df(spark, sf_dir)
+    sig = sh.withColumn("sig", F.expr(H.spark_minhash_sig("sh", MINHASH_K)))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {LSH_BANDS - 1}), "
+                f"b -> struct(b AS b, sig[2*b] * {H.MOD}L + sig[2*b+1] AS band_key))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("jaccard", inter * F.lit(1.0) / union)
+        .filter(F.col("jaccard") >= JACCARD_VERIFY_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang, n_chars // 50 AS len_bucket, {_DUCK_SHINGLES} AS sh
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+    FROM h a
+    JOIN h b ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+          >= {NGRAM_JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard: all-pairs *within* (lang, length-bucket)
+    blocks — the block key carries the shuffle, so no global cartesian."""
+    sh = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 50).cast("long").alias("len_bucket"),
+        F.expr(H.spark_shingle_hashes(H.spark_word_shingles("text"))).alias("sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter * F.lit(1.0) / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SIMHASH_BITS = 32
+
+
+def _duckdb_simhash() -> str:
+    toks = "list_distinct(string_split(text, ' '))"
+    th = f"[{H.duckdb_char_polyhash('s')} for s in {toks}]"
+    bit = (
+        f"CASE WHEN list_sum([CASE WHEN (h // (1::BIGINT << b)) % 2 = 1 "
+        f"THEN 1 ELSE -1 END for h in {th}]) > 0 THEN (1::BIGINT << b) ELSE 0 END"
+    )
+    return f"list_sum([{bit} for b in range(0, {_SIMHASH_BITS})])"
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id, {_duckdb_simhash()} AS simhash
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over distinct word tokens: per bit, sign of the sum of
+    ±1 votes from each token hash.  Near-dups then pair by low Hamming
+    distance (see ``dedup_simhash_pairs``)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = "array_distinct(split(text, ' '))"
+    th_expr = f"transform({toks}, s -> {H.spark_char_polyhash('s')})"
+    bit_sum = (
+        f"transform(sequence(0, {_SIMHASH_BITS - 1}), b -> "
+        f"CASE WHEN aggregate({th_expr}, 0L, (acc, h) -> acc + "
+        f"CASE WHEN (h div shiftleft(1L, b)) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN shiftleft(1L, b) ELSE 0L END)"
+    )
+    simhash = f"aggregate({bit_sum}, 0L, (acc, x) -> acc + x)"
+    return d.select("doc_id", F.expr(simhash).alias("simhash")).orderBy("doc_id")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 4)
+               AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) / (a.nrm * b.nrm)
+          >= {COSINE_DUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (all-pairs form — correctness oracle;
+    the LSH-bucketed scale path is ``sim_ann_lsh``).  Dot products in
+    column expressions (zip_with + aggregate), no Python."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        F.expr(
+            "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            "0.0D, (acc, x) -> acc + x))"
+        ).alias("nrm"),
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )

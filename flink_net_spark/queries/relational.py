@@ -1,0 +1,869 @@
+"""Batch relational core — SURVEY.md §2.5/§2.6/§2.12/§2.13 surface.
+
+The reference declares (but mostly never executes) a relational surface:
+table GroupBy/aggregates (FlinkDotNet/FlinkDotNet.Table.Api/Table.cs:51-82),
+joins (Table.cs:35, IJoinFunction.cs:18), and a SELECT-only SQL parser
+(TableEnvironment.cs:211-259).  Here each capability is a real Spark
+DataFrame query with a DuckDB oracle.
+
+Scale notes: filters/projections are expressed declaratively so Catalyst
+pushes them into the parquet scan; dimension joins use explicit
+``broadcast()`` hints; every aggregation is a built-in (map-side partial agg
+for free); sorts are only on already-aggregated (small) results, except
+top-k which uses window-ranking (no global sort of the fact table).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_net_spark.queries import query
+from flink_net_spark.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Aggregations (≙ Table.Count/Sum/Avg/Min/Max, Table.cs:51-82; Reduce /
+# IAggregateOperator §2.5 — map-side partial agg is Spark's Merge())
+# --------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                              AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                              AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                         AS avg_price,
+           ROUND(AVG(l_discount), 6)                              AS avg_disc,
+           COUNT(*)                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary (filter → groupBy → 8 aggs →
+    sort).  Exercises predicate pushdown + partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q6_revenue_delta",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 25
+    """,
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight multi-predicate scan → single global agg.
+    All four predicates push to the parquet reader; no shuffle beyond the
+    final 1-row reduction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@query(
+    "agg_basic_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*)                         AS n_orders,
+           ROUND(SUM(o_totalprice), 2)      AS sum_price,
+           ROUND(AVG(o_totalprice), 4)      AS avg_price,
+           ROUND(MIN(o_totalprice), 2)      AS min_price,
+           ROUND(MAX(o_totalprice), 2)      AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/SUM/AVG/MIN/MAX ≙ reference Aggregates factory
+    (FlinkDotNet/FlinkDotNet.Table.Api/Table.cs:138-209)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id)       AS distinct_users,
+           COUNT(*)                      AS n_events,
+           ROUND(SUM(value), 2)          AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (absent in reference, SURVEY §2.5 — superset)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("distinct_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("agg_approx_distinct")  # no oracle: HLL sketch values are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — the 100 TB path for cardinality.
+    Rows-only driver check; exactness is covered by ``agg_distinct``."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL')  AS region_name,
+           COALESCE(n_name, 'ALL')  AS nation_name,
+           COUNT(*)                 AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY region_name, nation_name
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (superset per SURVEY §2.5)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
+            F.col("n_customers"),
+            F.col("sum_acctbal"),
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*)                         AS n_orders,
+           ROUND(SUM(o_totalprice), 2)      AS sum_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (superset per SURVEY §2.5)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.col("n_orders"),
+            F.col("sum_price"),
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@query(
+    "agg_string_collect",
+    oracle="""
+    SELECT c_mktsegment,
+           STRING_AGG(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+           COUNT(*) AS n
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sorted string join (order-insensitive set aggregation)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("priorities"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (≙ IJoinFunction.cs:18 contract + Table.Join, both unexecuted in the
+# reference — SURVEY §2.6; semi/anti/theta are superset)
+# --------------------------------------------------------------------------
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(epoch_ms(o_orderdate) AS BIGINT) AS orderdate_ms
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join → agg → top-10.  Customer side is filtered
+    then broadcast; lineitem (the big side) never sorts globally — only the
+    aggregated result does."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_millis(F.col("o_orderdate")).alias("orderdate_ms"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join with two-key supplier condition.
+    All dimensions broadcast; only fact-fact (orders⋈lineitem) shuffles."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey)                          AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    LIMIT 100
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join keeping order-less customers (reference has no outer
+    joins; IJoinFunction.cs:18 is inner-equi only — superset)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 100000),
+         rich   AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+    SELECT COALESCE(b.k, r.k) AS custkey,
+           (b.k IS NOT NULL)  AS is_big_buyer,
+           (r.k IS NOT NULL)  AS is_rich
+    FROM buyers b FULL OUTER JOIN rich r ON b.k = r.k
+    ORDER BY custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two derived key sets."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    buyers = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("bk")).distinct()
+    rich = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("rk"))
+    return (
+        buyers.join(rich, buyers.bk == rich.rk, "full_outer")
+        .select(
+            F.coalesce(F.col("bk"), F.col("rk")).alias("custkey"),
+            F.col("bk").isNotNull().alias("is_big_buyer"),
+            F.col("rk").isNotNull().alias("is_rich"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    ORDER BY c_custkey
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with a 200k+ order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_richer_nations
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey <> s.s_nationkey AND n.n_regionkey = s.s_nationkey % 5
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY s.s_suppkey
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join — broadcast nested loop on a small side."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cond = (n.n_nationkey != s.s_nationkey) & (n.n_regionkey == s.s_nationkey % 5)
+    return (
+        s.join(F.broadcast(n), cond)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_richer_nations"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "join_self_window",
+    oracle="""
+    SELECT a.o_custkey AS custkey, COUNT(*) AS n_pairs
+    FROM orders a
+    JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND b.o_orderdate BETWEEN a.o_orderdate AND a.o_orderdate + INTERVAL 30 DAY
+    GROUP BY a.o_custkey
+    ORDER BY custkey
+    """,
+)
+def join_self_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self range-join: pairs of orders by the same customer within 30 days —
+    equi-key (custkey) carries the shuffle, the range is a residual filter, so
+    this stays a hash join at scale (no nested loop over the fact table)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.alias("a")
+    b = o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("b.o_orderdate") >= F.col("a.o_orderdate"))
+            & (F.col("b.o_orderdate") <= F.date_add(F.col("a.o_orderdate"), 30)),
+        )
+        .groupBy(F.col("a.o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (absent in reference — SURVEY §2.13 superset)
+# --------------------------------------------------------------------------
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT k, COUNT(*) AS n FROM (
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+    ) GROUP BY k ORDER BY k
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    u = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k")).unionAll(
+        c.filter(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("k"))
+    )
+    return u.groupBy("k").agg(F.count(F.lit(1)).alias("n")).orderBy("k")
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    ORDER BY k
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("k"))
+        .intersect(c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(F.col("c_custkey").alias("k")))
+        .orderBy("k")
+    )
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS k FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    ORDER BY k
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(F.col("c_custkey").alias("k"))
+        .exceptAll(o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("k")))
+        .distinct()
+        .orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / top-k / analytic window functions (SURVEY §2.13 superset)
+# --------------------------------------------------------------------------
+
+@query(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → Spark TakeOrderedAndProject (top-k without a full
+    sort — O(n) per partition + k-merge; survives any scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS acctbal, rnk
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        FROM customer
+    )
+    WHERE rnk <= 3
+    ORDER BY c_mktsegment, rnk
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number window (the scalable top-k idiom)."""
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rnk")
+        .orderBy("c_mktsegment", "rnk")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_spend,
+           LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey)     AS prev_orderkey
+    FROM orders
+    WHERE o_custkey <= 50
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions: running sum + lag per customer."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias(
+                "running_spend"
+            ),
+            F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Projections / per-record transforms (≙ Map/FlatMap/Filter, SURVEY §2.3) and
+# the scalar function surface (§2.11: Spark builtins are our scalar library)
+# --------------------------------------------------------------------------
+
+@query(
+    "map_scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand)                      AS brand_upper,
+           LENGTH(p_name)                      AS name_len,
+           SUBSTRING(p_type, 1, 5)             AS type_prefix,
+           CONCAT(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size,
+           ABS(p_retailprice - 1000.0)         AS price_dev,
+           CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS price_bucket,
+           p_size % 7                          AS size_mod
+    FROM part
+    WHERE p_size BETWEEN 1 AND 40
+    ORDER BY p_partkey
+    """,
+)
+def map_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map ≙ IMapOperator (IMapOperator.cs:9) as Column expressions — the
+    whole scalar surface stays JVM-side in whole-stage codegen."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_size").between(1, 40))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_type", 1, 5).alias("type_prefix"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias("brand_size"),
+            F.abs(F.col("p_retailprice") - 1000.0).alias("price_dev"),
+            F.floor(F.col("p_retailprice") / 100).alias("price_bucket"),
+            (F.col("p_size") % 7).alias("size_mod"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "map_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT)      AS order_year,
+           CAST(MONTH(o_orderdate) AS INT)     AS order_month,
+           CAST(DAYOFWEEK(o_orderdate) AS INT) - 1 AS order_dow,
+           CAST(epoch_ms(o_orderdate) AS BIGINT)   AS order_ms,
+           CAST(epoch_ms(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_ms
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+)
+def map_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar surface; epochs emitted as BIGINT for oracle parity.
+
+    Note: Spark dayofweek is 1=Sunday..7=Saturday; DuckDB dayofweek is
+    0=Sunday..6=Saturday — normalized to DuckDB's convention here.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
+            F.unix_millis(F.col("o_orderdate")).alias("order_ms"),
+            F.unix_millis(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start_ms"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "map_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS prop_k,
+           event_type
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) > 90
+    ORDER BY event_id
+    """,
+)
+def map_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (≙ JsonPocoSerializer payloads decoded into
+    columns, reference Serializers/JsonPocoSerializer.cs:14)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_id", k.alias("prop_k"), "event_type")
+        .filter(F.col("prop_k") > 90)
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "flatmap_explode_words",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def flatmap_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlatMap ≙ IFlatMapOperator (IFlatMapOperator.cs:12) as split+explode —
+    1→N fan-out without leaving the JVM."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+@query(
+    "filter_conditional_agg",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           COUNT(*) FILTER (WHERE event_type = 'purchase')             AS n_purchases,
+           COUNT(*) FILTER (WHERE event_type = 'error')                AS n_errors,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value
+    FROM events
+    GROUP BY user_id % 10
+    ORDER BY user_bucket
+    """,
+)
+def filter_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN conditional aggregation (pivot-style rollup of event types)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 2
+            ).alias("purchase_value"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+@query(
+    "pivot_event_types",
+    oracle="""
+    SELECT user_id % 5 AS user_bucket,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events
+    GROUP BY user_id % 5
+    ORDER BY user_bucket
+    """,
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit value list (no discovery scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy((F.col("user_id") % 5).alias("user_bucket"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+        .orderBy("user_bucket")
+    )
+    return out
+
+
+@query(
+    "distinct_rows",
+    oracle="""
+    SELECT DISTINCT event_type, user_id % 100 AS user_bucket
+    FROM events
+    ORDER BY event_type, user_bucket
+    """,
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", (F.col("user_id") % 100).alias("user_bucket"))
+        .distinct()
+        .orderBy("event_type", "user_bucket")
+    )
+
+
+@query(
+    "sql_surface_subquery",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_top_customers
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def sql_surface_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql entry point with a scalar subquery — strict superset of the
+    reference's BasicSqlParser (TableEnvironment.cs:211-259, SELECT-only)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_top_customers
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )

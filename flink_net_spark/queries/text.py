@@ -1,0 +1,186 @@
+"""Text analysis for training-data pipelines (SURVEY.md §7 phase 6).
+
+Language-ID heuristics, quality scoring, token counting, and document
+fingerprinting over the ``documents`` table.  Everything is built-in column
+expressions (whole-stage codegen) — no Python in the hot path — so the same
+formulas run as DuckDB SQL for the oracle.
+
+Scale: all ops are embarrassingly parallel per-document map work; no
+shuffle except final small aggregations.  At 100 TB this is a single scan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_net_spark.functions import hashing as H
+from flink_net_spark.queries import query
+from flink_net_spark.tables import load_table
+
+STOPWORDS = ("the", "a")  # present in the synthetic vocabulary
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {H.duckdb_char_polyhash("text")} AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (content-defined identity)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.expr(H.spark_char_polyhash("text")).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                    AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+'))         AS n_alpha_tokens,
+           length(text)                                    AS n_chars_actual,
+           n_chars                                         AS n_chars_meta
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split + BPE-ish regex token runs."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_ws_tokens"),
+            F.expr("size(regexp_extract_all(text, '[a-z]+', 0))").alias("n_alpha_tokens"),
+            F.length("text").alias("n_chars_actual"),
+            F.col("n_chars").alias("n_chars_meta"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_STOP_SET_SQL = "('" + "', '".join(STOPWORDS) + "')"
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS toks,
+               length(text)            AS n_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           ROUND(len(list_filter(toks, x -> x IN {_STOP_SET_SQL})) * 1.0 / len(toks), 4)
+               AS stopword_ratio,
+           ROUND(list_sum([length(x) for x in toks]) * 1.0 / len(toks), 4)
+               AS avg_token_len,
+           ROUND(LEAST(len(toks) / 100.0, 1.0)
+                 * (0.5 + 0.5 * LEAST(len(list_filter(toks, x -> x IN {_STOP_SET_SQL}))
+                                      * 5.0 / len(toks), 1.0)), 4)
+               AS quality_score
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation × stopword-density factor
+    (the classic 'looks like natural language' gate for pretraining data)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), x -> x IN ({stop_list})))")
+    n_tok = F.size(toks)
+    sum_len = F.expr("aggregate(split(text, ' '), 0L, (acc, x) -> acc + length(x))")
+    stop_ratio = n_stop * F.lit(1.0) / n_tok
+    return (
+        d.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            F.round(stop_ratio, 4).alias("stopword_ratio"),
+            F.round(sum_len * 1.0 / n_tok, 4).alias("avg_token_len"),
+            F.round(
+                F.least(n_tok / 100.0, F.lit(1.0))
+                * (0.5 + 0.5 * F.least(n_stop * 5.0 / n_tok, F.lit(1.0))),
+                4,
+            ).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SET_SQL})) * 1.0
+                   / len(string_split(text, ' ')) AS stop_density
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN stop_density >= 0.05 THEN 1 ELSE 0 END) AS n_guessed_en,
+           ROUND(AVG(stop_density), 4) AS avg_stop_density
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English-stopword density thresholding,
+    evaluated against the labeled ``lang`` column.  (A real deployment swaps
+    in per-language n-gram profiles; the pipeline shape — score, threshold,
+    compare — is identical.)"""
+    d = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    density = F.expr(
+        f"size(filter(split(text, ' '), x -> x IN ({stop_list}))) * 1.0 / size(split(text, ' '))"
+    )
+    return (
+        d.select("doc_id", "lang", density.alias("stop_density"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("stop_density") >= 0.05, 1).otherwise(0)).alias("n_guessed_en"),
+            F.round(F.avg("stop_density"), 4).alias("avg_stop_density"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_char_bigrams",
+    oracle="""
+    SELECT bigram, COUNT(*) AS n
+    FROM (
+        SELECT UNNEST([text[i:i+1] for i in range(1, length(text))]) AS bigram
+        FROM documents
+    )
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 15
+    """,
+)
+def text_char_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character n-gram profile (the feature extractor behind real lang-ID)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(15)
+    )

@@ -1,0 +1,204 @@
+"""Event-time windowing — SURVEY.md §2.7 (batch-oracle form).
+
+The reference's window assigners:
+  - TumblingEventTimeWindows.Of(size[, offset]) — start formula
+    ``ts - (ts - offset + size) % size`` (TimeWindow.GetWindowStartWithOffset,
+    FlinkDotNet/FlinkDotNet.Core.Abstractions/Windowing/TimeWindow.cs:75-95)
+  - SlidingEventTimeWindows.Of(size, slide[, offset]) — one window per slide
+    covering ts (Core.Api/Windowing/SlidingEventTimeWindows.cs:7-48)
+  - session windows: absent in the reference (only merge scaffolding,
+    Trigger.cs:61-93) — Spark's ``session_window`` is our superset.
+
+Spark's ``window()`` struct column has identical epoch-aligned semantics
+(end-exclusive, ``MaxTimestamp == End-1``), so the DuckDB oracle is plain
+epoch-millis bucket arithmetic.  Window boundaries are emitted as BIGINT
+epoch-ms so cross-engine timestamp encodings can't skew the value hash.
+
+The same ``window()``/``session_window()`` calls run unchanged on a
+streaming DataFrame with ``withWatermark`` — see flink_net_spark.streaming.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_net_spark.queries import query
+from flink_net_spark.tables import load_table
+
+HOUR_MS = 3_600_000
+HALF_HOUR_MS = 1_800_000
+
+
+@query(
+    "window_tumbling_hourly",
+    oracle=f"""
+    SELECT (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start_ms,
+           event_type,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start_ms, event_type
+    """,
+)
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time window ≙ TumblingEventTimeWindows.Of(1h).
+    Keyed by event_type ≙ KeyBy + WindowedStream.Aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start_ms", "event_type")
+    )
+
+
+@query(
+    "window_tumbling_offset",
+    oracle=f"""
+    SELECT ((epoch_ms(ts) - 900000) // {HOUR_MS}) * {HOUR_MS} + 900000 AS window_start_ms,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    ORDER BY window_start_ms
+    """,
+)
+def window_tumbling_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window with a 15-minute offset ≙
+    TumblingEventTimeWindows.Of(size, offset) (TimeWindow.cs:75-95);
+    Spark's ``startTime`` parameter has the same shift semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_millis(F.col("window.start")).alias("window_start_ms"), "n_events")
+        .orderBy("window_start_ms")
+    )
+
+
+@query(
+    "window_sliding",
+    oracle=f"""
+    SELECT window_start_ms, COUNT(*) AS n_events, ROUND(AVG(value), 4) AS avg_value
+    FROM (
+        SELECT UNNEST([((epoch_ms(ts) // {HALF_HOUR_MS}) - k) * {HALF_HOUR_MS}
+                       for k in [0, 1]]) AS window_start_ms,
+               value
+        FROM events
+    )
+    GROUP BY window_start_ms
+    ORDER BY window_start_ms
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window size=1h slide=30m ≙ SlidingEventTimeWindows.Of —
+    each event lands in size/slide = 2 windows
+    (SlidingEventTimeWindows.cs:7-48)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.unix_millis(F.col("window.start")).alias("window_start_ms"), "n_events", "avg_value")
+        .orderBy("window_start_ms")
+    )
+
+
+@query(
+    "window_session",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR epoch_ms(ts) - LAG(epoch_ms(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts) >= 7200000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ms,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ms)           AS session_start_ms,
+           MAX(ms) + 7200000 AS session_end_ms,
+           COUNT(*)          AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start_ms
+    """,
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 2h gap, keyed by user — superset of the reference
+    (its merge scaffolding never fired, Trigger.cs:61-93).  Session end =
+    last event + gap; a gap exactly equal to the timeout starts a new
+    session on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "2 hours"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("session_window.end")).alias("session_end_ms"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_ms")
+    )
+
+
+@query(
+    "window_global_reduce",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def window_global_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GlobalWindows + Reduce ≙ all-elements-per-key aggregation
+    (GlobalWindows.cs:10-65; IReduceOperator.cs:9): in batch a global window
+    is simply the whole keyed input."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "window_tumbling_daily_users",
+    oracle="""
+    SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_start_ms,
+           COUNT(DISTINCT user_id) AS active_users,
+           COUNT(*)                AS n_events
+    FROM events
+    GROUP BY 1
+    ORDER BY day_start_ms
+    """,
+)
+def window_tumbling_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling window with a distinct aggregate (DAU-style rollup)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day"))
+        .agg(F.countDistinct("user_id").alias("active_users"), F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_millis(F.col("window.start")).alias("day_start_ms"), "active_users", "n_events")
+        .orderBy("day_start_ms")
+    )

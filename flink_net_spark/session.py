@@ -1,0 +1,72 @@
+"""SparkSession builder with scale-appropriate defaults.
+
+Design notes (100 TB target, tested on local[N]):
+  - AQE on: runtime shuffle-partition coalescing + skew-join splitting stand in
+    for the reference's load-aware KeyGenStage partitioning
+    (reference: FlinkDotNet/FlinkDotNet.Core.Api/Pipeline/GatewayAndKeyGenStages.cs:217).
+  - Arrow on: every pandas-UDF boundary is Arrow-batched, never per-row.
+  - UTC session timezone: event time is epoch-derived everywhere; keeps
+    window math identical across engines (oracle parity).
+  - Broadcast threshold is left at default (10 MB) — dimension tables
+    (region/nation/supplier at any SF) broadcast automatically; queries
+    additionally hint `broadcast()` explicitly where the dimension is
+    guaranteed small.
+  - RocksDB state store for streaming state (reference keeps keyed state in
+    RocksDB too: FlinkDotNet/FlinkDotNet.Storage.RocksDB/RocksDBStateBackend.cs:71).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "flink_net_spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default ``*``)
+    when no cluster master is configured — on a real cluster the submit-time
+    master wins.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.parquet carries TIMESTAMP(NANOS); Spark has no ns
+        # timestamp type — read as long and convert in tables.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # read parquet isAdjustedToUTC=false timestamps as plain TIMESTAMP
+        # (session tz is UTC, so instants are identical; keeps unix_millis &
+        # streaming event-time usable on every table)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config("spark.sql.streaming.multipleWatermarkPolicy", "min")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
