@@ -208,7 +208,7 @@ def _duckdb_simhash() -> str:
 @query(
     "dedup_simhash",
     oracle=f"""
-    SELECT doc_id, {_duckdb_simhash()} AS simhash
+    SELECT doc_id, CAST({_duckdb_simhash()} AS BIGINT) AS simhash
     FROM documents
     ORDER BY doc_id
     """,

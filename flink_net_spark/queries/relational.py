@@ -275,9 +275,11 @@ def agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join → agg → top-10.  Customer side is filtered
-    then broadcast; lineitem (the big side) never sorts globally — only the
-    aggregated result does."""
+    """TPC-H Q3 shape: 3-way join → agg → top-10.  Customer is SF-scaled, so
+    no broadcast hint — AQE picks the join strategy (broadcast at small SF,
+    shuffle-hash/SMJ at 100 TB where a customer broadcast would OOM).
+    lineitem (the big side) never sorts globally — only the aggregated
+    result does."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -287,13 +289,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
-            F.unix_millis(F.col("o_orderdate")).alias("orderdate_ms"),
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -320,7 +322,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join with two-key supplier condition.
-    All dimensions broadcast; only fact-fact (orders⋈lineitem) shuffles."""
+    Only the fixed-cardinality dims (region: 5 rows, nation: 25 rows) carry
+    broadcast hints; customer/supplier are SF-scaled (would OOM a broadcast
+    at 100 TB) so AQE picks their join strategy."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -332,9 +336,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -696,7 +700,7 @@ def map_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CAST(YEAR(o_orderdate) AS INT)      AS order_year,
            CAST(MONTH(o_orderdate) AS INT)     AS order_month,
-           CAST(DAYOFWEEK(o_orderdate) AS INT) - 1 AS order_dow,
+           CAST(DAYOFWEEK(o_orderdate) AS INT) AS order_dow,
            CAST(epoch_ms(o_orderdate) AS BIGINT)   AS order_ms,
            CAST(epoch_ms(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_ms
     FROM orders
@@ -717,8 +721,10 @@ def map_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("order_year"),
             F.month("o_orderdate").alias("order_month"),
             (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
-            F.unix_millis(F.col("o_orderdate")).alias("order_ms"),
-            F.unix_millis(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start_ms"),
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("order_ms"),
+            F.unix_millis(
+                F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+            ).alias("month_start_ms"),
         )
         .orderBy("o_orderkey")
     )

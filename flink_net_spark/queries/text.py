@@ -122,13 +122,13 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH scored AS (
         SELECT doc_id, lang,
-               len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SET_SQL})) * 1.0
-                   / len(string_split(text, ' ')) AS stop_density
+               ROUND(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SET_SQL}))
+                     * 1.0 / len(string_split(text, ' ')), 6) AS stop_density
         FROM documents
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN stop_density >= 0.05 THEN 1 ELSE 0 END) AS n_guessed_en,
+           CAST(SUM(CASE WHEN stop_density >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_guessed_en,
            ROUND(AVG(stop_density), 4) AS avg_stop_density
     FROM scored
     GROUP BY lang
@@ -142,8 +142,13 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare — is identical.)"""
     d = load_table(spark, sf_dir, "documents")
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    # 1.0D (not 1.0): Spark SQL parses a bare 1.0 literal as DECIMAL(2,1),
+    # which would propagate DecimalType into the output and hash-mismatch the
+    # oracle's DOUBLE.  Rounded before thresholding so fp fuzz can't flip the
+    # >= 0.05 guess between engines.
     density = F.expr(
-        f"size(filter(split(text, ' '), x -> x IN ({stop_list}))) * 1.0 / size(split(text, ' '))"
+        f"round(size(filter(split(text, ' '), x -> x IN ({stop_list}))) * 1.0D"
+        f" / size(split(text, ' ')), 6)"
     )
     return (
         d.select("doc_id", "lang", density.alias("stop_density"))

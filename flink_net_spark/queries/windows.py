@@ -85,7 +85,8 @@ def window_tumbling_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_sliding",
     oracle=f"""
-    SELECT window_start_ms, COUNT(*) AS n_events, ROUND(AVG(value), 4) AS avg_value
+    SELECT window_start_ms, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
     FROM (
         SELECT UNNEST([((epoch_ms(ts) // {HALF_HOUR_MS}) - k) * {HALF_HOUR_MS}
                        for k in [0, 1]]) AS window_start_ms,
@@ -102,9 +103,15 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SlidingEventTimeWindows.cs:7-48)."""
     ev = load_table(spark, sf_dir, "events")
     return (
+        # sum (not avg): values carry 2 decimals, so the true sum is a multiple
+        # of 0.01 and ROUND(..., 2) can never land on a cross-engine rounding
+        # tie — a rounded avg (sum/count) can and did (73.91375 exactly).
         ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
-        .select(F.unix_millis(F.col("window.start")).alias("window_start_ms"), "n_events", "avg_value")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.unix_millis(F.col("window.start")).alias("window_start_ms"), "n_events", "sum_value")
         .orderBy("window_start_ms")
     )
 

@@ -30,14 +30,41 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Runtime-settable SQLConfs required to read the testdata parquet correctly.
+# Set per-read (not only in get_spark) because the driver harness calls
+# queries with its OWN SparkSession whose builder we never see:
+#   - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), which Spark
+#     otherwise rejects with PARQUET_TYPE_ILLEGAL.
+#   - inferTimestampNTZ=false: orders/lineitem timestamps are
+#     isAdjustedToUTC=false; read them as plain TIMESTAMP so unix_millis &
+#     streaming event-time work (session tz UTC keeps instants identical).
+#   - UTC session tz: window/date math must match the DuckDB oracle.
+_READ_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_read_confs(spark: SparkSession) -> None:
+    for k, v in _READ_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static on some builds
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_read_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long ns (spark.sql.legacy.parquet.nanosAsLong);
-        # truncate to µs exactly like DuckDB does internally.
+        # truncate to µs exactly like DuckDB does internally.  Integer `div`,
+        # NOT `/1000`: epoch-nanos ≈ 1.7e18 exceeds double's 2^53 mantissa, so
+        # a float division drifts timestamps by ±1 µs.
         import pyspark.sql.functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
