@@ -1,0 +1,207 @@
+"""Streaming execution of the windowed/keyed surface — SURVEY.md §2.1/2.7/2.8.
+
+Each query here REALLY runs Structured Streaming: the events table is staged
+to parquet chunks and replayed with ``readStream`` + ``maxFilesPerTrigger``
+(multiple micro-batches), flows through ``withWatermark`` + the same
+``window()``/``session_window()`` assigners as the batch queries, lands in a
+memory sink, and the materialized result is returned for the driver to
+collect.  Because the replay is bounded and the sink runs in complete mode,
+the final result equals the batch computation — so the DuckDB oracle that
+checks the batch window queries checks the STREAMING ENGINE here
+(rows/schema/value-hash, not just a smoke run).
+
+This mirrors the reference's own E2E strategy: produce a bounded synthetic
+stream, run the pipeline, assert exact invariants on the sink
+(IntegrationTestVerifier, stress_test_passed_output.txt:85-104).
+
+Scale notes: state for windowed aggs lives in the state store (RocksDB via
+session conf); watermark bounds state growth in append-mode production use.
+Complete mode here is the bounded-replay test harness shape, not the
+100 TB-stream shape — the operators are identical either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_net_spark.queries import query
+from flink_net_spark.sources import replay_table_as_stream
+from flink_net_spark.streaming import session, tumbling, with_bounded_out_of_orderness
+
+HOUR_MS = 3_600_000
+
+
+def _stage_dir(sf_dir: str, name: str) -> str:
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{name}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"fns_stage_{key}")
+
+
+def _run_stream(df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drain a bounded stream into a memory sink, return the materialized table."""
+    spark = df.sparkSession
+    table = f"fns_mem_{uuid.uuid4().hex[:10]}"
+    ckpt = tempfile.mkdtemp(prefix="fns_ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return spark.table(table)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return replay_table_as_stream(
+        spark, sf_dir, "events", _stage_dir(sf_dir, "events"), n_chunks=8, max_files_per_trigger=2
+    )
+
+
+@query(
+    "stream_window_tumbling_hourly",
+    oracle=f"""
+    SELECT (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start_ms,
+           event_type,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start_ms, event_type
+    """,
+)
+def stream_window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream replay → watermark (1h bounded out-of-orderness,
+    ≙ MonotonicWatermarkGenerator) → keyed tumbling window aggregate →
+    memory sink.  Hash-checked against the same oracle as the batch
+    ``window_tumbling_hourly`` — the streaming runtime must produce
+    identical results."""
+    ev = _events_stream(spark, sf_dir)
+    win = (
+        with_bounded_out_of_orderness(ev, "ts", "1 hour")
+        .groupBy(tumbling("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_stream(win).orderBy("window_start_ms", "event_type")
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR epoch_ms(ts) - LAG(epoch_ms(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts) >= 7200000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ms,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ms)           AS session_start_ms,
+           MAX(ms) + 7200000 AS session_end_ms,
+           COUNT(*)          AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start_ms
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (2h gap, keyed by user) — sessions must
+    merge correctly ACROSS micro-batches (≙ the Trigger.OnMerge/
+    TimeWindow.Cover merge scaffolding the reference never finished,
+    Core.Api/Windowing/Trigger.cs:61-93).
+
+    No watermark here: the replay's chunks are unordered, so out-of-
+    orderness is unbounded, and session-window execution drops
+    later-than-watermark input rows even in complete mode (unlike plain
+    window aggs).  Production append-mode use pairs session_window with
+    withWatermark; the bounded-replay equivalence check needs full state
+    anyway, which complete mode provides."""
+    ev = _events_stream(spark, sf_dir)
+    sess = (
+        ev.groupBy(session("ts", "2 hours"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("session_window.end")).alias("session_end_ms"),
+            "n_events",
+        )
+    )
+    return _run_stream(sess).orderBy("user_id", "session_start_ms")
+
+
+@query(
+    "stream_keyed_exact_count",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_keyed_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's stress-pipeline shape (source → map → KeyBy → count →
+    sink, stress_test_passed_output.txt:85-104) with the exact-count
+    invariant enforced by the oracle: total per-key counts over the replayed
+    stream must equal the batch truth — no loss, no duplication.  (No
+    COUNT(DISTINCT) here: streaming aggregation forbids exact distinct —
+    that is ``approx_count_distinct`` territory on streams.)"""
+    ev = _events_stream(spark, sf_dir)
+    mapped = ev.withColumn("event_type", F.lower("event_type"))  # ≙ the map stage
+    counts = (
+        mapped.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    return _run_stream(counts).orderBy("event_type")
+
+
+@query(
+    "stream_filter_map_pipeline",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+           UPPER(event_type) AS event_type_uc,
+           ROUND(value * 2.0, 2) AS value_x2
+    FROM events
+    WHERE value > 50.0 AND event_type <> 'error'
+    ORDER BY event_id
+    """,
+)
+def stream_filter_map_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming Filter→Map chain in append mode (≙ operator
+    chaining, StreamExecutionEnvironment.CanChainTransformations:203-246 —
+    Spark fuses the whole thing into one codegen stage per micro-batch).
+    Append mode: every input row passes through exactly once."""
+    ev = _events_stream(spark, sf_dir)
+    out = (
+        ev.filter((F.col("value") > 50.0) & (F.col("event_type") != "error"))
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_millis(F.col("ts")).alias("ts_ms"),
+            F.upper("event_type").alias("event_type_uc"),
+            F.round(F.col("value") * 2.0, 2).alias("value_x2"),
+        )
+    )
+    return _run_stream(out, mode="append").orderBy("event_id")

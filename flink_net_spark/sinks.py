@@ -1,0 +1,184 @@
+"""Sink factories — SURVEY.md §2.2 on ``writeStream`` / ``foreachBatch``.
+
+Reference contracts:
+  - ``ISinkFunction<T>.Invoke(record, ctx)`` per-record sink
+    (FlinkDotNet/FlinkDotNet.Core.Abstractions/Sinks/ISinkFunction.cs:12)
+    → ``ForeachSinkAdapter`` (writeStream.foreach) with the same
+    open/invoke/close lifecycle (≙ IOperatorLifecycle.cs:9).
+  - ``ConsoleSinkFunction`` (Connectors.Sinks.Console/ConsoleSinkFunction.cs:7-30)
+    → ``console_sink``.
+  - ``KafkaSinkFunction`` incl. transactional producer
+    (Connectors.Sources.Kafka/KafkaSinkFunction.cs:13-90) → ``kafka_sink``.
+  - ``ITransactionalSinkFunction`` 2-phase-commit
+    (Sinks/ITransactionalSinkFunction.cs:8) → ``TransactionalParquetSink``:
+    Spark's micro-batch commit log plays the coordinator; the sink makes the
+    batch write atomic+idempotent (stage to temp, rename, skip committed
+    batchIds), which under checkpointed replay yields exactly-once output —
+    the same guarantee the reference builds from barriers + 2PC
+    (docs/wiki/Core-Concepts-Exactly-Once-Semantics.md).
+  - ``RedisIncrementSinkFunction`` counter sink
+    (FlinkDotNetAspire/FlinkJobSimulator/RedisIncrementSinkFunction.cs:1)
+    → ``CounterSink``: idempotent per-batchId counter increments, used by
+    the exactly-once stress tests exactly like the reference's Redis
+    global-sequence verification (stress_test_passed_output.txt:85-104).
+
+Scale: every sink is executor-side (foreachBatch receives a distributed
+DataFrame); the only driver-side state is the tiny batchId commit log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+
+
+def console_sink(df: DataFrame, mode: str = "append", truncate: bool = False) -> DataStreamWriter:
+    """≙ ConsoleSinkFunction.cs:7-30 (prints records with task context)."""
+    return df.writeStream.format("console").outputMode(mode).option("truncate", str(truncate).lower())
+
+
+def memory_sink(df: DataFrame, table_name: str, mode: str = "append") -> DataStreamWriter:
+    """In-session queryable sink (the test/debug sink; no reference analog —
+    the reference uses Redis for the same observe-the-output role)."""
+    return df.writeStream.format("memory").queryName(table_name).outputMode(mode)
+
+
+def parquet_sink(df: DataFrame, path: str, checkpoint: str, mode: str = "append") -> DataStreamWriter:
+    """File sink with Spark's own transactional file commit protocol."""
+    return (
+        df.writeStream.format("parquet")
+        .outputMode(mode)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str) -> DataStreamWriter:
+    """≙ KafkaSinkFunction.cs:13-90.  df must expose key/value columns.
+    Exactly-once to Kafka = checkpointed offsets + idempotent producer
+    (the reference's TransactionalId path maps to Kafka transactions which
+    Spark's sink does not open; dedup-on-read or idempotent keys cover it)."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+class ForeachSinkAdapter:
+    """Adapter giving a Python object the ``ISinkFunction`` lifecycle:
+    ``open(partition_id, epoch_id)`` / ``process(row)`` / ``close(error)``
+    (≙ ISinkFunction.cs:12 + IOperatorLifecycle.cs:9).  Pass an instance to
+    ``df.writeStream.foreach(...)``.  Row-at-a-time — prefer foreachBatch
+    sinks for anything hot; this exists for API parity."""
+
+    def __init__(self, invoke, on_open=None, on_close=None):
+        self._invoke = invoke
+        self._on_open = on_open
+        self._on_close = on_close
+
+    def open(self, partition_id: int, epoch_id: int) -> bool:  # noqa: A003
+        if self._on_open:
+            self._on_open(partition_id, epoch_id)
+        return True
+
+    def process(self, row) -> None:
+        self._invoke(row)
+
+    def close(self, error) -> None:
+        if self._on_close:
+            self._on_close(error)
+
+
+@dataclass
+class TransactionalParquetSink:
+    """Exactly-once parquet sink as idempotent ``foreachBatch``.
+
+    2PC mapping (≙ ITransactionalSinkFunction.cs:8 BeginTransaction/
+    PreCommit/Commit/Abort):
+      - BeginTransaction → write batch to ``<out>/.staging/<batchId>-<uuid>``
+      - PreCommit        → staging write completes (any failure = auto-abort,
+                           the orphaned staging dir is ignored)
+      - Commit           → atomic rename to ``<out>/batch_id=<batchId>`` +
+                           append to the commit log
+      - replayed batch   → batchId already in commit log → skip (idempotent)
+
+    Under checkpoint-restart Spark replays the last uncommitted batch with
+    the SAME batchId, so output is exactly-once end-to-end.
+    """
+
+    out_dir: str
+
+    def _log_path(self) -> str:
+        return os.path.join(self.out_dir, "_commits.json")
+
+    def committed_batches(self) -> set[int]:
+        try:
+            with open(self._log_path()) as fh:
+                return set(json.load(fh))
+        except (OSError, ValueError):
+            return set()
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        committed = self.committed_batches()
+        if batch_id in committed:
+            return  # replay after restart — already durable
+        final = os.path.join(self.out_dir, f"batch_id={batch_id}")
+        staging = os.path.join(self.out_dir, ".staging", f"{batch_id}-{uuid.uuid4().hex}")
+        batch_df.write.mode("overwrite").parquet(staging)
+        if os.path.exists(final):
+            shutil.rmtree(final)  # half-renamed prior attempt
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        os.replace(staging, final)
+        committed.add(batch_id)
+        tmp_log = self._log_path() + ".tmp"
+        with open(tmp_log, "w") as fh:
+            json.dump(sorted(committed), fh)
+        os.replace(tmp_log, self._log_path())
+
+    def writer(self, df: DataFrame, checkpoint: str) -> DataStreamWriter:
+        return df.writeStream.foreachBatch(self).option("checkpointLocation", checkpoint)
+
+
+@dataclass
+class CounterSink:
+    """Idempotent counting sink ≙ RedisIncrementSinkFunction (201 LoC of
+    Lua-batched INCRBY in the reference).  Persists one JSON file per
+    batchId (atomic rename), so a replayed batch overwrites rather than
+    double-counts; ``total()`` sums the per-batch counts — the reference's
+    Redis global-sequence invariant check."""
+
+    state_dir: str
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        os.makedirs(self.state_dir, exist_ok=True)
+        tmp = os.path.join(self.state_dir, f".{batch_id}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batch_id, "count": n}, fh)
+        os.replace(tmp, os.path.join(self.state_dir, f"batch-{batch_id}.json"))
+
+    def total(self) -> int:
+        total = 0
+        for f in os.listdir(self.state_dir):
+            if f.startswith("batch-"):
+                with open(os.path.join(self.state_dir, f)) as fh:
+                    total += json.load(fh)["count"]
+        return total
+
+
+def run_to_completion(writer: DataStreamWriter) -> StreamingQuery:
+    """Start a bounded streaming query, drain every available micro-batch,
+    stop.  The Flink-analog of running a bounded DataStream job to finality."""
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return q
