@@ -177,6 +177,38 @@ def stream_keyed_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stateful_running_count",
+    oracle="""
+    SELECT user_id % 8 AS k,
+           COUNT(*) AS n_seen,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id % 8
+    ORDER BY k
+    """,
+)
+def stream_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed ValueState running aggregate on applyInPandasWithState
+    (≙ IValueState.cs:8 + IRichMapOperator): every micro-batch updates and
+    re-emits per-key cumulative totals; the final emission per key (max
+    monotone n_seen) must equal the batch truth — state survived every
+    batch boundary or this hash-fails."""
+    from pyspark.sql.window import Window
+
+    from flink_net_spark.streaming.stateful import running_aggregate
+
+    ev = _events_stream(spark, sf_dir).withColumn("k", F.col("user_id") % 8)
+    emitted = _run_stream(running_aggregate(ev, "k", "value"), mode="update")
+    w = Window.partitionBy("k").orderBy(F.col("n_seen").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "n_seen", F.round("sum_value", 2).alias("sum_value"))
+        .orderBy("k")
+    )
+
+
+@query(
     "stream_filter_map_pipeline",
     oracle="""
     SELECT event_id, user_id,

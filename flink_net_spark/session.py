@@ -70,3 +70,51 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ship_package_to_executors(spark: SparkSession) -> None:
+    """Make ``flink_net_spark`` importable on every Python worker.
+
+    Pickled pandas-UDF closures reference this package by module path;
+    workers of an externally-built SparkSession (different cwd, no
+    PYTHONPATH entry) cannot import it otherwise.  ``addPyFile`` is the
+    cluster-correct mechanism — the same call ships the package to remote
+    executors on a 1000-node deployment.  Idempotent per session.
+    """
+    if getattr(spark, "_fns_pkg_shipped", False):
+        return
+    import hashlib
+    import tempfile
+    import uuid
+    import zipfile
+
+    import flink_net_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(flink_net_spark.__file__))
+    # content-keyed zip name: a stale cache would ship yesterday's code
+    h = hashlib.md5()
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for f in sorted(files):
+            if f.endswith(".pyc"):
+                continue
+            full = os.path.join(root, f)
+            st = os.stat(full)
+            h.update(f"{os.path.relpath(full, pkg_dir)}:{st.st_mtime_ns}:{st.st_size}".encode())
+    zpath = os.path.join(tempfile.gettempdir(), f"flink_net_spark_pkg_{h.hexdigest()[:12]}.zip")
+    if not os.path.exists(zpath):
+        tmp = f"{zpath}.{uuid.uuid4().hex}.tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".pyc"):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.join("flink_net_spark", os.path.relpath(full, pkg_dir))
+                    z.write(full, rel)
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    spark._fns_pkg_shipped = True
