@@ -90,6 +90,51 @@ def duckdb_shingle_hashes(shingles: str) -> str:
     return f"list_distinct([{inner} for s in {shingles}])"
 
 
+# -- token-hash shingles (the fast path) -------------------------------------
+# Hashing whole shingle STRINGS costs O(chars) per shingle with per-char
+# substring calls, and every character is hashed n times (once per shingle
+# covering it).  Hashing each token once and combining n token-hashes
+# arithmetically cuts the char work n-fold and drops the string concats —
+# same determinism, same cross-engine equality.
+
+SHINGLE_MULT = 1_000_003  # token-hash combiner; h*C + h2 < 2^63 for h < MOD
+
+
+def spark_token_hashes(text: str) -> str:
+    """Spark SQL: array of char-polyhashes, one per whitespace token."""
+    inner = spark_char_polyhash("w")
+    return f"transform(split({text}, ' '), w -> {inner})"
+
+
+def duckdb_token_hashes(text: str) -> str:
+    inner = duckdb_char_polyhash("w")
+    return f"[{inner} for w in string_split({text}, ' ')]"
+
+
+def spark_hashed_shingles(th: str, n: int = 3) -> str:
+    """Spark SQL: distinct n-gram shingle hashes over a token-hash ARRAY
+    COLUMN ``th`` (pass a column name, not an inline expr — each element
+    reference re-evaluates an inline expr)."""
+    combined = f"{th}[i]"
+    for j in range(1, n):
+        combined = f"(({combined}) * {SHINGLE_MULT} + {th}[i + {j}]) % {MOD}"
+    return (
+        f"CASE WHEN size({th}) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size({th}) - {n}), i -> {combined})) "
+        f"ELSE CAST(array() AS array<bigint>) END"
+    )
+
+
+def duckdb_hashed_shingles(th: str, n: int = 3) -> str:
+    combined = f"{th}[i]"
+    for j in range(1, n):
+        combined = f"(({combined}) * {SHINGLE_MULT} + {th}[i + {j}]) % {MOD}"
+    return (
+        f"list_distinct([{combined} "
+        f"for i in range(1, greatest(len({th}) - {n - 1}, 0) + 1)])"
+    )
+
+
 # -- minhash signature over a hash array -------------------------------------
 
 def spark_minhash_sig(hashes: str, k: int = 16) -> str:
