@@ -1,0 +1,120 @@
+"""Multimodal + custom-UDAF queries in the oracle gate.
+
+``mm_*``: binary payload columns with typed metadata (the build brief's
+multimodal surface).  The payload construction is pure column expressions
+(byte-for-byte reproducible in DuckDB), and the fake decoder's arithmetic
+is simple enough for SQL — so even the ``mapInPandas`` decode path gets a
+REAL value-hash oracle, not just a smoke run.
+
+``udaf_*``: holistic custom aggregate (applyInPandas ≙ IAggregateOperator,
+Core.Abstractions/Operators/IAggregateOperator.cs:18-51) checked against
+DuckDB's own MEDIAN.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_net_spark.operators.multimodal import attach_payloads, fake_decode_stats, payload_features
+from flink_net_spark.operators.udaf import apply_udaf, median_abs_deviation
+from flink_net_spark.queries import query
+from flink_net_spark.tables import load_table
+
+# the payload string, DuckDB-side (same UTF-8 bytes as attach_payloads'
+# binary cast; DuckDB's md5 takes VARCHAR and hashes its UTF-8 bytes)
+_DUCK_PAYLOAD = (
+    "('FNSB' || lpad(CAST(doc_id % 640 + 16 AS VARCHAR), 4, '0')"
+    " || lpad(CAST(doc_id % 480 + 16 AS VARCHAR), 4, '0') || text)"
+)
+
+
+@query(
+    "mm_payload_stats",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_DUCK_PAYLOAD}) AS payload_md5,
+           octet_length(encode({_DUCK_PAYLOAD})) AS n_bytes,
+           'image/x-fns' AS mime,
+           CAST(doc_id % 640 + 16 AS INT) AS width,
+           CAST(doc_id % 480 + 16 AS INT) AS height
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal payload construction + metadata struct: binary column and
+    typed metadata flow through column expressions; md5 proves the payload
+    bytes are exactly what the oracle builds."""
+    d = load_table(spark, sf_dir, "documents")
+    mm = attach_payloads(d)
+    return (
+        mm.select(
+            "doc_id",
+            F.md5("payload").alias("payload_md5"),
+            F.length("payload").alias("n_bytes"),
+            F.col("media_meta.mime").alias("mime"),
+            F.col("media_meta.width").alias("width"),
+            F.col("media_meta.height").alias("height"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "mm_decode_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 640 + 16 AS INT) AS width,
+           CAST(doc_id % 480 + 16 AS INT) AS height,
+           list_sum([ascii(text[i:i]) for i in range(1, length(text) + 1)])
+               % 1000000007 AS body_checksum,
+           CAST(length(text) AS INT) AS body_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas 'decode' path under the oracle: parse the container
+    header, checksum the body bytes executor-side in Arrow batches.  A real
+    image decoder swaps into exactly this plumbing (see
+    operators/multimodal.py decode_image for the codec-gated stub)."""
+    d = load_table(spark, sf_dir, "documents")
+    return fake_decode_stats(attach_payloads(d)).orderBy("doc_id")
+
+
+@query("mm_payload_features")  # rows-only: fixed-dim float folding, no SQL analog worth writing
+def mm_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction shape: payload bytes → fixed-dim array<float> via
+    mapInPandas (the embedding-model plumbing, minus the model).  The
+    payload is dropped in the output — at 100 TB media bytes must never
+    enter a shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = payload_features(attach_payloads(d), dim=16)
+    return feats.select(
+        "doc_id", F.size("features").alias("dim"), F.round(F.expr("aggregate(features, 0.0D, (a, x) -> a + x)"), 4).alias("feat_sum")
+    ).orderBy("doc_id")
+
+
+@query(
+    "udaf_value_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, MEDIAN(value) AS m FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           ROUND(MEDIAN(e.value), 4) AS median_value,
+           ROUND(MEDIAN(ABS(e.value - med.m)), 4) AS mad
+    FROM events e JOIN med ON e.event_type = med.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def udaf_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom holistic UDAF (median absolute deviation — no accumulator
+    fold computes it) via applyInPandas, checked against DuckDB MEDIAN."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    out = apply_udaf(ev, ["event_type"], median_abs_deviation("value", "event_type"),
+                     "event_type STRING, n BIGINT, median_value DOUBLE, mad DOUBLE")
+    return out.select("event_type", "n", "median_value", "mad").orderBy("event_type")

@@ -1,0 +1,91 @@
+"""Multimodal plumbing + UDAF tests (build brief: schema, partitioning,
+UDF signature, batch shape must be real even where codecs are stubbed)."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import ArrayType, BinaryType, FloatType
+
+from flink_net_spark.operators.multimodal import (
+    attach_payloads,
+    decode_image,
+    fake_decode_stats,
+    frame_sample,
+    payload_features,
+)
+from flink_net_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_payload_schema_and_roundtrip(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    mm = attach_payloads(d)
+    schema = {f.name: f.dataType for f in mm.schema.fields}
+    assert isinstance(schema["payload"], BinaryType)
+    meta = {f.name: f.dataType.simpleString() for f in schema["media_meta"].fields}  # type: ignore[attr-defined]
+    assert meta == {"mime": "string", "width": "int", "height": "int", "n_bytes": "int"}
+
+    row = mm.filter(F.col("doc_id") == 7).first()
+    assert bytes(row.payload[:4]) == b"FNSB"
+    assert row.media_meta.width == 7 % 640 + 16
+    assert row.media_meta.n_bytes == len(row.payload)
+
+
+def test_decode_runs_in_arrow_batches_not_rows(spark):
+    """The decode UDF must see pandas BATCHES (one per partition slice),
+    not per-row calls — count invocations via an accumulator column."""
+    d = load_table(spark, SF_DIR, "documents").limit(200)
+    mm = attach_payloads(d).repartition(4)
+
+    import pandas as pd
+
+    def counting_decode(batches):
+        for pdf in batches:
+            assert isinstance(pdf, pd.DataFrame)
+            assert len(pdf) > 1, "row-at-a-time batch: Arrow batching is broken"
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "batch_size": [len(pdf)] * len(pdf)})
+
+    out = mm.mapInPandas(counting_decode, "doc_id BIGINT, batch_size INT")
+    rows = out.collect()
+    assert len(rows) == 200
+    assert all(r.batch_size > 1 for r in rows)
+
+
+def test_fake_decode_matches_metadata(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    mm = attach_payloads(d)
+    dec = fake_decode_stats(mm)
+    joined = dec.join(mm.select("doc_id", "media_meta"), "doc_id")
+    bad = joined.filter(
+        (F.col("width") != F.col("media_meta.width"))
+        | (F.col("height") != F.col("media_meta.height"))
+    ).count()
+    assert bad == 0
+
+
+def test_payload_features_shape(spark):
+    d = load_table(spark, SF_DIR, "documents").limit(50)
+    feats = payload_features(attach_payloads(d), dim=16)
+    assert isinstance(feats.schema["features"].dataType, ArrayType)
+    assert isinstance(feats.schema["features"].dataType.elementType, FloatType)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r.features) == 16 for r in rows)
+    assert all(0.0 <= x < 1.0 for r in rows for x in r.features)
+    # deterministic: same input, same vector
+    again = payload_features(attach_payloads(d), dim=16).collect()
+    assert sorted((r.doc_id, tuple(r.features)) for r in rows) == sorted(
+        (r.doc_id, tuple(r.features)) for r in again
+    )
+
+
+def test_codec_stubs_are_marked(spark):
+    """Real decode paths raise NotImplementedError in this container (the
+    brief's clearly-marked stub), never silently fake."""
+    d = attach_payloads(load_table(spark, SF_DIR, "documents").limit(1))
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_image(d)
+    with pytest.raises(NotImplementedError, match="codec"):
+        frame_sample(d)
