@@ -7,22 +7,32 @@ checkpointing).  This package provides the same surface on top of the PySpark
 DataFrame + Structured Streaming APIs, plus the relational/batch superset the
 reference declares but never executes (SQL, joins, sorts — see SURVEY.md §2).
 
-Layout:
+Layout (every module listed here exists and imports):
     session     — tuned SparkSession builder (AQE, shuffle partitions, UTC)
+                  + ship_package_to_executors for pandas-UDF closures
     tables      — loaders for the driver's TPC-H-ish parquet testdata
-    datastream  — DataStream-flavored fluent facade over DataFrames
-    operators/  — dedup, similarity, text analysis, multimodal plumbing
+    datastream  — DataStream/KeyedDataStream/WindowedStream fluent facade
+    operators/  — multimodal payload plumbing, custom UDAF harness
     functions/  — deterministic hashing/shingling column expressions
-    sources/    — batch + streaming source factories (file/rate/kafka)
-    sinks       — sink factories incl. transactional foreachBatch patterns
-    streaming/  — window assigners, watermarks, stateful processing harness
-    queries     — the §2-inventory query registry (Spark fn + DuckDB oracle)
+    sources/    — unified batch/streaming source factories (file/rate/kafka)
+    sinks       — console/memory/parquet/kafka/foreach sinks + transactional
+                  (exactly-once) foreachBatch patterns
+    streaming/  — window assigners, watermarks; stateful: keyed state,
+                  timers, triggers on applyInPandasWithState
+    queries/    — the §2-inventory query registry (Spark fn + DuckDB oracle)
     sql         — TableEnvironment-style facade over spark.sql
+    jobs        — StreamingQuery job control + metrics listener
 """
 
-from flink_net_spark.session import get_spark
+from flink_net_spark.session import get_spark, ship_package_to_executors
 from flink_net_spark.tables import TABLE_NAMES, load_tables, register_views
 
-__all__ = ["get_spark", "load_tables", "register_views", "TABLE_NAMES"]
+__all__ = [
+    "get_spark",
+    "ship_package_to_executors",
+    "load_tables",
+    "register_views",
+    "TABLE_NAMES",
+]
 
 __version__ = "0.1.0"

@@ -1,0 +1,122 @@
+"""Job control + observability facade — SURVEY.md §2.14.
+
+≙ the reference's JobManager REST surface
+(FlinkDotNet/FlinkDotNet.JobManager/Controllers/JobManagerController.cs:35-352:
+list jobs, job detail, metrics, stop, cancel, checkpoints) re-expressed over
+``StreamingQuery``, and ``IFlinkMetrics``
+(Core.Abstractions/Observability/IFlinkMetrics.cs:1-88) over
+``StreamingQueryListener``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.listener import StreamingQueryListener
+
+
+class JobClient:
+    """≙ JobManagerController job-scoped endpoints (status/stop/cancel/
+    metrics)."""
+
+    def __init__(self, query: StreamingQuery):
+        self.query = query
+
+    @property
+    def job_id(self) -> str:
+        return str(self.query.id)
+
+    @property
+    def run_id(self) -> str:
+        return str(self.query.runId)
+
+    def status(self) -> dict:
+        """≙ GET /jobs/{id}."""
+        return {
+            "job_id": self.job_id,
+            "run_id": self.run_id,
+            "name": self.query.name,
+            "is_active": self.query.isActive,
+            "status": self.query.status,
+        }
+
+    def metrics(self) -> dict | None:
+        """≙ GET /jobs/{id}/metrics — last micro-batch progress (rows/s,
+        batch duration, state rows)."""
+        return self.query.lastProgress
+
+    def stop(self) -> None:
+        """≙ POST /jobs/{id}/stop (graceful)."""
+        self.query.stop()
+
+    def cancel(self) -> None:
+        """≙ POST /jobs/{id}/cancel — Spark has no hard-kill distinct from
+        stop; stop() is both."""
+        self.query.stop()
+
+    def await_termination(self, timeout_sec: float | None = None):
+        return self.query.awaitTermination(timeout_sec)
+
+    def exception(self):
+        return self.query.exception()
+
+
+class JobManager:
+    """≙ JobManagerController collection endpoints (list/overview)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def list_jobs(self) -> list[JobClient]:
+        """≙ GET /jobs."""
+        return [JobClient(q) for q in self.spark.streams.active]
+
+    def get_job(self, job_id: str) -> JobClient | None:
+        q = self.spark.streams.get(job_id)
+        return JobClient(q) if q else None
+
+    def stop_all(self) -> None:
+        for q in self.spark.streams.active:
+            q.stop()
+
+
+@dataclass
+class MetricsRecorder(StreamingQueryListener):
+    """≙ IFlinkMetrics counters/gauges via StreamingQueryListener: records
+    per-batch input row counts and processing rates per query."""
+
+    progress: dict[str, list[dict]] = field(default_factory=dict)
+    started: list[str] = field(default_factory=list)
+    terminated: list[str] = field(default_factory=list)
+
+    def onQueryStarted(self, event: Any) -> None:  # noqa: N802
+        self.started.append(str(event.id))
+
+    def onQueryProgress(self, event: Any) -> None:  # noqa: N802
+        p = event.progress
+        self.progress.setdefault(str(p.id), []).append(
+            {
+                "batch_id": p.batchId,
+                "num_input_rows": p.numInputRows,
+                "batch_duration_ms": p.batchDuration,
+            }
+        )
+
+    def onQueryTerminated(self, event: Any) -> None:  # noqa: N802
+        self.terminated.append(str(event.id))
+
+    def onQueryIdle(self, event: Any) -> None:  # noqa: N802
+        pass
+
+    def total_input_rows(self, query_id: str) -> int:
+        return sum(b["num_input_rows"] for b in self.progress.get(query_id, []))
+
+    def attach(self, spark: SparkSession) -> "MetricsRecorder":
+        spark.streams.addListener(self)
+        return self
+
+    def detach(self, spark: SparkSession) -> None:
+        spark.streams.removeListener(self)
