@@ -138,7 +138,8 @@ def _duckdb_bucket_expr() -> str:
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH: bucket = 8 projection signs; exact
     cosine re-rank within the query's bucket only.  Equi-join on bucket id =
-    the scalable shuffle shape."""
+    the scalable shuffle shape.  (Single-table variant; the production path
+    with recall control is ``sim_ann_multiprobe``.)"""
     e = _emb_with_norm(spark, sf_dir).withColumn("bucket", F.expr(_spark_bucket_expr()))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -160,4 +161,213 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
         .orderBy("query_id", "rank")
+    )
+
+
+# -- multi-table, multi-probe ANN (the 100 TB path) --------------------------
+
+N_TABLES = 3  # L independent hash tables
+N_PLANES_MP = 10  # planes per table → 1024 buckets/table
+
+
+def _mp_weight(t: int, j: int, d: int) -> int:
+    """Deterministic hyperplane weight for table t, plane j, dim d."""
+    return (((t * N_PLANES_MP + j) * DIM + d) * 2654435761) % 1000003 - 500001
+
+
+# Hyperplane weights travel as DATA (a 1-row broadcast dim table), not as SQL
+# text: unrolling L×P×DIM multiply terms into the plan blows codegen past the
+# driver heap of a default 1g session (observed: BroadcastExchange OOM at
+# 500 rows), and at DIM=1024 the SQL string itself would be megabytes.  The
+# per-vector work is a lambda fold over the planes array — tiny codegen, one
+# pass, no row amplification, no shuffle.
+_MP_TB_EXPR = (
+    "transform(planes, tp -> struct(tp.t AS t, "
+    "aggregate(tp.ws, 0L, (acc, pw) -> acc + CASE WHEN "
+    "aggregate(zip_with(v, pw.w, (x, y) -> x * y), 0.0D, (a, x) -> a + x) > 0D "
+    "THEN shiftleft(1L, pw.j) ELSE 0L END) AS bucket))"
+)
+
+_MP_PLANES_SCHEMA = (
+    "planes ARRAY<STRUCT<t: INT, ws: ARRAY<STRUCT<j: INT, w: ARRAY<DOUBLE>>>>>"
+)
+
+
+def _mp_bucketed(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """(vec_id, t, bucket) — one row per vector per hash table."""
+    nested = [
+        (t, [(j, [float(_mp_weight(t, j, d)) for d in range(DIM)]) for j in range(N_PLANES_MP)])
+        for t in range(N_TABLES)
+    ]
+    planes = spark.createDataFrame([(nested,)], _MP_PLANES_SCHEMA)
+    return (
+        e.select("vec_id", "v")
+        .crossJoin(F.broadcast(planes))
+        .select("vec_id", F.explode(F.expr(_MP_TB_EXPR)).alias("tb"))
+        .select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    )
+
+
+def _mp_planes_values() -> str:
+    """DuckDB VALUES rows (t, j, w) mirroring the Spark planes dim table."""
+    rows = []
+    for t in range(N_TABLES):
+        for j in range(N_PLANES_MP):
+            w = ", ".join(str(_mp_weight(t, j, d)) for d in range(DIM))
+            rows.append(f"({t}, {j}, [{w}])")
+    return ",\n        ".join(rows)
+
+
+def _mp_tb_cte() -> str:
+    """DuckDB CTE computing (vec_id, t, bucket) from e + planes."""
+    return f"""
+    planes(t, j, w) AS (VALUES
+        {_mp_planes_values()}
+    ),
+    tb AS (
+        SELECT e.vec_id, p.t,
+               CAST(SUM(CASE WHEN list_sum([e.v[i] * p.w[i] for i in range(1, {DIM + 1})]) > 0
+                        THEN 1 << p.j ELSE 0 END) AS BIGINT) AS bucket
+        FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.t
+    )"""
+
+
+@query(
+    "sim_ann_multiprobe",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+        FROM embeddings
+    ),
+    {_mp_tb_cte()},
+    probes AS (  -- query side probes its bucket + every Hamming-1 neighbor
+        SELECT vec_id, t, UNNEST([bucket] || [xor(bucket, 1 << p) for p in range(0, {N_PLANES_MP})])
+               AS probe_bucket
+        FROM tb WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT DISTINCT p.vec_id AS query_id, n.vec_id AS neighbor_id
+        FROM probes p JOIN tb n ON p.t = n.t AND p.probe_bucket = n.bucket
+        WHERE n.vec_id <> p.vec_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               list_sum([q.v[i] * n.v[i] for i in range(1, {DIM + 1})]) / (q.nrm * n.nrm) AS cosine
+        FROM cand c
+        JOIN e q ON q.vec_id = c.query_id
+        JOIN e n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(cosine, 4) AS cosine
+    FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= {TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table multi-probe ANN — the production 100 TB shape.
+
+    {L} independent hash tables × {P} planes (2^{P} buckets each) fix the
+    single-table coarseness the 8-plane variant has at scale; the query
+    side additionally probes every Hamming-1 bucket (flip one plane sign),
+    recovering near-misses without more tables.  Shuffle volume: data side
+    = L rows of (vec_id, bucket) per vector; query side = L×(P+1) probe
+    rows per query; exact re-rank touches only deduped candidates.
+    """.format(L=N_TABLES, P=N_PLANES_MP)
+    e = _emb_with_norm(spark, sf_dir)  # column-pruned scan; recompute beats caching at scale
+    tb = _mp_bucketed(spark, e)
+    probes = (
+        tb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            "vec_id",
+            "t",
+            F.explode(
+                F.expr(
+                    f"array(bucket) || transform(sequence(0, {N_PLANES_MP - 1}), "
+                    f"p -> bucket ^ shiftleft(1L, p))"
+                )
+            ).alias("probe_bucket"),
+        )
+    )
+    cand = (
+        probes.alias("p")
+        .join(
+            tb.alias("n"),
+            (F.col("p.t") == F.col("n.t"))
+            & (F.col("p.probe_bucket") == F.col("n.bucket"))
+            & (F.col("n.vec_id") != F.col("p.vec_id")),
+        )
+        .select(F.col("p.vec_id").alias("query_id"), F.col("n.vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qs = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    ns = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), F.col("nrm").alias("nn"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.join(qs, "query_id")
+        .join(ns, "neighbor_id")
+        .withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "dedup_embedding_ann",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+        FROM embeddings
+    ),
+    {_mp_tb_cte()},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM tb a JOIN tb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT c.vec_a, c.vec_b,
+               list_sum([x.v[i] * y.v[i] for i in range(1, {DIM + 1})]) / (x.nrm * y.nrm) AS cosine
+        FROM cand c JOIN e x ON x.vec_id = c.vec_a JOIN e y ON y.vec_id = c.vec_b
+    )
+    SELECT vec_a, vec_b, ROUND(cosine, 4) AS cosine
+    FROM scored WHERE cosine >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection, LSH-bucketed — the PRIMARY path (the
+    all-pairs ``dedup_embedding_cosine`` is the small-scale correctness
+    oracle only and is excluded from the bench).  Candidates = same bucket
+    in ANY of the L tables; exact cosine verify on candidates only.  No
+    O(n²) join anywhere."""
+    e = _emb_with_norm(spark, sf_dir)
+    tb = _mp_bucketed(spark, e)
+    cand = (
+        tb.alias("a")
+        .join(
+            tb.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    xs = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    ys = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("nv"), F.col("nrm").alias("nn"))
+    return (
+        cand.join(xs, "vec_a")
+        .join(ys, "vec_b")
+        .withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
+        .filter(F.col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
     )
