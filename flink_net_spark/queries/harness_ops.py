@@ -1,0 +1,145 @@
+"""Operator-harness queries: rich lifecycle + skew-aware keying, oracle-gated.
+
+Exercises (with DuckDB correctness oracles) the two harnesses the rest of
+the registry doesn't reach:
+  - ``operators.rich.rich_map_in_pandas`` — open/close per-task lifecycle
+    ≙ IRichMapOperator (SURVEY.md §2.3 rich variants)
+  - ``operators.skew.salted_aggregate`` / ``salted_join`` — load-aware key
+    spreading ≙ KeyGenStage load-awareness (SURVEY.md §2.4)
+
+The salted results are bit-identical to their unsalted equivalents, so the
+plain GROUP BY / JOIN is the oracle — the gate proves the rewrite is a
+no-op semantically while changing the shuffle shape.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_net_spark.operators.rich import RichFunction, RuntimeContext, rich_map_in_pandas
+from flink_net_spark.operators.skew import salted_aggregate, salted_join
+from flink_net_spark.queries import query
+from flink_net_spark.tables import load_table
+
+
+@query(
+    "agg_salted_hot_keys",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(COUNT(l_quantity) AS BIGINT) AS cnt,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a genuinely hot key: lineitem has
+    only 3 distinct l_returnflag values, so an unsalted groupBy lands the
+    whole table on 3 reducers.  The salt spreads each key over 16 partials
+    first (SURVEY.md §2.4 ≙ KeyGenStage load-awareness,
+    GatewayAndKeyGenStages.cs:217-446)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "sum_qty": ("sum", "l_quantity"),
+            "cnt": ("count", "l_quantity"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        n_salts=16,
+        salt_on="l_orderkey",
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("long").alias("sum_qty"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT c_custkey, n_name, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY c_custkey
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join: every customer key hashes to one of 8 salt
+    sub-keys; nation (the build side) replicates ×8.  Result is identical
+    to the plain equi-join — the oracle proves it — while one hot
+    nationkey now spreads over 8 reducers instead of one."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("n_nationkey"), "c_acctbal"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        salted_join(cust, nat, on="n_nationkey", n_salts=8)
+        .select("c_custkey", "n_name", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+_LANG_NAMES = {
+    "en": "ENGLISH",
+    "de": "GERMAN",
+    "es": "SPANISH",
+    "fr": "FRENCH",
+    "zh": "CHINESE",
+}
+
+
+class _LangAnnotator(RichFunction):
+    """Loads a lookup resource in open() (≙ the reference's Open-time
+    connection/dictionary setup), annotates each Arrow batch in process(),
+    releases in close().  The lookup is deterministic so the DuckDB CASE
+    oracle reproduces it."""
+
+    def open(self, ctx: RuntimeContext) -> None:  # noqa: A003
+        self.lang_names = dict(_LANG_NAMES)  # stand-in for an external resource
+        self.partition_id = ctx.partition_id
+
+    def process(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang_name": pdf["lang"].map(self.lang_names).fillna("UNKNOWN"),
+                "n_chars": pdf["n_chars"],
+            }
+        )
+
+    def close(self) -> None:
+        self.lang_names = None
+
+
+@query(
+    "rich_map_lang_annotate",
+    oracle="""
+    SELECT doc_id,
+           CASE lang WHEN 'en' THEN 'ENGLISH' WHEN 'de' THEN 'GERMAN'
+                     WHEN 'es' THEN 'SPANISH' WHEN 'fr' THEN 'FRENCH'
+                     WHEN 'zh' THEN 'CHINESE' ELSE 'UNKNOWN' END AS lang_name,
+           n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def rich_map_lang_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich map with open/close lifecycle over the documents table
+    (SURVEY.md §2.3 ≙ IRichMapOperator.cs:11 + IOperatorLifecycle.cs:9).
+    A Column-expression CASE would beat this in production — the point of
+    the query is gating the lifecycle harness itself."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = rich_map_in_pandas(
+        docs, _LangAnnotator, "doc_id BIGINT, lang_name STRING, n_chars BIGINT"
+    )
+    return out.orderBy("doc_id")

@@ -174,6 +174,36 @@ class CounterSink:
         return total
 
 
+def with_trigger(
+    writer: DataStreamWriter,
+    processing_time: str | None = None,
+    available_now: bool = False,
+) -> DataStreamWriter:
+    """Trigger surface ≙ the reference's Trigger taxonomy
+    (Core.Api/Windowing/DefaultTriggers.cs:7-52, Trigger.cs:8-80), mapped to
+    Spark's micro-batch scheduling:
+
+      - ``processing_time="10 seconds"`` ≙ ProcessingTimeTrigger — fire a
+        micro-batch on a wall-clock cadence (DefaultTriggers.cs:31-44).
+      - ``available_now=True`` — drain everything available then stop
+        (the bounded-job trigger; how ``run_to_completion`` finishes).
+      - neither — Spark's default as-fast-as-possible micro-batches ≙
+        EventTimeTrigger: results for an event-time window emit when the
+        watermark passes its end (DefaultTriggers.cs:7-29), which in Spark
+        is watermark semantics on ANY trigger cadence.
+      - NeverTrigger (GlobalWindows default, DefaultTriggers.cs:46-52) has
+        no writer mapping: global-window firing is custom logic in the
+        stateful harness (streaming.stateful.count_trigger_window etc.).
+    """
+    if processing_time is not None and available_now:
+        raise ValueError("pick one trigger mode")
+    if processing_time is not None:
+        return writer.trigger(processingTime=processing_time)
+    if available_now:
+        return writer.trigger(availableNow=True)
+    return writer
+
+
 def run_to_completion(writer: DataStreamWriter) -> StreamingQuery:
     """Start a bounded streaming query, drain every available micro-batch,
     stop.  The Flink-analog of running a bounded DataStream job to finality."""

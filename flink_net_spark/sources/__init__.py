@@ -125,6 +125,26 @@ class KafkaSource:
         return reader.load()
 
 
+def source_to_counter(source_df: DataFrame, counter_dir: str, checkpoint: str):
+    """Fused consume→count pipeline ≙ ``KafkaToRedisOperator``
+    (FlinkDotNet/FlinkDotNet.TaskManager/Operators/KafkaToRedisOperator.cs:14-120):
+    the reference fuses a Kafka consumer with Redis counter increments inside
+    one checkpointed operator.  Here the fusion is source → ``CounterSink``
+    ``foreachBatch`` under one checkpoint: source offsets and the sink's
+    per-batchId idempotence combine into the same exactly-once counter
+    invariant the stress test asserts (stress_test_passed_output.txt:85-104).
+
+    Works with any streaming source (Kafka via ``KafkaSource().load()``, or
+    file/rate streams for broker-less runs).  Returns the configured writer;
+    ``.start()`` or ``sinks.run_to_completion`` runs it.
+    """
+    from flink_net_spark.sinks import CounterSink
+
+    sink = CounterSink(counter_dir)
+    writer = source_df.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
+    return writer, sink
+
+
 def replay_table_as_stream(
     spark: SparkSession,
     sf_dir: str,

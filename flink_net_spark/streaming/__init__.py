@@ -69,3 +69,36 @@ def for_monotonous_timestamps(df: DataFrame, ts_col: str) -> DataFrame:
     (WatermarkManager.cs:210-275); Spark needs a nonzero duration, 0 seconds
     expresses the same contract."""
     return df.withWatermark(ts_col, "0 seconds")
+
+
+_DUR_UNITS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def _dur_seconds(dur: str) -> int:
+    n, unit = dur.strip().split()
+    return int(n) * _DUR_UNITS[unit.lower()]
+
+
+def with_allowed_lateness(
+    df: DataFrame, ts_col: str, out_of_orderness: str, lateness: str
+) -> DataFrame:
+    """≙ WindowedStream.AllowedLateness(Time) (Core.Api/Streaming/
+    WindowedStream.cs:55-63): keep window state past the watermark so late
+    events still update their pane.
+
+    Spark folds lateness into the watermark delay: a window's state lives
+    until wm > window_end + delay, so delay = out_of_orderness + lateness
+    gives the same retention contract.  Semantic delta vs the reference
+    (documented, not fought): the watermark itself advances more slowly, so
+    on-time panes also emit later in append mode; in update mode emission
+    timing is unchanged.  Rows later than the combined bound are dropped
+    with no side output — parity, the reference never implemented side
+    outputs either (IProcessWindowFunction.cs:9).
+    """
+    total = _dur_seconds(out_of_orderness) + _dur_seconds(lateness)
+    return df.withWatermark(ts_col, f"{total} seconds")
