@@ -197,15 +197,22 @@ def dedup_resolve_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, not documents.  Iteration count = component diameter; near-dup
     clusters are dense, so this converges in a handful of rounds (the same
     min-propagation step GraphX/GraphFrames connected components uses).
-    The oracle walks the same components with a recursive CTE."""
-    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    ``localCheckpoint`` truncates lineage each round so the plan stays
+    O(1) per iteration instead of accumulating every prior join (a 50-round
+    un-truncated loop compiles a 1000+-join plan and recomputes from
+    scratch on any cache eviction).  The oracle walks the same components
+    with a recursive CTE."""
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .persist()
+        .localCheckpoint()
     )
     labels = (
-        edges.select(F.col("u").alias("id")).distinct().withColumn("label", F.col("id")).persist()
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
     )
     for _ in range(50):  # bound: diameter of the largest component
         nbr = (
@@ -223,10 +230,9 @@ def dedup_resolve_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label"),
                 "old_label",
             )
-            .persist()
+            .localCheckpoint()  # eager: materializes + truncates lineage
         )
         changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
-        labels.unpersist()
         labels = new_labels.select("id", "label")
         if changed == 0:
             break

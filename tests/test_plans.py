@@ -1,0 +1,142 @@
+"""Physical-plan audits: the 100 TB scale gate.
+
+Correctness says the answer is right at sf0.001; these tests say the *plan*
+is the one we'd want on a 1000-executor cluster: filters reach the parquet
+scan, column pruning holds, only fixed-size dims are broadcast by hint,
+no registered non-oracle query degenerates to a cartesian/nested-loop
+product, and iterative algorithms keep bounded lineage.
+
+Reference parity: the reference has no optimizer to audit (SURVEY §4.1 —
+rewrites happen by hand in C#); on Spark the equivalent engineering duty is
+verifying Catalyst actually produced the scale-safe physical strategy.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry
+from tests.conftest import SF_DIR
+
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin /
+# cross product, each with a bounded side:
+#   dedup_embedding_cosine — documented O(n²) test-oracle shape; the scale
+#     path is dedup_embedding_ann (queries/dedup.py docstring).
+#   sim_cosine_topk        — broadcast of a fixed 5-row query set (ANN
+#     ground truth; queries/similarity.py).
+#   sim_ann_lsh / sim_ann_multiprobe / dedup_embedding_ann — crossJoin
+#     against the 1-row broadcast hyperplane-weights dim
+#     (queries/similarity.py: planes travel as data, not SQL literals).
+NESTED_LOOP_ALLOWED = {
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_ann_multiprobe",
+    "dedup_embedding_ann",
+}
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def batch_queries():
+    return {
+        name: fn
+        for name, fn in entry.queries().items()
+        # stream_* execute a real streaming job inside fn(); plan audit
+        # covers the batch surface
+        if not name.startswith("stream_")
+    }
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {name: plan_of(fn(spark, SF_DIR)) for name, fn in batch_queries().items()}
+
+
+def test_no_unexpected_nested_loop_join(plans):
+    bad = [
+        name
+        for name, p in plans.items()
+        if name not in NESTED_LOOP_ALLOWED
+        and ("BroadcastNestedLoopJoin" in p or "CartesianProduct" in p)
+    ]
+    assert not bad, f"unexpected O(n^2) join shape in: {bad}"
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    p = plan_of(entry.queries()["q1_pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p, p
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    p = plan_of(entry.queries()["q6_revenue_delta"](spark, SF_DIR))
+    assert "PushedFilters: " in p
+    # all three predicates (shipdate range, discount band, quantity cap)
+    # must reach the parquet reader
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({frag})" in p, f"{frag} not pushed:\n{p}"
+
+
+def test_q1_column_pruning(spark):
+    p = plan_of(entry.queries()["q1_pricing_summary"](spark, SF_DIR))
+    # ReadSchema must not include untouched wide columns
+    assert "l_comment" not in p
+    assert "l_partkey" not in p
+
+
+def test_q1_whole_stage_codegen(spark):
+    df = entry.queries()["q1_pricing_summary"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    # the scan→filter→partial-agg hot path compiles to fused codegen stages
+    assert "Found" in buf.getvalue() and "WholeStageCodegen subtrees" in buf.getvalue()
+
+
+def test_no_sf_scaled_broadcast_hints():
+    """Broadcast hints must only name fixed-size dims (region/nation/planes).
+
+    The round-1 verdict flagged F.broadcast on customer/supplier (SF-scaled
+    → driver OOM at 100 TB).  Guard the source: every F.broadcast(...) call
+    in the query modules must target a dim table or a constant-size frame.
+    """
+    import pathlib
+    import re
+
+    qdir = pathlib.Path("flink_net_spark/queries")
+    offenders = []
+    for path in qdir.glob("*.py"):
+        src = path.read_text()
+        for m in re.finditer(r"F\.broadcast\((\w+)", src):
+            target = m.group(1)
+            if target not in {"r", "n", "region", "nation", "planes", "q", "qe"}:
+                offenders.append(f"{path.name}: F.broadcast({target}")
+    assert not offenders, offenders
+
+
+def test_resolve_groups_lineage_bounded(spark):
+    """Iterative min-label propagation must truncate lineage per round."""
+    p = plan_of(entry.queries()["dedup_resolve_groups"](spark, SF_DIR))
+    # with localCheckpoint the final plan reads checkpointed RDDs — a
+    # handful of nodes, not the unrolled 50-round join cascade
+    assert p.count("Join") < 10, f"lineage not truncated: {p.count('Join')} joins"
+
+
+def test_window_queries_single_shuffle(spark):
+    """Tumbling window agg = map-side partial + one exchange, no more."""
+    import re
+
+    p = plan_of(entry.queries()["window_tumbling_hourly"](spark, SF_DIR))
+    # one hash shuffle for the groupBy(window) — partial agg before it —
+    # plus one range shuffle for the final sort, nothing else
+    exchanges = re.findall(r"\(\d+\) Exchange", p)
+    assert len(exchanges) <= 2, p
+    assert "partial_count" in p  # map-side combine before the shuffle
