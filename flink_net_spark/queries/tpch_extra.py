@@ -1,0 +1,665 @@
+"""Extended TPC-H-shaped relational coverage — SURVEY.md §2.6/§2.12/§2.13.
+
+The reference's SQL surface is SELECT-only with a single FROM table
+(BasicSqlParser, FlinkDotNet/FlinkDotNet.Table.Api/TableEnvironment.cs:211-259)
+and its join operator is an interface without a runtime
+(IJoinFunction.cs:18-28; Table.cs:35 concatenates schemas only).  This module
+is the engine-native superset: the classic TPC-H decision-support shapes —
+correlated/scalar subqueries, EXISTS/NOT EXISTS, disjunctive pushdown,
+multi-way dim joins, two-level aggregation — adapted to the testdata's
+reduced schemas (no partsupp / commitdate / receiptdate / shipmode columns).
+
+Scale discipline (100 TB):
+  - broadcast hints ONLY on the fixed-cardinality dims (region: 5, nation:
+    25); customer/supplier/part are SF-scaled and go through AQE-planned
+    shuffle joins (round-1 verdict item 7).
+  - correlated "per-group threshold" subqueries (q17) become window
+    aggregates over the fact's own join key — one shuffle, no re-scan.
+  - EXISTS/NOT EXISTS become left-semi / left-anti joins (no row explosion).
+  - every aggregate output is a rounded SUM/COUNT (tie-free across engines);
+    quotients are emitted as (numerator, denominator) pairs instead of
+    shares so cross-engine fp summation order can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from flink_net_spark.queries import query
+from flink_net_spark.tables import load_table
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp")
+
+
+def _revenue_e4():
+    """Revenue as an exact scaled integer: price and discount are 2-decimal
+    quantities, so round(price*100) and round((1-disc)*100) are exact
+    BIGINTs and their product sums without fp error — a rounded SUM of
+    double products can land exactly on a .005 boundary and hash-mismatch
+    across engines on summation order (the q9 lesson; same discipline as
+    emitting timestamps as epoch-ms BIGINTs).  Unit: 1e-4 currency."""
+    return F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+
+
+# DuckDB equivalent of _revenue_e4 (SUM over these is HUGEINT → callers CAST)
+_DUCK_REVENUE_E4 = (
+    "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+    " * CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT)"
+)
+
+
+# --------------------------------------------------------------------------
+# Q4: order-priority checking — EXISTS correlated subquery → left-semi join.
+# Adapted: "a lineitem shipped after the order date + 30 days" stands in for
+# the missing commitdate/receiptdate lateness predicate.
+# --------------------------------------------------------------------------
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join with a non-equi residual (late shipment).
+
+    ≙ the join contract IJoinFunction.cs:18 + SQL surface the reference's
+    parser cannot express (TableEnvironment.cs:235 NotSupportedException).
+    Scale: semi join never duplicates orders rows; both sides shuffle on
+    l_orderkey; the date filter prunes orders at the scan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7: volume shipping between two nations — 6-way join, pair filter.
+# --------------------------------------------------------------------------
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS BIGINT) AS revenue_e4
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(year FROM l_shipdate) AS l_year,
+               {_DUCK_REVENUE_E4} AS volume
+        FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-nation trade volume by year: fact joins shuffle on their keys,
+    the 25-row nation dim is broadcast twice under different aliases.
+    EXTRACT(year) keeps the group key small (3 cols, ≤2×2×years groups)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(_ts("1995-01-01"), _ts("1996-12-31"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_revenue_e4()).alias("revenue_e4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8: national market share — CASE-sum numerator/denominator pair.
+# --------------------------------------------------------------------------
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END) AS BIGINT)
+               AS nation_volume_e4,
+           CAST(SUM(volume) AS BIGINT) AS total_volume_e4
+    FROM (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               {_DUCK_REVENUE_E4} AS volume,
+               n1.n_name AS supp_nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        JOIN region r ON n2.n_regionkey = r.r_regionkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+          AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share emitted as (nation_volume, total_volume) sums — the
+    share quotient is the caller's one division; sums are cross-engine
+    hash-stable where a double ratio is not.  7-way join: dims broadcast,
+    SF-scaled tables AQE-planned."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(_ts("1995-01-01"), _ts("1996-12-31"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = _revenue_e4()
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == n2.n_nationkey)
+        .join(F.broadcast(r), n2.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0))
+            ).alias("nation_volume_e4"),
+            F.sum(vol).alias("total_volume_e4"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9: product-type profit by nation/year (no supplycost column → revenue).
+# --------------------------------------------------------------------------
+@query(
+    "q9_profit_by_nation",
+    oracle=f"""
+    SELECT n_name AS nation, o_year, CAST(SUM(amount) AS BIGINT) AS sum_profit_e4
+    FROM (
+        SELECT n.n_name, EXTRACT(year FROM o.o_orderdate) AS o_year,
+               {_DUCK_REVENUE_E4} AS amount
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%widget%'
+    )
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE-filtered part join + supplier-nation rollup by year.
+    p_name LIKE '%widget%' cannot push to parquet (leading wildcard) but
+    prunes before the join; the join order keeps the filtered part side
+    first so AQE sizes it for a runtime broadcast if small enough."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(_revenue_e4()).alias("sum_profit_e4"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10: returned-item reporting — top 20 customers by lost revenue.
+# --------------------------------------------------------------------------
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, CAST(SUM({_DUCK_REVENUE_E4}) AS BIGINT) AS revenue_e4,
+           ROUND(c_acctbal, 2) AS acctbal, n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue_e4 DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side filters (returnflag, date window) prune before the joins;
+    TakeOrderedAndProject caps the sort at 20 rows (no global sort).
+    c_custkey tie-break makes the LIMIT deterministic across engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1996-07-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_revenue_e4()).alias("revenue_e4"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue_e4",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13: customer order-count distribution — outer join + two-level agg.
+# --------------------------------------------------------------------------
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join with an ON-clause (not WHERE) residual predicate —
+    customers with zero qualifying orders survive with c_count = 0 —
+    then a second aggregation over the first's output.  Two shuffles
+    total; the second input is one row per customer, already small."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14: promotion effect — conditional sum pair, one month.
+# --------------------------------------------------------------------------
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                          THEN {_DUCK_REVENUE_E4} ELSE 0 END) AS BIGINT)
+               AS promo_revenue_e4,
+           CAST(SUM({_DUCK_REVENUE_E4}) AS BIGINT) AS total_revenue_e4
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo share as a (promo, total) sum pair — see q8 note on quotients.
+    The one-month shipdate window prunes row groups at the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-03-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = _revenue_e4()
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias(
+            "promo_revenue_e4"
+        ),
+        F.sum(rev).alias("total_revenue_e4"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16-shaped: supplier diversity per part attribute (partsupp → lineitem).
+# --------------------------------------------------------------------------
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 13, 17, 21)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) over a join: Spark expands to a two-phase distinct
+    aggregate (partial dedup before the shuffle).  IN-list and <> push to
+    the part scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(1, 5, 9, 13, 17, 21))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17: small-quantity-order revenue — correlated per-part AVG threshold.
+# --------------------------------------------------------------------------
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice), 2) AS total_small_qty_price
+    FROM (
+        SELECT l_extendedprice,
+               l_quantity,
+               AVG(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#3'
+    )
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic correlated subquery (per-part avg quantity) expressed as
+    a window aggregate over the join key — one shuffle on l_partkey serves
+    both the threshold computation and the filter, where a naive
+    self-join-on-aggregate would scan lineitem twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("total_small_qty_price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18: large-volume customers — group-having subquery join.
+# --------------------------------------------------------------------------
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(epoch_ms(o_orderdate) AS BIGINT) AS orderdate_ms,
+           ROUND(o_totalprice, 2) AS totalprice,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 120
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (grouped HAVING subquery) → aggregate once, left-semi join the
+    keeper keys back.  The heavy groupBy(l_orderkey) happens on the fact
+    table once; the semi join moves only orderkeys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 120)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19: disjunctive predicate pushdown — three OR'd brand/size/qty bands.
+# --------------------------------------------------------------------------
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_DUCK_REVENUE_E4}) AS BIGINT) AS revenue_e4
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 5 AND 20
+           AND l.l_quantity BETWEEN 10 AND 25)
+       OR (p.p_brand = 'Brand#6' AND p.p_size BETWEEN 10 AND 40
+           AND l.l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs across both join sides: Catalyst derives the single-table
+    implications (brand IN (...), quantity BETWEEN 1 AND 35) and pushes
+    them below the join — the classic Q19 optimizer test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 15)
+    ) | (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(5, 20)
+        & F.col("l_quantity").between(10, 25)
+    ) | (
+        (F.col("p_brand") == "Brand#6")
+        & F.col("p_size").between(10, 40)
+        & F.col("l_quantity").between(20, 35)
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.sum(_revenue_e4()).alias("revenue_e4"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20-shaped: suppliers with excess shipped volume — nested agg semi-join.
+# --------------------------------------------------------------------------
+@query(
+    "q20_excess_suppliers",
+    oracle="""
+    SELECT s_name, s_suppkey
+    FROM supplier s
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'large%'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 400
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested aggregate feeding a semi join: compute per-supplier shipped
+    volume of the LIKE-filtered parts, keep heavy shippers, semi-join
+    supplier.  Only supplier keys cross the final shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("large%"))
+    heavy = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 400)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21-shaped: sole late shipper per multi-supplier order.
+# --------------------------------------------------------------------------
+@query(
+    "q21_sole_late_shippers",
+    oracle="""
+    WITH per AS (
+        SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_max
+        FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    ord AS (
+        SELECT l_orderkey, MAX(supp_max) AS ord_max, COUNT(*) AS n_supp
+        FROM per GROUP BY l_orderkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM per
+    JOIN ord ON per.l_orderkey = ord.l_orderkey
+    JOIN supplier s ON per.l_suppkey = s.s_suppkey
+    WHERE ord.n_supp > 1 AND per.supp_max = ord.ord_max
+      AND 1 = (SELECT COUNT(*) FROM per p2
+               WHERE p2.l_orderkey = per.l_orderkey AND p2.supp_max = ord.ord_max)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def q21_sole_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's 'supplier who alone kept the order waiting', adapted to the
+    available columns: in each multi-supplier order, the unique supplier
+    whose latest shipment IS the order's latest shipment.  Both the
+    EXISTS and NOT-EXISTS of the classic formulation collapse into window
+    aggregates over one groupBy(l_orderkey, l_suppkey) — two shuffles on
+    the fact, zero self-joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("supp_max"))
+    w = Window.partitionBy("l_orderkey")
+    ranked = (
+        per.withColumn("ord_max", F.max("supp_max").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_at_max",
+            F.sum(F.when(F.col("supp_max") == F.col("ord_max"), 1).otherwise(0)).over(w),
+        )
+        .filter(
+            (F.col("n_supp") > 1)
+            & (F.col("supp_max") == F.col("ord_max"))
+            & (F.col("n_at_max") == 1)
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        ranked.join(s, ranked.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22: dormant high-balance customers — scalar subquery + NOT EXISTS.
+# --------------------------------------------------------------------------
+@query(
+    "q22_dormant_customers",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (global avg threshold) + NOT EXISTS (left-anti join).
+    The scalar aggregate stays IN the plan as a broadcast one-row frame
+    (no driver collect); the anti join shuffles only custkeys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_thr"))
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("_thr"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -30,12 +30,15 @@ from tests.conftest import SF_DIR
 #   sim_ann_lsh / sim_ann_multiprobe / dedup_embedding_ann — crossJoin
 #     against the 1-row broadcast hyperplane-weights dim
 #     (queries/similarity.py: planes travel as data, not SQL literals).
+#   q22_dormant_customers  — crossJoin against the broadcast 1-row scalar
+#     aggregate (global avg threshold).
 NESTED_LOOP_ALLOWED = {
     "dedup_embedding_cosine",
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_ann_multiprobe",
     "dedup_embedding_ann",
+    "q22_dormant_customers",
 }
 
 
@@ -117,7 +120,10 @@ def test_no_sf_scaled_broadcast_hints():
         src = path.read_text()
         for m in re.finditer(r"F\.broadcast\((\w+)", src):
             target = m.group(1)
-            if target not in {"r", "n", "region", "nation", "planes", "q", "qe"}:
+            # n/n1/n2 = 25-row nation aliases, r = 5-row region, planes =
+            # 1-row hyperplane weights, q/qe = fixed 5-row query sets,
+            # thr = 1-row scalar aggregate
+            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "q", "qe", "thr"}:
                 offenders.append(f"{path.name}: F.broadcast({target}")
     assert not offenders, offenders
 
