@@ -663,3 +663,241 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Q2: min-cost supplier per part — correlated min subquery → window min.
+# Adapted: no partsupp table in the testdata, so the supply relation is
+# derived from lineitem: unit price = l_extendedprice / l_quantity, and a
+# part's "supply cost" from a supplier is that supplier's cheapest unit
+# price for the part.
+# --------------------------------------------------------------------------
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_price
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT ROUND(s.s_acctbal, 2) AS acctbal, s.s_name, n.n_name,
+           sp.l_partkey AS p_partkey, p.p_type,
+           ROUND(sp.unit_price, 4) AS min_unit_price
+    FROM (
+        SELECT *, MIN(unit_price) OVER (PARTITION BY l_partkey) AS best
+        FROM supply
+    ) sp
+    JOIN part p ON p.p_partkey = sp.l_partkey
+    JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE sp.unit_price = sp.best
+      AND p.p_size = 25 AND p.p_type = 'LARGE'
+      AND r.r_name = 'REGION_1'
+    ORDER BY acctbal DESC, n.n_name, s.s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic Q2 shape: the correlated ``MIN(supplycost)`` subquery becomes
+    a window MIN over the part key — ONE shuffle on l_partkey computes both
+    the per-(part,supp) cheapest unit price and the per-part best, where
+    the textbook correlated form would re-scan the supply relation per part.
+
+    Scale: the groupBy(l_partkey, l_suppkey) pre-aggregate shrinks lineitem
+    before the window; region/nation are fixed-cardinality broadcasts; the
+    SF-scaled supplier join is AQE-planned (no hint).  IEEE division is
+    exactly rounded in both engines, so the min/equality filter picks
+    identical rows; output prices rounded at 4dp only for display.
+
+    ≙ reference SQL surface TableEnvironment.cs:80-95 (SELECT-only parser
+    has no subqueries at all — engine-native superset)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = supply.withColumn("best", F.min("unit_price").over(w)).filter(
+        F.col("unit_price") == F.col("best")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 25) & (F.col("p_type") == "LARGE")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_1")
+    return (
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(s, best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_type",
+            F.round("unit_price", 4).alias("min_unit_price"),
+        )
+        .orderBy(F.col("acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11: important stock — grouped value vs a scalar-subquery threshold.
+# Adapted: "stock value" of a part = exact-integer Σ price×qty over the
+# lineitems supplied by suppliers of two nations (no partsupp availqty).
+# --------------------------------------------------------------------------
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH natsupp AS (
+        SELECT s_suppkey FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_7', 'NATION_19')
+    ),
+    val AS (
+        SELECT l_partkey,
+               SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                   * CAST(ROUND(l_quantity, 0) AS BIGINT)) AS value_e2
+        FROM lineitem l
+        WHERE l.l_suppkey IN (SELECT s_suppkey FROM natsupp)
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, CAST(value_e2 AS BIGINT) AS value_e2
+    FROM val
+    WHERE value_e2 > (SELECT SUM(value_e2) * 0.001 FROM val)
+    ORDER BY value_e2 DESC, partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11's HAVING-vs-global-fraction: aggregate once, then compare each
+    group to a scalar aggregate OF THE SAME aggregate — the per-part value
+    DataFrame is reused for both sides (Spark plans the reused subtree
+    once under AQE), and the 1-row total joins back as a broadcast, not a
+    driver collect.  value is an exact integer (price_e2 × integral qty)
+    so the 0.001-fraction threshold compares identically across engines.
+
+    Scale: semi join on suppkey moves only keys; groupBy(l_partkey) is the
+    single fact shuffle; threshold side is one row."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_7", "NATION_19")
+    )
+    natsupp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    value = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * F.round(
+        F.col("l_quantity"), 0
+    ).cast("long")
+    val = (
+        li.join(natsupp, li.l_suppkey == natsupp.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("value_e2"))
+    )
+    thr = val.agg((F.sum("value_e2") * 0.001).alias("_thr"))
+    return (
+        val.crossJoin(F.broadcast(thr))
+        .filter(F.col("value_e2") > F.col("_thr"))
+        .select(F.col("l_partkey").alias("partkey"), "value_e2")
+        .orderBy(F.col("value_e2").desc(), "partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12: shipping delay vs order priority — CASE-sum pivot by delay bucket.
+# Adapted: no l_shipmode / commitdate / receiptdate; the classic "late
+# shipmode" classes become ship-delay buckets (30-60 days, 60+ days).
+# --------------------------------------------------------------------------
+@query(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) >= 60
+                THEN '60+' ELSE '30-59' END AS delay_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE date_diff('day', o.o_orderdate, l.l_shipdate) >= 30
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY delay_bucket
+    ORDER BY delay_bucket
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12's conditional-count pivot: the priority split is a CASE-sum
+    inside one aggregate (no second pass, no pivot shuffle).  The shipdate
+    range predicate is a pure lineitem filter — Catalyst pushes it to the
+    parquet scan before the join; the delay predicate is the join residual.
+
+    ≙ IJoinFunction.cs:18 + the aggregate Merge contract
+    IAggregateOperator.cs:18-51 (partial CASE-sums merge associatively)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(delay >= 30)
+        .withColumn("delay_bucket", F.when(delay >= 60, "60+").otherwise("30-59"))
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15: top supplier — aggregate view + scalar MAX subquery.
+# --------------------------------------------------------------------------
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                   * CAST(ROUND((1 - l_discount) * 100, 0) AS BIGINT)) AS total_revenue_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue_e4 AS BIGINT) AS total_revenue_e4
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue_e4 = (SELECT MAX(total_revenue_e4) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15's CREATE VIEW + scalar MAX: the revenue aggregate is computed
+    once; its 1-row MAX is broadcast back as a join — never a global
+    single-partition window and never a driver-side collect.  Revenue is
+    the exact-integer e4 unit so the MAX equality can't tie-break
+    differently across engines.
+
+    Scale: one shuffle on l_suppkey (pre-filtered by the pushed shipdate
+    range); the supplier join is AQE-planned."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue_e4()).alias("total_revenue_e4")
+    )
+    mx = revenue.agg(F.max("total_revenue_e4").alias("_mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue_e4") == F.col("_mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_e4")
+        .orderBy("s_suppkey")
+    )
