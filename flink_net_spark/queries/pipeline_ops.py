@@ -1,0 +1,294 @@
+"""Training-data pipeline operators: sampling, vocabulary/TF-IDF statistics,
+corpus histograms, and PII scrubbing — SURVEY.md §7 phase 6 extensions.
+
+The reference has no data-curation surface at all (its record-level logic is
+arbitrary C# in IMapOperator/IFlatMapOperator, SURVEY.md §2.11); these are
+the engine-native operators a 100 TB pretraining-data pipeline needs on top
+of the relational core.  All are pure column-expression pipelines (JVM-side,
+whole-stage codegen, zero Python UDFs) with exact-integer or
+string-comparison outputs so the DuckDB oracle hash-matches bit-for-bit.
+
+Scale notes (100 TB):
+  - sampling is a stateless per-row filter on a content hash — no shuffle,
+    fully pushdown-compatible, and reproducible across reruns/retries
+    (critical for exactly-once curation jobs).
+  - vocab/DF statistics shuffle once on the term; term cardinality, not
+    corpus size, bounds the reduce side.
+  - the PII scrub is a per-row map — scan-shaped, no shuffle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from flink_net_spark.queries import query
+from flink_net_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling.
+# --------------------------------------------------------------------------
+# Per-stratum keep rates expressed as a hex prefix threshold on
+# md5(doc_id): md5 is uniform, so P[first-4-hex < T] = T / 65536.
+# Both engines emit lowercase-hex md5 of the same string → identical keeps.
+_SAMPLE_THRESHOLDS = {
+    "en": "3333",  # ≈ 20% — downsample the majority stratum
+    "de": "8000",  # ≈ 50%
+    "es": "8000",
+    "fr": "8000",
+    "zh": "8000",
+}
+
+
+def _spark_keep_cond():
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    cond = F.lit(False)
+    for lang, thr in _SAMPLE_THRESHOLDS.items():
+        cond = cond | ((F.col("lang") == lang) & (h < thr))
+    return cond
+
+
+def _duckdb_keep_cond() -> str:
+    h = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+    ors = " OR ".join(
+        f"(lang = '{lang}' AND {h} < '{thr}')"
+        for lang, thr in _SAMPLE_THRESHOLDS.items()
+    )
+    return f"({ors})"
+
+
+@query(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_duckdb_keep_cond()}
+    ORDER BY doc_id
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling: keep a doc iff the first 4
+    hex chars of md5(doc_id) fall under the stratum's threshold — en keeps
+    ~20%, the rest ~50%.
+
+    Content-hash sampling beats ``df.sample()`` for curation pipelines:
+    the keep-set is a pure function of the row (reproducible across reruns,
+    retries, and cluster sizes — ``sample()`` depends on partition layout
+    and seed plumbing), it needs no shuffle, and the filter sits directly
+    on the scan.  The same idiom stratifies by any column combination."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(_spark_keep_cond()).select("doc_id", "lang").orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary: corpus-wide term frequencies, top-K.
+# --------------------------------------------------------------------------
+@query(
+    "vocab_top_terms",
+    oracle="""
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS term_count
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY term_count DESC, term
+    LIMIT 100
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with counts, top-100 — the token-counting pass every
+    tokenizer-training / frequency-filter pipeline starts with.
+
+    Scale: explode happens map-side; partial counts combine before the one
+    shuffle on the term, so the reduce side is bounded by vocabulary size
+    (≪ corpus size).  TakeOrderedAndProject handles the top-K without a
+    global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .orderBy(F.col("term_count").desc(), "term")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF term ranking per document (exact-integer emission).
+# --------------------------------------------------------------------------
+@query(
+    "tfidf_doc_terms",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        WHERE term <> ''
+        GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id, term, tf, df
+    FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rn
+        FROM tf JOIN df ON tf.term = df.term
+        WHERE tf.doc_id % 20 = 0
+    )
+    WHERE rn <= 5
+    ORDER BY doc_id, rn
+    """,
+)
+def tfidf_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most characteristic terms per document: rank by term frequency
+    descending, then document frequency ascending (rare-in-corpus wins the
+    tie) — the tf-idf ordering without emitting the float score, so the
+    cross-engine hash can't wobble on ``ln`` ULP differences; consumers
+    compute tf·ln(N/df) from the exact integers emitted here.
+
+    Scale: tf shuffles on (doc_id, term) — combiner-friendly; df reuses
+    tf's output (one extra shuffle on term, vocab-bounded); the tf⋈df join
+    broadcasts df when vocab is small, else AQE shuffles on term.  The
+    doc_id sample predicate prunes BEFORE the per-doc window."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term")
+    )
+    return (
+        tf.filter(F.col("doc_id") % 20 == 0)
+        .join(df, "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "df")
+        .orderBy("doc_id", F.col("rn"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus length histogram (fixed-width buckets).
+# --------------------------------------------------------------------------
+@query(
+    "docs_length_histogram",
+    oracle="""
+    SELECT n_chars // 100 AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY len_bucket
+    ORDER BY len_bucket
+    """,
+)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution in 100-char buckets — the first plot of
+    any corpus audit, and the input to length-based quality filters.
+
+    Scale: single scan, integer bucket key, combiner-friendly aggregates;
+    the reduce side is the bucket count (~hundreds), so this is effectively
+    map-side-only work."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            (F.col("n_chars") / 100).cast("long").alias("len_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (regex redaction).
+# --------------------------------------------------------------------------
+# Patterns restricted to the Java-regex ∩ RE2 common subset, written
+# backslash-free ([.] for literal dot, trailing - in classes) so the same
+# string survives Spark SQL literal escaping AND DuckDB literals unchanged.
+# A single alternation does scrub + count in one pass: both engines use
+# leftmost-first alternation semantics, and one pattern can't double-count
+# a digit run that several individual patterns would each match.
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+    "phone": "[+]?[0-9][0-9() -]{7,}[0-9]",
+    "id_number": "[0-9]{9,}",
+}
+PII_COMBINED = "|".join(PII_PATTERNS.values())
+_REDACTED = "[PII]"
+
+
+def spark_scrub_expr(text: str) -> str:
+    """Spark SQL expression: ``text`` with every PII match redacted."""
+    return f"regexp_replace({text}, '{PII_COMBINED}', '{_REDACTED}')"
+
+
+def duckdb_scrub_expr(text: str) -> str:
+    return f"regexp_replace({text}, '{PII_COMBINED}', '{_REDACTED}', 'g')"
+
+
+def spark_match_count_expr(text: str) -> str:
+    """Spark SQL expression: total PII matches in ``text`` (group 0 so the
+    count is of full matches, mirroring DuckDB's default)."""
+    return (
+        f"CAST(size(regexp_extract_all({text}, '{PII_COMBINED}', 0)) AS BIGINT)"
+    )
+
+
+def duckdb_match_count_expr(text: str) -> str:
+    return f"CAST(len(regexp_extract_all({text}, '{PII_COMBINED}')) AS BIGINT)"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN {duckdb_match_count_expr('text')} > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+           CAST(SUM({duckdb_match_count_expr('text')}) AS BIGINT) AS n_matches,
+           CAST(SUM(length({duckdb_scrub_expr('text')})) AS BIGINT) AS scrubbed_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (emails, phone numbers, long digit runs) with a
+    per-source audit: docs touched, total matches, and post-scrub corpus
+    size.  The synthetic corpus contains no PII by construction, so counts
+    are zero here — the patterns themselves are exercised on crafted rows
+    in tests/test_pipeline_ops.py; this query proves the scan-shaped
+    aggregation pipeline end-to-end against the oracle.
+
+    Scale: pure per-row map + one tiny groupBy(source) — the scrub runs
+    where the data lives, nothing shuffles except the per-source tallies."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_matches = F.expr(spark_match_count_expr("text"))
+    return (
+        docs.select(
+            "source",
+            n_matches.alias("_m"),
+            F.length(F.expr(spark_scrub_expr("text"))).alias("_len"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_m") > 0, 1).otherwise(0)).alias("n_docs_with_pii"),
+            F.sum("_m").alias("n_matches"),
+            F.sum("_len").alias("scrubbed_chars"),
+        )
+        .orderBy("source")
+    )
