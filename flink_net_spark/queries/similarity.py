@@ -371,3 +371,140 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+# -- IVF (inverted-file) ANN: coarse quantizer + probed inverted lists ------
+
+N_CENTROIDS = 16
+CENTROID_ID_LO = 100  # vec_id 100..115 serve as coarse-quantizer centers
+NPROBE = 4
+
+
+@query(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
+        WHERE vec_id >= {CENTROID_ID_LO} AND vec_id < {CENTROID_ID_LO + N_CENTROIDS}
+    ),
+    assign AS (
+        SELECT vec_id, cent_id, v, nrm FROM (
+            SELECT e.vec_id, cent.cent_id, e.v, e.nrm,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_sum([e.v[i] * cent.cv[i] for i in range(1, {DIM + 1})])
+                                / (e.nrm * cent.cn) DESC, cent.cent_id) AS rn
+            FROM e CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cent_id, qv, qn FROM (
+            SELECT a.vec_id AS query_id, cent.cent_id, a.v AS qv, a.nrm AS qn,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_sum([a.v[i] * cent.cv[i] for i in range(1, {DIM + 1})])
+                                / (a.nrm * cent.cn) DESC, cent.cent_id) AS rn
+            FROM (SELECT * FROM e WHERE vec_id < {N_QUERIES}) a CROSS JOIN cent
+        ) WHERE rn <= {NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_sum([p.qv[i] * a.v[i] for i in range(1, {DIM + 1})]) / (p.qn * a.nrm) AS cosine
+        FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(cosine, 4) AS cosine
+    FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= {TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the third scale path next to single-table
+    LSH and multi-probe LSH: a coarse quantizer assigns every vector to its
+    nearest of {N_CENTROIDS} centers, queries probe only their NPROBE
+    nearest cells, and the exact re-rank touches just the probed inverted
+    lists.
+
+    Centers here are hash-picked raw vectors (fixed vec_id range), not
+    Lloyd-iterated means: k-means training is an offline concern, and raw-
+    vector centers keep the pipeline bit-deterministic across engines
+    (averaged centroids would differ in the last ULP on summation order and
+    could flip an assignment).  Serving shape is the real thing:
+
+      - assignment: 16-row broadcast join + per-vector max_by partial
+        aggregate — ONE shuffle of N assignment rows, no N×C shuffle.
+      - probe ⋈ inverted lists: EQUI-join on cent_id, so the shuffle moves
+        only probed cells (the IVF property; at 100 TB with C=65k cells,
+        nprobe/C ≈ 1e-4 of the corpus moves).
+      - skew: cell sizes follow data density; AQE skew-join splits hot
+        cells (same residual risk as LSH buckets).
+    """
+    e = _emb_with_norm(spark, sf_dir)
+    cent = e.filter(
+        (F.col("vec_id") >= CENTROID_ID_LO)
+        & (F.col("vec_id") < CENTROID_ID_LO + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    cent_cos = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    ) / (F.col("nrm") * F.col("cn"))
+
+    assign = (
+        e.join(F.broadcast(cent))
+        .withColumn("ccos", cent_cos)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cent_id"), F.struct(F.col("ccos"), (-F.col("cent_id")).alias("nid"))
+            ).alias("cent_id"),
+            F.first("v").alias("nv"),
+            F.first("nrm").alias("nn"),
+        )
+    )
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cent))
+        .withColumn("ccos", cent_cos)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+            ),
+        )
+        .filter(F.col("rn") <= NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cent_id",
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        probes.join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+            / (F.col("qn") * F.col("nn")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cosine", 4).alias("cosine"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -30,8 +30,11 @@ from tests.conftest import SF_DIR
 #   sim_ann_lsh / sim_ann_multiprobe / dedup_embedding_ann — crossJoin
 #     against the 1-row broadcast hyperplane-weights dim
 #     (queries/similarity.py: planes travel as data, not SQL literals).
-#   q22_dormant_customers  — crossJoin against the broadcast 1-row scalar
-#     aggregate (global avg threshold).
+#   q22_dormant_customers / q11_important_stock / q15_top_supplier —
+#     crossJoin against a broadcast 1-row scalar aggregate (global
+#     threshold / MAX).
+#   sim_ann_ivf            — 16-row broadcast centroid dim join (coarse
+#     quantizer assignment; candidate join itself is equi on cent_id).
 NESTED_LOOP_ALLOWED = {
     "dedup_embedding_cosine",
     "sim_cosine_topk",
@@ -39,6 +42,9 @@ NESTED_LOOP_ALLOWED = {
     "sim_ann_multiprobe",
     "dedup_embedding_ann",
     "q22_dormant_customers",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "sim_ann_ivf",
 }
 
 
@@ -122,8 +128,8 @@ def test_no_sf_scaled_broadcast_hints():
             target = m.group(1)
             # n/n1/n2 = 25-row nation aliases, r = 5-row region, planes =
             # 1-row hyperplane weights, q/qe = fixed 5-row query sets,
-            # thr = 1-row scalar aggregate
-            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "q", "qe", "thr"}:
+            # thr/mx = 1-row scalar aggregates, cent = 16-row IVF centroids
+            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "q", "qe", "thr", "mx", "cent"}:
                 offenders.append(f"{path.name}: F.broadcast({target}")
     assert not offenders, offenders
 
