@@ -53,5 +53,6 @@ from flink_net_spark.queries import llm_ops  # noqa: E402,F401
 from flink_net_spark.queries import harness_ops  # noqa: E402,F401
 from flink_net_spark.queries import tpch_extra  # noqa: E402,F401
 from flink_net_spark.queries import pipeline_ops  # noqa: E402,F401
+from flink_net_spark.queries import temporal  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,130 @@
+"""Temporal join operators: as-of join and conversion funnel.
+
+The brief's canonical "operator Spark lacks" examples — an as-of join has no
+built-in DataFrame verb (Spark 4 has no ASOF JOIN), so it is re-expressed as
+a composition of existing ops: union both sides into one frame and take the
+running ``last`` of the right-side timestamp over an event-time window — ONE
+shuffle on the key, no per-row probe, no range-join explosion.  DuckDB's
+native ``ASOF JOIN`` is the oracle, so the composition is verified against a
+first-class implementation of the semantics.
+
+(The reference has no temporal-join surface at all; its only join is an
+interface without a runtime — IJoinFunction.cs:18-28.  These are
+engine-native extensions, SURVEY.md §2.6 "absent" row.)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from flink_net_spark.queries import query
+from flink_net_spark.tables import load_table
+
+WEEK_MS = 7 * 24 * 3_600_000
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT v.event_id, v.user_id,
+           CAST(epoch_ms(v.ts) AS BIGINT) AS ts_ms,
+           CAST(epoch_ms(c.ts) AS BIGINT) AS asof_click_ms
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events
+                    WHERE event_type = 'click') c
+      ON v.user_id = c.user_id AND v.ts >= c.ts
+    ORDER BY v.event_id
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every 'view' event picks the most recent 'click' by the
+    same user at-or-before its timestamp.
+
+    Scalable shape: instead of a range join (quadratic per key) or a
+    per-row lookup, both sides stack into ONE frame partitioned by user and
+    sorted by (ts, right-before-left); the running
+    ``last(click_ts, ignorenulls)`` over rows-unbounded-preceding IS the
+    as-of match.  Cost: one shuffle on user_id + one sort — the same plan
+    shape at any scale, and the sort is within-partition (no global sort).
+    Equal timestamps match (right sorts first at a tie).  Only the matched
+    TIMESTAMP is emitted, so duplicate right rows at the same (user, ts)
+    cannot make the result ambiguous."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    is_right = F.col("event_type") == "click"
+    stacked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(is_right, F.col("ts")).alias("rts"),
+        F.when(is_right, 0).otherwise(1).alias("side"),  # right first on tie
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        stacked.withColumn("asof_ts", F.last("rts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "view")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            F.unix_millis("asof_ts").alias("asof_click_ms"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle=f"""
+    WITH first_signup AS (
+        SELECT user_id, MIN(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    converted AS (
+        SELECT DISTINCT f.user_id
+        FROM first_signup f
+        JOIN events p
+          ON p.user_id = f.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >= f.signup_ts
+         AND epoch_ms(p.ts) - epoch_ms(f.signup_ts) <= {WEEK_MS}
+    )
+    SELECT CAST((SELECT COUNT(*) FROM first_signup) AS BIGINT) AS n_signup_users,
+           CAST((SELECT COUNT(*) FROM converted) AS BIGINT)    AS n_converted
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: users whose first signup is followed by a purchase
+    within 7 days.  The time-bounded step join is a LEFT-SEMI join with a
+    range residual on the (already aggregated) first-signup frame — the
+    fact table shuffles once per step on user_id and only user_ids flow
+    between steps; an N-step funnel chains N semi joins on the same key
+    (one co-partitioned shuffle series, AQE-planned)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = first_signup.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("signup_ts"))
+        & (
+            F.unix_millis("p_ts") - F.unix_millis("signup_ts") <= WEEK_MS
+        ),
+        "left_semi",
+    )
+    return first_signup.agg(
+        F.count(F.lit(1)).alias("n_signup_users")
+    ).crossJoin(F.broadcast(converted.agg(F.count(F.lit(1)).alias("n_converted"))))

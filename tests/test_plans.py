@@ -45,6 +45,7 @@ NESTED_LOOP_ALLOWED = {
     "q11_important_stock",
     "q15_top_supplier",
     "sim_ann_ivf",
+    "funnel_conversion",
 }
 
 
@@ -129,7 +130,7 @@ def test_no_sf_scaled_broadcast_hints():
             # n/n1/n2 = 25-row nation aliases, r = 5-row region, planes =
             # 1-row hyperplane weights, q/qe = fixed 5-row query sets,
             # thr/mx = 1-row scalar aggregates, cent = 16-row IVF centroids
-            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "q", "qe", "thr", "mx", "cent"}:
+            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "q", "qe", "thr", "mx", "cent", "converted"}:
                 offenders.append(f"{path.name}: F.broadcast({target}")
     assert not offenders, offenders
 
