@@ -49,6 +49,14 @@ HEADLINE = [
     "sim_ann_multiprobe",
     "udaf_value_mad",
     "mm_decode_stats",
+    "sim_ann_ivf",
+    "join_asof",
+    "vocab_top_terms",
+    "tfidf_doc_terms",
+    "sample_stratified_hash",
+    "text_pii_scrub",
+    "q18_large_volume_customers",
+    "q9_profit_by_nation",
     "stream_window_tumbling_hourly",
     "stream_stateful_running_count",
 ]

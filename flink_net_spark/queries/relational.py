@@ -873,3 +873,41 @@ def sql_surface_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — Spark's ``percentile``
+    and DuckDB's ``quantile_cont`` both interpolate at rank (n-1)·p, so
+    the values hash-match on identical input doubles.
+
+    Scale: exact percentile sorts within each group (memory ∝ group size) —
+    correct but heavy at 100 TB, where ``approx_percentile`` (t-digest,
+    bounded memory, partial-mergeable) is the production path; both
+    surfaces are exposed and this oracle-gated one proves semantics.
+
+    ≙ the reference's aggregate surface (Table.cs:51-82) has min/max/avg
+    only; percentile is engine-native superset."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5D)"), 4).alias("p50_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.9D)"), 4).alias("p90_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99D)"), 4).alias("p99_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -90,3 +90,25 @@ def test_stratified_sample_rates(spark):
         got = kept_counts.get(lang, 0) / totals[lang]
         # small strata (~70-200 docs at sf0.001) → generous tolerance
         assert abs(got - expect) < 0.2, f"{lang}: rate {got:.2f} vs expected {expect:.2f}"
+
+
+def test_approx_count_distinct_within_bound(spark, duck):
+    """agg_approx_distinct has no value oracle (HLL sketches differ across
+    engines by design); enforce the accuracy contract instead: every
+    per-key estimate within 5% of the exact distinct count."""
+    from flink_net_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    approx = {
+        tuple(r[:-1]): r[-1]
+        for r in QUERIES["agg_approx_distinct"](spark, SF_DIR).collect()
+    }
+    sdf = QUERIES["agg_distinct"](spark, SF_DIR)
+    key_cols = [c for c in sdf.columns if not c.startswith("n_")]
+    assert approx, "no approx rows"
+    exact_rows = sdf.collect()
+    exact = {tuple(r[c] for c in key_cols): r[sdf.columns[-1]] for r in exact_rows}
+    for k, est in approx.items():
+        if k in exact and exact[k] > 0:
+            rel = abs(est - exact[k]) / exact[k]
+            assert rel <= 0.05, f"{k}: approx {est} vs exact {exact[k]} ({rel:.1%})"
