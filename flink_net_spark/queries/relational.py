@@ -911,3 +911,40 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under rollup/cube) with
+    GROUPING() markers so NULL group values are distinguishable from NULL
+    data.  Spark expands the sets into one Expand + single aggregate —
+    one shuffle for all three granularities, not one scan per set.
+
+    ≙ SURVEY §2.5 'absent in reference, free in Spark' row — engine-native
+    superset of the reference's GroupBy (Table.cs:30)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        li=li,
+    )
