@@ -212,3 +212,44 @@ def run_to_completion(writer: DataStreamWriter) -> StreamingQuery:
     q.stop()
     q.awaitTermination(30)
     return q
+
+
+# -- batch table sinks: partitioned / bucketed layout ------------------------
+# The reference has no batch storage layout surface (its sinks are
+# per-record streams); these are the engine-native batch counterparts that
+# make the 100 TB layout story concrete: partition pruning via directory
+# layout, and bucketing so repeated big-big joins on the bucket key need NO
+# exchange at read time (the shuffle is paid once, at write).
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet: one directory per partition value so
+    any filter on a partition column prunes whole directories at plan time
+    (PartitionFilters in the scan, zero I/O for pruned values).  Partition
+    columns must be low-cardinality (date, region, event_type) — high-
+    cardinality partitioning creates a small-file explosion at 100 TB."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table write: rows are hash-distributed into ``n_buckets``
+    files per partition by ``bucket_cols`` and registered in the catalog.
+    Two tables bucketed the same way join WITHOUT any Exchange — the
+    shuffle is pre-paid at write time, which is the right trade for
+    fact-to-fact joins that repeat every pipeline run (the co-located join
+    the brief calls out).  ``sort_cols`` additionally pre-sorts within
+    buckets so sort-merge join skips its sort."""
+    w = df.write.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.option("path", path).mode(mode).format("parquet").saveAsTable(table_name)

@@ -1,0 +1,62 @@
+"""Batch layout sinks: partition pruning and exchange-free bucketed joins.
+
+The 100 TB claims these tests pin down:
+  - a filter on a partition column must become a PartitionFilter (directory
+    pruning), not a row filter;
+  - two tables bucketed identically on the join key must sort-merge join
+    with ZERO Exchange nodes — the shuffle was pre-paid at write time.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+
+from flink_net_spark.sinks import write_bucketed, write_partitioned
+from flink_net_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(ev, out, ["event_type"])
+
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    p = _plan(back)
+    assert "PartitionFilters" in p and "event_type" in p.split("PartitionFilters", 1)[1].split("\n")[0]
+    n_click = ev.filter(F.col("event_type") == "click").count()
+    assert back.count() == n_click
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_b", str(tmp_path / "li_b"), ["l_orderkey"], 8, ["l_orderkey"])
+    write_bucketed(o, "o_b", str(tmp_path / "o_b"), ["o_orderkey"], 8, ["o_orderkey"])
+    try:
+        # force a non-broadcast join so the bucketing is what saves the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_b").join(
+            spark.table("o_b"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        p = _plan(joined)
+        assert "Exchange" not in p, f"bucketed join still shuffles:\n{p}"
+        # and it computes the right thing
+        expect = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert joined.count() == expect
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
