@@ -948,3 +948,92 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         li=li,
     )
+
+
+@query(
+    "window_rank_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(RANK() OVER w AS BIGINT)        AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT)  AS drnk,
+           CAST(NTILE(4) OVER w2 AS BIGINT)     AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6)      AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6)         AS cume,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+           LEAD(o_orderkey) OVER w              AS next_orderkey
+    FROM orders
+    WHERE o_custkey <= 30
+    WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, rnk, o_orderkey
+    """,
+)
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking/distribution analytic family over one window spec:
+    rank, dense_rank, ntile, percent_rank, cume_dist, first_value, lead —
+    all computed in a single window pass (one shuffle on the partition key,
+    one within-partition sort serves every function).
+
+    percent_rank/cume_dist are exact rational values (rank arithmetic), so
+    6-dp rounding is tie-free across engines."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 30)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(F.first_value("o_totalprice").over(w), 2).alias("first_price"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        )
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    )
+
+
+@query(
+    "map_array_functions",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                          AS n_tokens,
+           list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first_terms,
+           CAST(len([t for t in string_split(text, ' ') if length(t) > 4]) AS BIGINT)
+                                                                 AS n_long_tokens,
+           list_sort(string_split(text, ' '))[-1]                AS max_term,
+           CAST(list_sum([length(t) for t in string_split(text, ' ')]) AS BIGINT)
+                                                                 AS total_token_chars
+    FROM documents
+    WHERE doc_id % 25 = 0
+    ORDER BY doc_id
+    """,
+)
+def map_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function surface (≙ §2.11: the scalar library IS
+    the UDF surface in the reference; Spark's array builtins are the
+    engine-native superset): split, size, distinct+sort+slice, filter
+    with a lambda, array_max, aggregate — all JVM-evaluated inside codegen,
+    zero Python."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    toks = F.split("text", " ")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, 5).alias("first_terms"),
+            F.size(F.filter(toks, lambda t: F.length(t) > 4)).cast("long").alias(
+                "n_long_tokens"
+            ),
+            F.array_max(toks).alias("max_term"),
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("total_token_chars"),
+        )
+        .orderBy("doc_id")
+    )

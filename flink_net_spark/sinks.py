@@ -253,3 +253,51 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.option("path", path).mode(mode).format("parquet").saveAsTable(table_name)
+
+
+@dataclass
+class DeadLetterSink:
+    """Dead-letter-queue pattern (≙ the JobManager's DLQ resubmit surface,
+    FlinkDotNet/FlinkDotNet.JobManager/Controllers/JobManagerController.cs:35-352):
+    a ``foreachBatch`` sink that splits every micro-batch on a validity
+    predicate — valid rows land in the main output, rejects land in a DLQ
+    directory with batch/reason metadata, and ``resubmit`` reads the DLQ
+    back as a source so repaired records re-enter the pipeline.
+
+    Exactly-once: both writes key their directory on batchId, so a replayed
+    batch overwrites its own prior output instead of duplicating it.
+    Executor-side throughout; the split predicate is a Column (codegen).
+    """
+
+    main_path: str
+    dlq_path: str
+    invalid_cond_sql: str  # SQL boolean expr; true → dead-letter
+    reason: str = "validation_failed"
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        cond = F.expr(self.invalid_cond_sql)
+        batch_df.filter(~cond).write.mode("overwrite").parquet(
+            os.path.join(self.main_path, f"batch_id={batch_id}")
+        )
+        (
+            batch_df.filter(cond)
+            .withColumn("dlq_reason", F.lit(self.reason))
+            .withColumn("dlq_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.dlq_path, f"batch_id={batch_id}"))
+        )
+
+    def writer(self, df: DataFrame, checkpoint: str) -> DataStreamWriter:
+        return (
+            df.writeStream.foreachBatch(self)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+        )
+
+    def resubmit(self, spark) -> DataFrame:
+        """Read dead-lettered records back (metadata stripped) for replay."""
+        return spark.read.option("recursiveFileLookup", "false").parquet(
+            os.path.join(self.dlq_path, "batch_id=*")
+        ).drop("dlq_reason", "dlq_batch_id")

@@ -205,3 +205,38 @@ def test_transactional_sink_idempotent_replay(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "out" / "batch_id=0"))
     assert got.count() == 10
     assert sink.committed_batches() == {0}
+
+
+def test_dead_letter_sink_splits_and_resubmits(spark, events_stream, tmp_path):
+    """DLQ pattern: 'error' events dead-letter with reason metadata, the
+    rest reach the main sink, resubmit round-trips the rejects — and
+    main + DLQ counts exactly partition the input (no loss, no dupes)."""
+    from flink_net_spark.sinks import DeadLetterSink
+
+    sink = DeadLetterSink(
+        main_path=str(tmp_path / "main"),
+        dlq_path=str(tmp_path / "dlq"),
+        invalid_cond_sql="event_type = 'error'",
+        reason="error_event",
+    )
+    q = sink.writer(events_stream, str(tmp_path / "ckpt")).start()
+    q.processAllAvailable()
+    q.stop()
+
+    from flink_net_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    n_err = ev.filter("event_type = 'error'").count()
+    n_ok = ev.count() - n_err
+
+    main = spark.read.parquet(str(tmp_path / "main" / "batch_id=*"))
+    dlq = spark.read.parquet(str(tmp_path / "dlq" / "batch_id=*"))
+    assert main.count() == n_ok
+    assert dlq.count() == n_err
+    assert set(r.dlq_reason for r in dlq.select("dlq_reason").distinct().collect()) == {
+        "error_event"
+    }
+    back = sink.resubmit(spark)
+    assert back.count() == n_err
+    assert sorted(back.columns) == sorted(ev.columns)
