@@ -508,3 +508,50 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "emb_dim_stats",
+    oracle=f"""
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT)      AS n,
+           CAST(SUM(val_e6) AS BIGINT)   AS sum_e6,
+           CAST(MIN(val_e6) AS BIGINT)   AS min_e6,
+           CAST(MAX(val_e6) AS BIGINT)   AS max_e6
+    FROM (
+        SELECT u.dim AS dim,
+               CAST(ROUND(CAST(embedding[u.dim + 1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS val_e6
+        FROM embeddings, unnest(range(0, {DIM})) AS u(dim)
+    )
+    GROUP BY dim
+    ORDER BY dim
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column — the
+    fit step of feature scaling / whitening, and the sanity audit (dead or
+    exploding dimensions) every vector pipeline runs first.
+
+    Values are scaled to exact 1e-6 integers BEFORE summing, so the
+    per-dimension totals are order-independent (float summation order
+    differs between engines AND between Spark partitionings of the same
+    data — exact integers make the op deterministic at any parallelism).
+
+    Scale: posexplode is map-side (DIM rows per vector), partial aggs
+    combine before the one shuffle on dim — reduce side is DIM rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("dim", "val"))
+        .select(
+            "dim",
+            F.round(F.col("val").cast("double") * 1_000_000, 0).cast("long").alias("val_e6"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val_e6").alias("sum_e6"),
+            F.min("val_e6").alias("min_e6"),
+            F.max("val_e6").alias("max_e6"),
+        )
+        .orderBy("dim")
+    )
