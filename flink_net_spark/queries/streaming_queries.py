@@ -237,3 +237,101 @@ def stream_filter_map_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_stream(out, mode="append").orderBy("event_id")
+
+
+@query(
+    "stream_dedup_exactly_once",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique, CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: the source is deliberately doubled (the
+    stream is self-unioned, so every event arrives exactly twice, like an
+    at-least-once upstream re-delivery), then ``dropDuplicates`` on the
+    event key restores exactly-once semantics before the keyed count
+    (≙ the reference's duplicate-elimination invariant in its redelivery
+    stress runs, stress_test_passed_output.txt:85-104).  The oracle is the
+    batch truth over SINGLE copies — any duplicate that slipped through, or
+    any event dropped, flips both the count and the id-sum.
+
+    No watermark on the dedup state: this bounded replay delivers files in
+    arbitrary (non-time) order, so eviction could let a late twin through;
+    production streams with ordered-ish arrival would add
+    ``withWatermark`` to bound the seen-keys store."""
+    ev = _events_stream(spark, sf_dir)
+    doubled = ev.union(ev)  # two source instances -> each file read twice
+    deduped = doubled.dropDuplicates(["event_id"])
+    counts = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("event_id").alias("sum_ids"),
+    )
+    return _run_stream(counts).orderBy("event_type")
+
+
+@query(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(epoch_ms(p.ts) - epoch_ms(c.ts)) AS BIGINT) AS min_lag_ms
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND epoch_ms(p.ts) >= epoch_ms(c.ts)
+     AND epoch_ms(p.ts) <  epoch_ms(c.ts) + 3600000
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click ⋈ purchase within 1 hour, per
+    user): both sides are live streams; matches are emitted in append mode
+    as both sides' state stores fill, then the drained pair set is
+    aggregated in batch and checked against the batch-join truth.
+
+    Watermarks are declared on both sides (the API surface that bounds join
+    state in production); the horizon is set beyond the replay's time span
+    because this harness delivers files in arbitrary order — eviction
+    tuning is a latency/completeness trade, not a correctness feature of
+    the operator itself.
+
+    Scale: state is keyed by user_id and bounded by the watermark horizon ×
+    arrival rate per key; the join itself is a keyed shuffle, never a
+    cartesian."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "365 days")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "365 days")
+    )
+    pairs = clicks.join(
+        purchases,
+        F.expr(
+            "p_user_id = c_user_id AND p_ts >= c_ts AND p_ts < c_ts + interval 1 hour"
+        ),
+    )
+    drained = _run_stream(pairs, mode="append")
+    return (
+        drained.withColumn("lag_ms", F.unix_millis("p_ts") - F.unix_millis("c_ts"))
+        .groupBy(F.col("c_user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.min("lag_ms").alias("min_lag_ms"))
+        .orderBy("user_id")
+    )

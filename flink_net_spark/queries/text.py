@@ -189,3 +189,99 @@ def text_char_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(15)
     )
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH wc AS (
+        SELECT doc_id, word, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY doc_id, word
+    ),
+    wstats AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(MAX(c) AS BIGINT) AS top_word_count,
+               COUNT(*)               AS n_distinct_words
+        FROM wc GROUP BY doc_id
+    ),
+    gstats AS (
+        SELECT doc_id,
+               COUNT(*)               AS n_bigrams,
+               COUNT(DISTINCT bigram) AS n_distinct_bigrams
+        FROM (
+            SELECT doc_id, UNNEST([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS bigram
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        )
+        GROUP BY doc_id
+    )
+    SELECT w.doc_id, n_words, top_word_count, n_distinct_words,
+           CAST(COALESCE(g.n_bigrams, 0) AS BIGINT)          AS n_bigrams,
+           CAST(COALESCE(g.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams,
+           (top_word_count * 5 >= n_words
+            OR (COALESCE(g.n_bigrams, 0) > 0
+                AND (g.n_bigrams - g.n_distinct_bigrams) * 2 >= g.n_bigrams)) AS flag_repetitive
+    FROM wstats w LEFT JOIN gstats g ON w.doc_id = g.doc_id
+    ORDER BY w.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (Gopher-style filters, Rae et al. 2021):
+    most-common-word share and duplicate word-bigram share per document.
+
+    All outputs are integer counts plus one boolean derived by integer
+    arithmetic (``top * 5 >= n`` ≙ "top word covers ≥20% of the doc") so the
+    cross-engine hash can never flip on float rounding.
+
+    Scale: explode ×(words/doc) then ONE shuffle on (doc_id, word) with
+    map-side partial aggregation — linear in corpus size; at 100 TB this is
+    the same shape as a word-count, the canonical scalable job.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    wstats = (
+        d.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.max("c").alias("top_word_count"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+        )
+    )
+    grams = d.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(w) < 2 THEN array() "
+            "ELSE transform(sequence(1, size(w) - 1), "
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) END"
+        ).alias("g"),
+    )
+    gstats = (
+        grams.select("doc_id", F.explode("g").alias("bigram"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("bigram").alias("n_distinct_bigrams"),
+        )
+    )
+    return (
+        wstats.join(gstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "top_word_count",
+            "n_distinct_words",
+            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+            F.coalesce("n_distinct_bigrams", F.lit(0).cast("bigint")).alias("n_distinct_bigrams"),
+            (
+                (F.col("top_word_count") * 5 >= F.col("n_words"))
+                | (
+                    F.coalesce("n_bigrams", F.lit(0).cast("bigint")).cast("boolean")
+                    & ((F.col("n_bigrams") - F.col("n_distinct_bigrams")) * 2 >= F.col("n_bigrams"))
+                )
+            ).alias("flag_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
