@@ -555,3 +555,73 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+N_CENTROIDS = 8
+
+
+@query(
+    "emb_kmeans_assign",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}
+    ),
+    d AS (
+        SELECT e.vec_id, c.cid,
+               list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]) for i in range(1, {DIM + 1})]) AS dist
+        FROM e CROSS JOIN c
+    ),
+    a AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d
+    )
+    SELECT cid AS cluster_id,
+           COUNT(*)                     AS n_members,
+           CAST(SUM(vec_id) AS BIGINT)  AS sum_vec_ids,
+           CAST(MIN(vec_id) AS BIGINT)  AS min_member,
+           CAST(MAX(vec_id) AS BIGINT)  AS max_member
+    FROM a WHERE rn = 1
+    GROUP BY cid
+    ORDER BY cid
+    """,
+)
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's-iteration ASSIGN step: nearest-centroid (squared L2) for
+    every embedding, seeded from the first K vectors (deterministic on both
+    engines).  Full k-means is a driver loop over this op plus the
+    per-cluster mean (a groupBy of `zip_with` sums) — the iterative control
+    flow lives outside the engine, exactly like MLlib does it.
+
+    Scale: the K centroids are a broadcast nested-loop against the scan
+    (N×K score rows, no shuffle); the argmin is a per-key window over K
+    rows; only the final K-row aggregate shuffles.  At 100 TB this is one
+    linear pass — the canonical distributed k-means step.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    c = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("vec_id").alias("sum_vec_ids"),
+            F.min("vec_id").alias("min_member"),
+            F.max("vec_id").alias("max_member"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -240,3 +240,32 @@ def test_dead_letter_sink_splits_and_resubmits(spark, events_stream, tmp_path):
     back = sink.resubmit(spark)
     assert back.count() == n_err
     assert sorted(back.columns) == sorted(ev.columns)
+
+
+def test_upsert_sink_latest_state_per_key(spark, events_stream, tmp_path):
+    """CDC upsert: replaying the events changelog through UpsertSink must
+    leave exactly one row per user_id — the one with the highest event_id —
+    identical to the batch argmax truth, and replaying a committed batchId
+    must be a no-op (exactly-once snapshot)."""
+    from pyspark.sql.window import Window
+
+    from flink_net_spark.sinks import UpsertSink
+
+    sink = UpsertSink(str(tmp_path / "upsert"), key_cols=("user_id",), seq_col="event_id")
+    run_to_completion(sink.writer(events_stream, str(tmp_path / "ckpt")))
+
+    snap = sink.snapshot(spark)
+    batch = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    truth = batch.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+    assert snap.count() == truth.count()
+    got = {(r.user_id, r.event_id) for r in snap.select("user_id", "event_id").collect()}
+    want = {(r.user_id, r.event_id) for r in truth.select("user_id", "event_id").collect()}
+    assert got == want
+
+    # replaying an already-committed batchId must not bump the version
+    v_before = sink._meta()["version"]
+    replay_id = sink._meta()["batches"][0]
+    sink(batch.limit(5), replay_id)
+    assert sink._meta()["version"] == v_before
