@@ -1037,3 +1037,74 @@ def map_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, metric, ROUND(value, 2) AS value
+    FROM (
+        SELECT p_partkey,
+               CAST(p_size AS DOUBLE)        AS p_size,
+               CAST(p_retailprice AS DOUBLE) AS p_retailprice
+        FROM part
+    ) UNPIVOT (value FOR metric IN (p_size, p_retailprice))
+    ORDER BY p_partkey, metric
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide metric columns → long (metric, value) rows — the
+    inverse of ``pivot_event_types`` and the Table-API column-ops analog
+    (TableEnvironment.cs:69-108 surface breadth).
+
+    Scale: narrow per-row transform (each input row → 2 output rows), no
+    shuffle except the display sort — a single codegen stage over the scan.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return (
+        p.unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+        .select("p_partkey", "metric", F.round("value", 2).alias("value"))
+        .orderBy("p_partkey", "metric")
+    )
+
+
+# One ANSI-SQL text, two engines: Spark 4 executes this via spark.sql after
+# view registration; DuckDB executes it verbatim as the oracle.
+_RECURSIVE_CLOSURE_SQL = """
+    WITH RECURSIVE chain AS (
+        SELECT p_partkey AS root, p_partkey AS node, 0 AS depth
+        FROM part
+        UNION ALL
+        SELECT root, CAST(FLOOR(node / 10) AS BIGINT) AS node, depth + 1 AS depth
+        FROM chain WHERE node > 0
+    )
+    SELECT root AS p_partkey,
+           CAST(MAX(depth) AS BIGINT) AS chain_depth,
+           CAST(COUNT(*)   AS BIGINT) AS n_nodes,
+           CAST(SUM(node)  AS BIGINT) AS sum_chain
+    FROM chain
+    GROUP BY root
+    ORDER BY p_partkey
+"""
+
+
+@query("sql_recursive_closure", oracle=_RECURSIVE_CLOSURE_SQL)
+def sql_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4) — iterative transitive
+    closure expressed declaratively: each part key walks its decimal-prefix
+    ancestor chain to the root.  The exact same SQL string runs on both
+    engines, which is the strongest possible parity statement for the SQL
+    surface (the reference's SQL gateway parses a SELECT-only dialect,
+    TableEnvironment.cs:211-259; this is a strict superset).
+
+    Scale: Spark executes recursive CTEs as iterative union steps; each
+    step here is a narrow map (no shuffle) and the depth is logarithmic in
+    the key domain — at 100 TB the closure is bounded by max-key digits
+    (~7 iterations), not data volume.
+    """
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_RECURSIVE_CLOSURE_SQL)

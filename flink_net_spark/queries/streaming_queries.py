@@ -335,3 +335,36 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"), F.min("lag_ms").alias("min_lag_ms"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (Flink's lookup/temporal-table join
+    over a dimension): each micro-batch of the live stream equi-joins a
+    static broadcast dimension (nation), then feeds a keyed aggregate.
+
+    Scale: the dim is broadcast once and reused every micro-batch — no
+    shuffle on the stream side for the join; only the tiny keyed aggregate
+    shuffles.  This is the canonical way to enrich a 100 TB/day stream with
+    reference data.
+    """
+    from flink_net_spark.tables import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = ev.withColumn("nk", F.col("user_id") % 25).join(
+        F.broadcast(nation), F.col("nk") == F.col("n_nationkey")
+    )
+    counts = enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return _run_stream(counts).orderBy("n_name")
