@@ -59,6 +59,11 @@ HEADLINE = [
     "q9_profit_by_nation",
     "stream_window_tumbling_hourly",
     "stream_stateful_running_count",
+    "text_repetition_stats",
+    "emb_kmeans_assign",
+    "sql_recursive_closure",
+    "curation_decontaminate",
+    "curation_pack_sequences",
 ]
 
 

@@ -292,3 +292,171 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Train/val/test split, eval-set decontamination, sequence packing.
+# --------------------------------------------------------------------------
+# 90/5/5 by the first 4 hex chars of md5(doc_id): 0.90*65536 = 0xe666,
+# 0.95*65536 = 0xf333.  Lexicographic hex compare == numeric compare.
+_SPLIT_TRAIN_MAX = "e666"
+_SPLIT_VAL_MAX = "f333"
+
+
+@query(
+    "curation_split_assign",
+    oracle=f"""
+    SELECT source, split,
+           COUNT(*)                    AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+        SELECT source, n_chars,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_SPLIT_TRAIN_MAX}'
+                    THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_SPLIT_VAL_MAX}'
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def curation_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) as a pure function
+    of the row key — reproducible across reruns, retries, and cluster
+    resizes, unlike seeded ``randomSplit`` (whose output depends on
+    partition layout).  The same hex-threshold idiom as
+    ``sample_stratified_hash``.
+
+    Scale: a narrow map + one small aggregate; the split column can also be
+    used directly as a partition column on write (see sinks.write_partitioned).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(h < _SPLIT_TRAIN_MAX, "train")
+        .when(h < _SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("source", "n_chars", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source", "split")
+    )
+
+
+N_EVAL_DOCS = 5  # doc_id 0..4 play the held-out eval set
+
+
+def _decontaminate_oracle() -> str:
+    from flink_net_spark.queries.dedup import _DUCK_SHINGLES, _DUCK_TH_DOCS
+
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM {_DUCK_TH_DOCS}
+    ),
+    ev AS (
+        SELECT DISTINCT UNNEST(sh) AS shingle FROM sh WHERE doc_id < {N_EVAL_DOCS}
+    ),
+    tr AS (
+        SELECT doc_id, UNNEST(sh) AS shingle FROM sh WHERE doc_id >= {N_EVAL_DOCS}
+    )
+    SELECT tr.doc_id, COUNT(DISTINCT tr.shingle) AS n_hits
+    FROM tr JOIN ev ON tr.shingle = ev.shingle
+    GROUP BY tr.doc_id
+    ORDER BY tr.doc_id
+    """
+
+
+@query("curation_decontaminate", oracle=_decontaminate_oracle())
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag every training document sharing at
+    least one word-3gram shingle with the held-out eval set (doc_id < 5) —
+    the n-gram-overlap contamination check every serious LLM data pipeline
+    runs before training (cf. GPT-3 appendix C / PaLM dedup reports).
+
+    Scale: the eval side is tiny by construction (benchmarks are KBs, the
+    corpus is TBs) → its distinct shingles BROADCAST; the training side
+    explodes shingles and hash-joins in place with NO shuffle of the corpus;
+    the per-doc count aggregates on doc_id.  One linear pass at 100 TB.
+    """
+    from flink_net_spark.queries.dedup import _spark_shingle_hash_df
+
+    sh = _spark_shingle_hash_df(spark, sf_dir)
+    eval_sh = (
+        sh.filter(F.col("doc_id") < N_EVAL_DOCS)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") >= N_EVAL_DOCS).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    return (
+        train.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+SEQ_BUDGET_TOKENS = 2048
+
+
+@query(
+    "curation_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks
+    )
+    SELECT source,
+           CAST((cum - n_tokens) // {SEQ_BUDGET_TOKENS} AS BIGINT) AS seq_id,
+           COUNT(*)                     AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(MIN(doc_id) AS BIGINT)   AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT)   AS last_doc
+    FROM packed
+    GROUP BY source, seq_id
+    ORDER BY source, seq_id
+    """,
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in deterministic doc_id order,
+    independently per source) to fixed token-budget training sequences via
+    an exclusive running token sum — the distributed form of concat-and-
+    chunk packing.  A doc whose exclusive cumsum crosses a boundary starts
+    spilling into the next sequence, exactly like token-level chunking.
+
+    Scale: ONE window scan partitioned by source — each source packs in
+    parallel; no global ordering bottleneck.  At 100 TB you'd sub-shard the
+    partition key (source, doc_id bucket) the same way.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        packed.withColumn(
+            "seq_id", ((F.col("cum") - F.col("n_tokens")) / SEQ_BUDGET_TOKENS).cast("bigint")
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "seq_id")
+    )
