@@ -132,8 +132,84 @@ def payload_features(df: DataFrame, dim: int = 16, id_col: str = "doc_id") -> Da
 
 
 def frame_sample(df: DataFrame, every_n: int = 10):
-    """Video frame sampling — requires a video codec.  Stub per brief."""
+    """Video frame sampling with a REAL codec — requires ffmpeg/pyav.
+    Gated stub per brief; ``fake_frame_sample`` exercises identical
+    plumbing (bytes in → one row per sampled frame out)."""
     raise NotImplementedError(
         "video codecs not available in this environment; the mapInPandas "
-        "pattern is identical to fake_decode_stats (bytes in, frame rows out)"
+        "pattern is identical to fake_frame_sample (bytes in, frame rows out)"
     )
+
+
+FRAME_BYTES = 32  # fake codec: the body is a sequence of 32-byte "frames"
+
+
+def fake_frame_sample(
+    df: DataFrame, every_n: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic frame sampling: treat the payload body as concatenated
+    ``FRAME_BYTES``-sized frames, keep every ``every_n``-th COMPLETE frame,
+    emit one row per kept frame with its byte checksum.  This is the 1→N
+    explode shape of real video sampling (one clip row → many frame rows),
+    Arrow-batched, payload dropped from the output.
+
+    Scale: output rows ≈ input_bytes / (FRAME_BYTES · every_n) — the UDF is
+    the hot path, so it stays vectorizable per batch and never shuffles the
+    payload; downstream ops see only (doc_id, frame_index, checksum)."""
+    from flink_net_spark.session import ship_package_to_executors
+
+    ship_package_to_executors(df.sparkSession)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for i, raw in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(raw)
+                body = b[HEADER_LEN:] if b[:4] == PAYLOAD_MAGIC else b
+                for k in range(0, len(body) // FRAME_BYTES, every_n):
+                    frame = body[k * FRAME_BYTES : (k + 1) * FRAME_BYTES]
+                    ids.append(int(i))
+                    idxs.append(k)
+                    sums.append(int(sum(frame)))
+            yield pd.DataFrame({"doc_id": ids, "frame_index": idxs, "checksum": sums})
+
+    return df.mapInPandas(sample, "doc_id BIGINT, frame_index INT, checksum BIGINT")
+
+
+def resize_image(df: DataFrame, width: int, height: int):
+    """REAL image resize — requires an image codec.  Gated stub per brief;
+    ``fake_resize`` exercises identical plumbing."""
+    raise NotImplementedError(
+        "image codecs not available in this environment; the mapInPandas "
+        "pattern is identical to fake_resize (bytes in, smaller bytes out)"
+    )
+
+
+def fake_resize(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 'half-scale resize': keep every 2nd body byte, rebuild
+    the header with halved dimensions — bytes-in/bytes-out mapInPandas, the
+    exact plumbing of a real thumbnailer (payload transforms executor-side;
+    metadata struct recomputed to match)."""
+    from flink_net_spark.session import ship_package_to_executors
+
+    ship_package_to_executors(df.sparkSession)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, widths, heights = [], [], [], []
+            for i, raw in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(raw)
+                ok = b[:4] == PAYLOAD_MAGIC
+                w = int(b[4:8]) // 2 if ok else -1
+                h = int(b[8:12]) // 2 if ok else -1
+                body = (b[HEADER_LEN:] if ok else b)[::2]
+                header = PAYLOAD_MAGIC + b"%04d%04d" % (max(w, 0), max(h, 0))
+                ids.append(int(i))
+                payloads.append(header + body)
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": payloads, "width": widths, "height": heights}
+            )
+
+    return df.mapInPandas(resize, "doc_id BIGINT, payload BINARY, width INT, height INT")

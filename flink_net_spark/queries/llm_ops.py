@@ -16,7 +16,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_net_spark.operators.multimodal import attach_payloads, fake_decode_stats, payload_features
+from flink_net_spark.operators.multimodal import (
+    attach_payloads,
+    fake_decode_stats,
+    fake_frame_sample,
+    payload_features,
+)
 from flink_net_spark.operators.udaf import apply_udaf, median_abs_deviation
 from flink_net_spark.queries import query
 from flink_net_spark.tables import load_table
@@ -81,6 +86,31 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/multimodal.py decode_image for the codec-gated stub)."""
     d = load_table(spark, sf_dir, "documents")
     return fake_decode_stats(attach_payloads(d)).orderBy("doc_id")
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(k AS INT) AS frame_index,
+           CAST(list_sum([ascii(substring(text, k * 32 + i, 1)) for i in range(1, 33)])
+                AS BIGINT) AS checksum
+    FROM (
+        SELECT doc_id, text, UNNEST(range(0, length(text) // 32)) AS k
+        FROM documents
+    )
+    WHERE k % 4 = 0
+    ORDER BY doc_id, frame_index
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing under the oracle: the payload body is read as
+    32-byte frames, every 4th complete frame emits a (doc_id, frame_index,
+    checksum) row — the 1→N explode shape of real video sampling, executed
+    as Arrow-batched mapInPandas (operators/multimodal.py frame_sample is
+    the codec-gated real path)."""
+    d = load_table(spark, sf_dir, "documents")
+    return fake_frame_sample(attach_payloads(d), every_n=4).orderBy("doc_id", "frame_index")
 
 
 @query("mm_payload_features")  # rows-only: fixed-dim float folding, no SQL analog worth writing

@@ -557,7 +557,7 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_CENTROIDS = 8
+KMEANS_K = 8  # distinct from the IVF coarse-quantizer N_CENTROIDS above
 
 
 @query(
@@ -567,7 +567,7 @@ N_CENTROIDS = 8
         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
     ),
     c AS (
-        SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}
+        SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {KMEANS_K}
     ),
     d AS (
         SELECT e.vec_id, c.cid,
@@ -604,7 +604,7 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
-    c = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+    c = e.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     dist = F.expr(

@@ -89,3 +89,30 @@ def test_codec_stubs_are_marked(spark):
         decode_image(d)
     with pytest.raises(NotImplementedError, match="codec"):
         frame_sample(d)
+
+
+def test_fake_resize_halves_dims_and_body(spark):
+    from flink_net_spark.operators.multimodal import fake_resize
+
+    d = attach_payloads(load_table(spark, SF_DIR, "documents").limit(20))
+    before = {r.doc_id: r for r in d.select("doc_id", "payload", "media_meta").collect()}
+    out = {r.doc_id: r for r in fake_resize(d).collect()}
+    assert out.keys() == before.keys()
+    for i, r in out.items():
+        meta = before[i].media_meta
+        assert r.width == meta.width // 2 and r.height == meta.height // 2
+        body_before = bytes(before[i].payload)[12:]
+        assert bytes(r.payload)[12:] == body_before[::2]
+
+
+def test_fake_frame_sample_counts(spark):
+    from flink_net_spark.operators.multimodal import fake_frame_sample
+
+    d = load_table(spark, SF_DIR, "documents").limit(50)
+    out = fake_frame_sample(attach_payloads(d), every_n=4)
+    got = out.groupBy("doc_id").count().collect()
+    truth = {r.doc_id: (len(r.text) // 32 + 3) // 4 for r in d.select("doc_id", "text").collect()}
+    for r in got:
+        assert r["count"] == truth[r.doc_id], r
+    # every doc with >= 1 complete frame appears
+    assert {r.doc_id for r in got} == {i for i, n in truth.items() if n > 0}

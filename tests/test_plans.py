@@ -46,6 +46,9 @@ NESTED_LOOP_ALLOWED = {
     "q15_top_supplier",
     "sim_ann_ivf",
     "funnel_conversion",
+    # emb_kmeans_assign — crossJoin against the K=8 fixed centroid set
+    # (broadcast; N×K scoring is the canonical distributed k-means step).
+    "emb_kmeans_assign",
 }
 
 
@@ -130,7 +133,9 @@ def test_no_sf_scaled_broadcast_hints():
             # n/n1/n2 = 25-row nation aliases, r = 5-row region, planes =
             # 1-row hyperplane weights, q/qe = fixed 5-row query sets,
             # thr/mx = 1-row scalar aggregates, cent = 16-row IVF centroids
-            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "q", "qe", "thr", "mx", "cent", "converted"}:
+            # c = K=8 k-means centroids, eval_sh = held-out eval-set
+            # shingles (benchmarks are KBs; corpus-size-independent)
+            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "q", "qe", "thr", "mx", "cent", "converted", "c", "eval_sh"}:
                 offenders.append(f"{path.name}: F.broadcast({target}")
     assert not offenders, offenders
 
@@ -153,3 +158,26 @@ def test_window_queries_single_shuffle(spark):
     exchanges = re.findall(r"\(\d+\) Exchange", p)
     assert len(exchanges) <= 2, p
     assert "partial_count" in p  # map-side combine before the shuffle
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """Eval shingles must broadcast; the corpus side must NOT shuffle for
+    the join (the whole point of the decontamination design at 100 TB)."""
+    p = plan_of(entry.queries()["curation_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pack_sequences_partitions_by_source(spark):
+    """Packing must window per source (parallel), never a global sort."""
+    p = plan_of(entry.queries()["curation_pack_sequences"](spark, SF_DIR))
+    # the running-sum window partitions by source -> hashpartitioning
+    # exchange, not a single-partition global Sort
+    assert "hashpartitioning(source" in p, p
+
+
+def test_repetition_stats_partial_aggregation(spark):
+    """Word-count shape: map-side partial agg before the (doc_id, word)
+    exchange keeps shuffled bytes sublinear in exploded rows."""
+    p = plan_of(entry.queries()["text_repetition_stats"](spark, SF_DIR))
+    assert "partial_count" in p or "HashAggregate" in p, p
