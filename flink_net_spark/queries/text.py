@@ -234,51 +234,50 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (``top * 5 >= n`` ≙ "top word covers ≥20% of the doc") so the
     cross-engine hash can never flip on float rounding.
 
-    Scale: explode ×(words/doc) then ONE shuffle on (doc_id, word) with
-    map-side partial aggregation — linear in corpus size; at 100 TB this is
-    the same shape as a word-count, the canonical scalable job.
+    Scale: every stat here is a function of ONE document, so the whole query
+    is a single map-side projection over array higher-order functions — zero
+    shuffles, zero joins, no exploded intermediate rows.  The top-word count
+    is the max run length over the SORTED word array (per-row linear pass via
+    ``aggregate``), replacing the explode → groupBy(doc_id, word) →
+    groupBy(doc_id) double shuffle of the naive word-count shape.  At 100 TB
+    this is embarrassingly parallel: throughput = scan speed.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("w"))
-    wstats = (
-        d.select("doc_id", F.explode("w").alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_words"),
-            F.max("c").alias("top_word_count"),
-            F.count(F.lit(1)).alias("n_distinct_words"),
-        )
+    # max word frequency == longest run in the sorted array; NULL initial
+    # `prev` makes the first comparison fall to the run-reset branch.
+    top_word = F.expr(
+        "aggregate(array_sort(w),"
+        " struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best),"
+        " (acc, x) -> CASE WHEN x = acc.prev"
+        "   THEN struct(x AS prev, acc.run + 1L AS run, greatest(acc.best, acc.run + 1L) AS best)"
+        "   ELSE struct(x AS prev, 1L AS run, greatest(acc.best, 1L) AS best) END,"
+        " acc -> acc.best)"
     )
-    grams = d.select(
-        "doc_id",
-        F.expr(
-            "CASE WHEN size(w) < 2 THEN array() "
-            "ELSE transform(sequence(1, size(w) - 1), "
-            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) END"
-        ).alias("g"),
-    )
-    gstats = (
-        grams.select("doc_id", F.explode("g").alias("bigram"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.countDistinct("bigram").alias("n_distinct_bigrams"),
-        )
+    grams = F.expr(
+        "CASE WHEN size(w) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(w) - 1), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) END"
     )
     return (
-        wstats.join(gstats, "doc_id", "left")
+        d.select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_words"),
+            top_word.alias("top_word_count"),
+            F.size(F.array_distinct("w")).cast("bigint").alias("n_distinct_words"),
+            F.size(grams).cast("bigint").alias("n_bigrams"),
+            F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct_bigrams"),
+        )
         .select(
             "doc_id",
             "n_words",
             "top_word_count",
             "n_distinct_words",
-            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
-            F.coalesce("n_distinct_bigrams", F.lit(0).cast("bigint")).alias("n_distinct_bigrams"),
+            "n_bigrams",
+            "n_distinct_bigrams",
             (
                 (F.col("top_word_count") * 5 >= F.col("n_words"))
                 | (
-                    F.coalesce("n_bigrams", F.lit(0).cast("bigint")).cast("boolean")
+                    (F.col("n_bigrams") > 0)
                     & ((F.col("n_bigrams") - F.col("n_distinct_bigrams")) * 2 >= F.col("n_bigrams"))
                 )
             ).alias("flag_repetitive"),
