@@ -358,6 +358,52 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_multi_source_min_watermark",
+    oracle=f"""
+    SELECT (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start_ms,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    ORDER BY window_start_ms
+    """,
+)
+def stream_multi_source_min_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-input watermark: TWO independent streaming sources (the event
+    stream split by user-id parity), each declaring its OWN bounded
+    out-of-orderness (30 min vs 2 h), unioned into one windowed aggregate.
+    Spark's ``multipleWatermarkPolicy = min`` (set in session.py, the
+    default) holds the global watermark at the SLOWEST input — exactly the
+    reference's min-across-inputs watermark rule for multi-input operators
+    (Core.Abstractions/Windowing/IWatermarkGenerator.cs:15-36; SURVEY
+    §2.8).  The drained union must equal the batch truth over ALL events:
+    a row lost at the source boundary or double-counted by either branch
+    flips the hash.
+
+    Scale: each source tracks its watermark independently; the union is
+    narrow (no shuffle) and the only shuffle is the windowed agg keyed by
+    window — same plan shape at 1000 executors.
+    """
+    even = with_bounded_out_of_orderness(
+        _events_stream(spark, sf_dir).filter(F.col("user_id") % 2 == 0), "ts", "30 minutes"
+    )
+    odd = with_bounded_out_of_orderness(
+        _events_stream(spark, sf_dir).filter(F.col("user_id") % 2 == 1), "ts", "2 hours"
+    )
+    win = (
+        even.unionByName(odd)
+        .groupBy(tumbling("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_stream(win).orderBy("window_start_ms")
+
+
+@query(
     "stream_static_enrich",
     oracle="""
     SELECT n.n_name, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS sum_value
