@@ -404,6 +404,86 @@ def stream_multi_source_min_watermark(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "pipeline_five_stage",
+    oracle="""
+    SELECT n.n_name AS country,
+           COUNT(*) AS n_delivered,
+           CAST(SUM((e.user_id * 31 + CAST(FLOOR(e.value) AS BIGINT)) % 100) AS BIGINT)
+               AS sum_score
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    WHERE e.value >= 1.0 AND e.event_type <> 'error'
+    GROUP BY n.n_name
+    ORDER BY country
+    """,
+)
+def pipeline_five_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical 5-stage pipeline (Gateway → Ingress →
+    KeyGen → AsyncEgress → FinalSink, Core.Api/Pipeline/
+    GatewayAndKeyGenStages.cs:15-210, IngressAndEgressStages.cs:15-546,
+    FinalSinkStage.cs:16-398) composed Spark-first as ONE streaming plan:
+
+      1. Gateway (admission/rate control) — the rate-limited file-stream
+         source (``maxFilesPerTrigger``; pull-based backpressure).
+      2. Ingress (validation + transform) — declarative filter; invalid
+         records would route to ``sinks.DeadLetterSink`` in production
+         (covered by its own tests) and are dropped here so the oracle
+         stays single-tabled.
+      3. KeyGen — deterministic key assignment (hash-mod partitioning key).
+      4. AsyncEgress — ``operators.async_egress.AsyncEgressStage``: bulk
+         external calls in Arrow-batched ``mapInPandas`` with
+         retry/timeout policy.  The deterministic fake service fails every
+         chunk once on attempt 0 whenever it contains a ``user_id % 97 ==
+         0`` row, so the retry path REALLY executes inside the streaming
+         job; responses are pure functions of the input, keeping the
+         pipeline oracle-checkable end-to-end.
+      5. FinalSink (acked delivery) — keyed aggregate drained to a memory
+         sink; the oracle's exact counts are the delivery acknowledgement.
+
+    Scale: stages 1-3 and 5 are a single codegen'd streaming plan with one
+    keyed shuffle; stage 4 is embarrassingly parallel bulk I/O whose
+    throughput scales with partitions × batch_rows.
+    """
+    from flink_net_spark.operators.async_egress import AsyncEgressStage, TransientEgressError
+    from flink_net_spark.tables import load_table
+
+    # Stage 1: gateway (rate-limited admission).
+    ev = _events_stream(spark, sf_dir)
+    # Stage 2: ingress validation + projection.
+    valid = ev.filter((F.col("value") >= 1.0) & (F.col("event_type") != "error"))
+    # Stage 3: key assignment.
+    keyed = valid.select(
+        "user_id", "value", (F.col("user_id") % 25).cast("int").alias("nk")
+    )
+    # Stage 4: async egress — the 25-row dim rides the closure (a broadcast
+    # variable in Spark terms); the "service" responds with country + score.
+    nation_map = {
+        int(r["n_nationkey"]): r["n_name"]
+        for r in load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    }
+
+    def bulk_call(chunk, attempt):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        if attempt == 0 and bool((chunk["user_id"] % 97 == 0).any()):
+            raise TransientEgressError("synthetic 5xx on first attempt")
+        score = (chunk["user_id"] * 31 + chunk["value"].astype("int64")) % 100
+        return pd.DataFrame(
+            {
+                "country": chunk["nk"].map(nation_map),
+                "score": score.astype("int64"),
+            }
+        )
+
+    enriched = AsyncEgressStage(bulk_call, "country string, score bigint").transform(keyed)
+    # Stage 5: final sink — keyed exact counts as the delivery ack.
+    agg = enriched.groupBy("country").agg(
+        F.count(F.lit(1)).alias("n_delivered"),
+        F.sum("score").alias("sum_score"),
+    )
+    return _run_stream(agg).orderBy("country")
+
+
+@query(
     "stream_static_enrich",
     oracle="""
     SELECT n.n_name, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS sum_value

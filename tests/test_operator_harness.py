@@ -167,3 +167,71 @@ def test_source_to_counter_fused_pipeline(spark, tmp_path):
     )
     run_to_completion(writer2)
     assert sink2.total() == 2500
+
+
+def test_async_egress_retry_then_success(spark):
+    from flink_net_spark.operators.async_egress import (
+        AsyncEgressStage,
+        EgressPolicy,
+        TransientEgressError,
+    )
+
+    df = spark.range(100).select(F.col("id").alias("k"))
+
+    def flaky(chunk, attempt):
+        if attempt < 2:
+            raise TransientEgressError("503")
+        return pd.DataFrame({"k": chunk["k"], "resp": chunk["k"] * 10})
+
+    out = (
+        AsyncEgressStage(flaky, "k bigint, resp bigint", EgressPolicy(max_retries=2))
+        .transform(df)
+        .orderBy("k")
+        .collect()
+    )
+    assert len(out) == 100
+    assert out[7]["resp"] == 70
+
+
+def test_async_egress_retries_exhausted_fails_task(spark):
+    from flink_net_spark.operators.async_egress import (
+        AsyncEgressStage,
+        EgressPolicy,
+        TransientEgressError,
+    )
+    df = spark.range(10).select(F.col("id").alias("k"))
+
+    def always_down(chunk, attempt):
+        raise TransientEgressError("503 forever")
+
+    stage = AsyncEgressStage(
+        always_down, "k bigint, resp bigint", EgressPolicy(max_retries=1)
+    )
+    with pytest.raises(Exception, match="503 forever"):
+        stage.transform(df).collect()
+
+
+def test_async_egress_deadline_is_retried(spark):
+    from flink_net_spark.operators.async_egress import (
+        AsyncEgressStage,
+        EgressPolicy,
+    )
+    import time as _time
+
+    df = spark.range(8).repartition(1).select(F.col("id").alias("k"))
+
+    def slow_then_fast(chunk, attempt):
+        if attempt == 0:
+            _time.sleep(0.05)  # blows the 1ms deadline -> EgressDeadlineExceeded
+        return pd.DataFrame({"k": chunk["k"], "attempt_used": attempt})
+
+    out = (
+        AsyncEgressStage(
+            slow_then_fast,
+            "k bigint, attempt_used int",
+            EgressPolicy(max_retries=1, timeout_ms=1),
+        )
+        .transform(df)
+        .collect()
+    )
+    assert {r["attempt_used"] for r in out} == {1}  # every chunk went to attempt 1
