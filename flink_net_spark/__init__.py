@@ -12,7 +12,7 @@ Layout (every module listed here exists and imports):
                   + ship_package_to_executors for pandas-UDF closures
     tables      — loaders for the driver's TPC-H-ish parquet testdata
     datastream  — DataStream/KeyedDataStream/WindowedStream fluent facade
-    operators/  — multimodal payload plumbing, custom UDAF harness
+    operators/  — rich lifecycle, salted-skew, UDAF, multimodal, async-egress harnesses
     functions/  — deterministic hashing/shingling column expressions
     sources/    — unified batch/streaming source factories (file/rate/kafka)
     sinks       — console/memory/parquet/kafka/foreach sinks + transactional

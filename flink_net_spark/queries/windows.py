@@ -209,3 +209,113 @@ def window_tumbling_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.unix_millis(F.col("window.start")).alias("day_start_ms"), "active_users", "n_events")
         .orderBy("day_start_ms")
     )
+
+
+@query(
+    "window_count_per_key",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, value,
+               CAST((ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 5
+                    AS BIGINT) AS window_idx
+        FROM events
+    )
+    SELECT user_id, window_idx,
+           COUNT(*)             AS n_in_window,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM ordered
+    GROUP BY user_id, window_idx
+    HAVING COUNT(*) = 5
+    ORDER BY user_id, window_idx
+    """,
+)
+def window_count_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key COUNT window ≙ Flink's ``countWindow(5)`` — GlobalWindows +
+    a purging count trigger (Core.Api/Windowing/GlobalWindows.cs:10-65 with
+    a custom Trigger, DefaultTriggers.cs:46-52 being the never-firing
+    default).  Spark has no count-based assigner, so the window index is
+    derived: events are ordered deterministically per key (ts, event_id —
+    arrival order in the reference) and chunked by ``(row_number-1) / 5``;
+    only FULL windows emit, matching Flink's fire-on-Nth-element semantics
+    (the trailing partial pane never fires).
+
+    Scale: one hash shuffle on user_id + an in-partition sort — the same
+    shape as any keyed window; no global sort.  The streaming twin of this
+    firing pattern is the count-trigger test in tests/test_stateful.py.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "value",
+            ((F.row_number().over(w) - 1) / 5).cast("bigint").alias("window_idx"),
+        )
+        .groupBy("user_id", "window_idx")
+        .agg(F.count(F.lit(1)).alias("n_in_window"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .filter(F.col("n_in_window") == 5)
+        .orderBy("user_id", "window_idx")
+    )
+
+
+@query(
+    "window_session_dynamic_gap",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_ms(ts) AS ms, event_id,
+               epoch_ms(ts) + CASE WHEN event_type = 'purchase'
+                                   THEN 14400000 ELSE 3600000 END AS end_ms
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ms, end_ms, event_id,
+               CASE WHEN ms >= COALESCE(MAX(end_ms) OVER (
+                        PARTITION BY user_id ORDER BY ms, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+    ),
+    sess AS (
+        SELECT user_id, ms, end_ms,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ms)     AS session_start_ms,
+           MAX(end_ms) AS session_end_ms,
+           COUNT(*)    AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start_ms
+    """,
+)
+def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap (Flink's
+    ``SessionWindowTimeGapExtractor`` shape): a purchase keeps the session
+    alive 4 hours, anything else 1 hour.  Spark's ``session_window`` takes
+    a gap COLUMN, so each event contributes the interval
+    ``[ts, ts + gap(event))`` and overlapping intervals merge — the oracle
+    replays the same interval-union with a running-max-end
+    gaps-and-islands pass (order ties broken by event_id; the union is
+    order-insensitive, ties only affect the walk, not the islands).
+
+    Scale: identical plan shape to static session windows — hash shuffle on
+    the key, in-partition merge; the dynamic gap is a per-row expression,
+    not extra state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("4 hours")).otherwise(F.lit("1 hour"))
+    return (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("session_window.end")).alias("session_end_ms"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_ms")
+    )
