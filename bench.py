@@ -64,6 +64,9 @@ HEADLINE = [
     "sql_recursive_closure",
     "curation_decontaminate",
     "curation_pack_sequences",
+    "window_count_per_key",
+    "window_session_dynamic_gap",
+    "pipeline_five_stage",
 ]
 
 

@@ -176,8 +176,11 @@ def test_pack_sequences_partitions_by_source(spark):
     assert "hashpartitioning(source" in p, p
 
 
-def test_repetition_stats_partial_aggregation(spark):
-    """Word-count shape: map-side partial agg before the (doc_id, word)
-    exchange keeps shuffled bytes sublinear in exploded rows."""
+def test_repetition_stats_is_shuffle_free(spark):
+    """Every repetition stat is a per-document array computation, so the
+    plan must be a pure map-side projection: NO hash-partitioned exchange
+    anywhere (the only exchange allowed is the presentation orderBy's range
+    partitioning)."""
     p = plan_of(entry.queries()["text_repetition_stats"](spark, SF_DIR))
-    assert "partial_count" in p or "HashAggregate" in p, p
+    assert "hashpartitioning" not in p, p
+    assert "HashAggregate" not in p, p
