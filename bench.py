@@ -64,6 +64,8 @@ HEADLINE = [
     "sql_recursive_closure",
     "curation_decontaminate",
     "curation_pack_sequences",
+    "curation_domain_mix",
+    "curation_end_to_end",
     "window_count_per_key",
     "window_session_dynamic_gap",
     "pipeline_five_stage",

@@ -460,3 +460,140 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "seq_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted domain mixing (epoch up/down-sampling per source).
+# --------------------------------------------------------------------------
+# Training-data mixtures assign each domain a weight: >1 repeats the domain
+# for multiple epochs, <1 downsamples it.  n_copies = floor(w) + one extra
+# copy iff the doc's hash falls under frac(w) — deterministic, shuffle-free,
+# and exact in expectation per domain.  src0 is upweighted 2.5x, src1 cut to
+# 0.3x, everything else passes through at 1.0.
+_MIX_WEIGHTS = {"src0": (2, "8000"), "src1": (0, "4ccc")}  # (floor, frac-hex)
+_MIX_DEFAULT = (1, "0000")
+
+
+@query(
+    "curation_domain_mix",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END
+                 + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                             (CASE source WHEN 'src0' THEN '8000'
+                                          WHEN 'src1' THEN '4ccc'
+                                          ELSE '0000' END)
+                        THEN 1 ELSE 0 END AS n_copies
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(UNNEST(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+    FROM w
+    WHERE n_copies >= 1
+    ORDER BY doc_id, copy_idx
+    """,
+)
+def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain mixing: replicate or drop documents per-source so the
+    output corpus matches target mixture weights (src0 ×2.5, src1 ×0.3,
+    rest ×1.0).  The fractional part is decided by the same md5 hex-prefix
+    idiom as ``sample_stratified_hash`` — a pure function of the row, so
+    the mixture is reproducible across reruns and cluster sizes.
+
+    Scale: map-side only (a CASE + conditional array explode on the scan);
+    no shuffle, no driver-side sampling state.  This is how you take a
+    100 TB corpus to a weighted training mixture in one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    base = F.lit(_MIX_DEFAULT[0])
+    thr = F.lit(_MIX_DEFAULT[1])
+    for src, (b, t) in _MIX_WEIGHTS.items():
+        base = F.when(F.col("source") == src, b).otherwise(base)
+        thr = F.when(F.col("source") == src, t).otherwise(thr)
+    n_copies = base + (h < thr).cast("int")
+    return (
+        docs.select("doc_id", "source", n_copies.alias("n"))
+        .filter(F.col("n") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr("sequence(1L, CAST(n AS BIGINT))")).alias("copy_idx"),
+        )
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation: filter -> dedup -> pack, one composed plan.
+# --------------------------------------------------------------------------
+@query(
+    "curation_end_to_end",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, text,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+        WHERE lang = 'en' AND n_chars >= 50
+    ),
+    kept AS (
+        SELECT doc_id, source, n_tokens FROM (
+            SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+            FROM base
+        ) WHERE doc_id = keeper
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tokens,
+               CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    // {SEQ_BUDGET_TOKENS} AS BIGINT) AS seq_id
+        FROM kept
+    )
+    SELECT source, seq_id,
+           COUNT(*)                   AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           MIN(doc_id)                AS first_doc
+    FROM packed
+    GROUP BY source, seq_id
+    ORDER BY source, seq_id
+    """,
+)
+def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline a training-data job actually runs:
+    language + length gate → exact dedup (keep the lowest doc_id per
+    content hash) → per-source sequence packing — all ONE declarative plan,
+    so Catalyst pipelines the filter into the scan and the dedup window and
+    packing window share the same source partitioning.
+
+    Scale: the only shuffles are the two window partitionings (content
+    hash, then source); both are key-local and spill-safe.  Compare the
+    stage-by-stage queries (``sample_stratified_hash``, ``dedup_exact``,
+    ``curation_pack_sequences``) — composition does not change any
+    operator's shape, which is the point of a declarative engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter((F.col("lang") == "en") & (F.col("n_chars") >= 50)).select(
+        "doc_id", "source", "text", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w_dedup = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    kept = (
+        base.withColumn("keeper", F.min("doc_id").over(w_dedup))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "source", "n_tokens")
+    )
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = kept.withColumn(
+        "seq_id",
+        ((F.sum("n_tokens").over(w_pack) - F.col("n_tokens")) / SEQ_BUDGET_TOKENS).cast("bigint"),
+    )
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source", "seq_id")
+    )
