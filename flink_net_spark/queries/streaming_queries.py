@@ -514,3 +514,130 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
     return _run_stream(counts).orderBy("n_name")
+
+
+@query(
+    "stream_topk_per_window",
+    oracle=f"""
+    WITH counts AS (
+        SELECT (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start_ms,
+               event_type,
+               COUNT(*)  AS n_events
+        FROM events
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start_ms
+                                     ORDER BY n_events DESC, event_type) AS rk
+        FROM counts
+    )
+    SELECT window_start_ms, event_type, n_events, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY window_start_ms, rk
+    """,
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k per window (the live-dashboard shape): windowed keyed
+    counts maintained by the streaming engine, ranked per window after the
+    drain.  Rank-over-stream is not expressible inside a streaming plan
+    (Spark forbids non-time windows on streams, same as Flink needs a
+    ProcessWindowFunction for it — IProcessWindowFunction.cs:17-42), so the
+    operator is the documented two-stage pattern: stream maintains the
+    heavy state (counts), a cheap batch rank runs on the drained sink.
+
+    Scale: the streamed state is (windows × event_types); the post-rank is
+    a window function over that already-small aggregate — never over raw
+    events.
+    """
+    ev = _events_stream(spark, sf_dir)
+    win = (
+        with_bounded_out_of_orderness(ev, "ts", "1 hour")
+        .groupBy(tumbling("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+        )
+    )
+    from pyspark.sql.window import Window
+
+    drained = _run_stream(win)
+    w = Window.partitionBy("window_start_ms").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        drained.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("window_start_ms", "rk")
+    )
+
+
+@query(
+    "stream_batch_backfill_union",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_batch_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified batch/stream execution (≙ IUnifiedSource.IsBounded,
+    Sources/IUnifiedSource.cs:6): the HISTORICAL half of the event log
+    (earlier timestamps) is processed as a bounded batch read, the LIVE
+    half replays as a micro-batched stream, and the two partial aggregates
+    merge by key — the kappa-style bootstrap-then-tail pattern, and
+    precisely the Aggregate/Merge contract of the reference's two-phase
+    aggregation (IAggregateOperator.cs:18-51) applied ACROSS the
+    batch/stream boundary.  The merged result must equal the batch truth
+    over the whole log: any row double-counted or dropped at the split
+    flips the hash.
+
+    Scale: both halves are ordinary keyed partial aggregates; the merge
+    joins two key-cardinality-sized tables.  This is how a 100 TB backfill
+    joins a running stream without reprocessing history through the
+    stream path.
+    """
+    from flink_net_spark.tables import ensure_read_confs, load_table
+
+    ensure_read_confs(spark)
+    split_stage = _stage_dir(sf_dir, "events_split")
+    marker = os.path.join(split_stage, "_staged")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events")
+        half = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+        ev.filter(F.col("event_id") <= half).repartition(2).write.mode("overwrite").parquet(
+            os.path.join(split_stage, "history")
+        )
+        ev.filter(F.col("event_id") > half).repartition(4).write.mode("overwrite").parquet(
+            os.path.join(split_stage, "live")
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    def keyed_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+        )
+
+    # bounded half: ordinary batch read of the history directory
+    hist = keyed_agg(spark.read.parquet(os.path.join(split_stage, "history")))
+    # live half: micro-batched stream over the tail
+    schema = spark.read.parquet(os.path.join(split_stage, "live")).schema
+    live_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(os.path.join(split_stage, "live"))
+    )
+    live = _run_stream(keyed_agg(live_stream))
+    # merge the partial aggregates across the boundary (Aggregate.Merge)
+    merged = (
+        hist.unionByName(live)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+        )
+    )
+    return merged.orderBy("event_type")
