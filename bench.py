@@ -61,6 +61,7 @@ HEADLINE = [
     "stream_stateful_running_count",
     "text_repetition_stats",
     "emb_kmeans_assign",
+    "emb_kmeans_iterate",
     "sql_recursive_closure",
     "curation_decontaminate",
     "curation_pack_sequences",

@@ -625,3 +625,123 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "emb_kmeans_iterate",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               [CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS vq
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cid, vq AS cv FROM e WHERE vec_id < {KMEANS_K}
+    ),
+    d1 AS (
+        SELECT e.vec_id, c0.cid,
+               list_sum([(e.vq[i] - c0.cv[i]) * (e.vq[i] - c0.cv[i])
+                         for i in range(1, {DIM + 1})]) AS dist
+        FROM e CROSS JOIN c0
+    ),
+    a1 AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ),
+    cent1 AS (
+        SELECT cid, list(m ORDER BY dim) AS cv FROM (
+            SELECT a1.cid, t.i AS dim,
+                   CAST(FLOOR(SUM(e.vq[t.i]) * 1.0 / COUNT(*)) AS BIGINT) AS m
+            FROM a1 JOIN e USING (vec_id)
+            CROSS JOIN range(1, {DIM + 1}) AS t(i)
+            GROUP BY a1.cid, t.i
+        ) GROUP BY cid
+    ),
+    d2 AS (
+        SELECT e.vec_id, cent1.cid,
+               list_sum([(e.vq[i] - cent1.cv[i]) * (e.vq[i] - cent1.cv[i])
+                         for i in range(1, {DIM + 1})]) AS dist
+        FROM e CROSS JOIN cent1
+    ),
+    a2 AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    )
+    SELECT cid AS cluster_id,
+           COUNT(*)                    AS n_members,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids,
+           CAST(MIN(vec_id) AS BIGINT) AS min_member,
+           CAST(MAX(vec_id) AS BIGINT) AS max_member
+    FROM a2
+    GROUP BY cid
+    ORDER BY cluster_id
+    """,
+)
+def emb_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A FULL Lloyd's iteration — assign → recompute centroids → reassign —
+    with exact cross-engine parity via fixed-point arithmetic: embeddings
+    are quantized to integers (``floor(x * 1000)``), so distances are exact
+    integer sums and the centroid update is an integer mean
+    (``floor(sum/count)``) — no ULP drift on summation order, which is what
+    makes a distributed clustering run REPRODUCIBLE across engines,
+    retries, and partitionings (the float version's assignment can flip on
+    the last bit; cf. emb_kmeans_assign's docstring).
+
+    Shapes, both iterations identical (the loop is driver-side control
+    flow, like MLlib's):
+      - assign: K-row broadcast nested-loop against the scan, per-vector
+        argmin window over K rows — no N×K shuffle.
+      - update: posexplode to (cluster, dim, value) then groupBy — the
+        declarative treeAggregate; shuffles N×D small rows with map-side
+        partial sums, never collects vectors to the driver.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").alias(
+            "vq"
+        ),
+    )
+    dist = F.expr(
+        "aggregate(zip_with(vq, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            e.crossJoin(F.broadcast(cent))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "vq")
+        )
+
+    c0 = e.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("vq").alias("cv")
+    )
+    a1 = assign(c0)
+    cent1 = (
+        a1.select("cid", F.posexplode("vq").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(F.expr("CAST(FLOOR(SUM(val) * 1.0D / COUNT(1)) AS BIGINT)").alias("m"))
+        .groupBy("cid")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").alias("cv")
+        )
+    )
+    a2 = assign(cent1)
+    return (
+        a2.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("vec_id").alias("sum_vec_ids"),
+            F.min("vec_id").alias("min_member"),
+            F.max("vec_id").alias("max_member"),
+        )
+        .orderBy("cluster_id")
+    )
