@@ -128,3 +128,58 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_signup.agg(
         F.count(F.lit(1)).alias("n_signup_users")
     ).crossJoin(F.broadcast(converted.agg(F.count(F.lit(1)).alias("n_converted"))))
+
+
+@query(
+    "pattern_absence_timeout",
+    oracle="""
+    SELECT c.user_id,
+           COUNT(*) AS n_unanswered_clicks,
+           CAST(MIN(epoch_ms(c.ts)) AS BIGINT) AS first_unanswered_ms
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = c.user_id
+          AND p.event_type = 'purchase'
+          AND epoch_ms(p.ts) >= epoch_ms(c.ts)
+          AND epoch_ms(p.ts) <  epoch_ms(c.ts) + 3600000
+      )
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+)
+def pattern_absence_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP absence pattern (the timeout-alert shape: A happened and B did
+    NOT follow within the horizon): clicks with no purchase by the same
+    user in the next hour.  The streaming form of this is a per-key
+    event-time timer that fires when the deadline passes unanswered
+    (≙ ITimerService.cs:11 — covered by the applyInPandasWithState timer
+    tests); the batch form is a time-bounded LEFT ANTI join, which is the
+    exact negation of stream_stream_interval_join's match set.
+
+    Scale: equi-key anti join on user_id with a residual time predicate —
+    one keyed shuffle, state bounded by the horizon in the streaming form.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    unanswered = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.unix_millis("p_ts") >= F.unix_millis("c_ts"))
+        & (F.unix_millis("p_ts") < F.unix_millis("c_ts") + 3_600_000),
+        "left_anti",
+    )
+    return (
+        unanswered.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_unanswered_clicks"),
+            F.min(F.unix_millis("c_ts")).alias("first_unanswered_ms"),
+        )
+        .orderBy("user_id")
+    )
