@@ -46,9 +46,10 @@ NESTED_LOOP_ALLOWED = {
     "q15_top_supplier",
     "sim_ann_ivf",
     "funnel_conversion",
-    # emb_kmeans_assign — crossJoin against the K=8 fixed centroid set
+    # emb_kmeans_assign / _iterate — crossJoin against the K=8 centroid set
     # (broadcast; N×K scoring is the canonical distributed k-means step).
     "emb_kmeans_assign",
+    "emb_kmeans_iterate",
 }
 
 
