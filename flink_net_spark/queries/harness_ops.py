@@ -143,3 +143,61 @@ def rich_map_lang_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, _LangAnnotator, "doc_id BIGINT, lang_name STRING, n_chars BIGINT"
     )
     return out.orderBy("doc_id")
+
+
+@query(
+    "udtf_sentence_split",
+    oracle="""
+    SELECT doc_id,
+           CAST(t.i - 1 AS INTEGER) AS sentence_idx,
+           trim(t.s)                AS sentence,
+           CAST(len(trim(t.s)) AS INTEGER) AS n_chars
+    FROM (
+        SELECT doc_id, UNNEST(string_split(text, '.'), recursive := false) AS s,
+               UNNEST(generate_series(1, len(string_split(text, '.')))) AS i
+        FROM documents
+        WHERE doc_id < 100
+    ) t
+    WHERE trim(t.s) <> ''
+    ORDER BY doc_id, sentence_idx
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (pyspark 4 ``@udtf``) — the table-function surface
+    beyond explode (SURVEY.md §2.11 ≙ the reference's planned UDTF slot in
+    its Table API): one input row yields N output rows with per-row Python
+    logic (sentence split + index + length).  Production text splitting
+    stays in column expressions (cf. flatmap_explode_words); this query
+    gates the UDTF harness itself — registration, lateral join, schema
+    contract — against a value oracle.
+
+    Scale: UDTFs run per-partition like any row mapper — no shuffle; the
+    lateral join is local.  (Row-at-a-time Python: keep OFF the 100 TB hot
+    path; the Arrow-batched operators in operators/ are the fast lane.)
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence string, n_chars int")
+    class SentenceSplit:
+        def eval(self, text: str):  # noqa: A002
+            idx = 0
+            for raw in (text or "").split("."):
+                s = raw.strip()
+                if s:
+                    yield idx, s, len(s)
+                idx += 1
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    docs.createOrReplaceTempView("udtf_docs_in")
+    spark.udtf.register("sentence_split", SentenceSplit)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence, s.n_chars
+        FROM udtf_docs_in d, LATERAL sentence_split(d.text) s
+        ORDER BY d.doc_id, s.sentence_idx
+        """
+    )
