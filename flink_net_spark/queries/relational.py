@@ -875,6 +875,29 @@ def sql_surface_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_percentiles")  # rows-only: t-digest sketches differ across engines
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest): the PRODUCTION percentile path at
+    100 TB — bounded memory per group, partial-mergeable sketches, no full
+    in-group sort (cf. agg_percentiles, the exact oracle-gated twin).  No
+    value oracle (sketch internals are engine-specific); the accuracy
+    contract vs the exact percentile is asserted in
+    tests/test_pipeline_ops.py::test_approx_percentiles_within_bound.
+    ≙ the reference's aggregate surface (Table.cs:51-82) extended with the
+    sketch family a scale-out engine actually ships."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("p50_qty"),
+            F.expr("approx_percentile(l_quantity, 0.9, 10000)").alias("p90_qty"),
+            F.expr("approx_percentile(l_extendedprice, 0.99, 10000)").alias("p99_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @query(
     "agg_percentiles",
     oracle="""

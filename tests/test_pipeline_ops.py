@@ -112,3 +112,26 @@ def test_approx_count_distinct_within_bound(spark, duck):
         if k in exact and exact[k] > 0:
             rel = abs(est - exact[k]) / exact[k]
             assert rel <= 0.05, f"{k}: approx {est} vs exact {exact[k]} ({rel:.1%})"
+
+
+def test_approx_percentiles_within_bound(spark):
+    """agg_approx_percentiles has no value oracle (t-digest internals are
+    engine-specific); assert the sketch lands within a tight relative error
+    of the exact interpolated percentile at accuracy=10000."""
+    from flink_net_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    exact = {
+        r["l_returnflag"]: r
+        for r in QUERIES["agg_percentiles"](spark, SF_DIR).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r
+        for r in QUERIES["agg_approx_percentiles"](spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        for col_e, col_a in (("p50_qty", "p50_qty"), ("p90_qty", "p90_qty"), ("p99_price", "p99_price")):
+            rel = abs(a[col_a] - e[col_e]) / max(abs(e[col_e]), 1e-9)
+            assert rel < 0.02, f"{flag}.{col_a}: approx {a[col_a]} vs exact {e[col_e]}"
