@@ -201,3 +201,63 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, s.sentence_idx
         """
     )
+
+
+@query(
+    "cogroup_customer_orders",
+    oracle="""
+    SELECT COALESCE(c.c_custkey, o.k) AS custkey,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT)      AS n_orders,
+           CAST(COALESCE(o.tp, 0) AS BIGINT)            AS total_price_c,
+           CAST(CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS n_customer_rows
+    FROM customer c
+    FULL JOIN (
+        SELECT o_custkey AS k, COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS tp
+        FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.k
+    ORDER BY custkey
+    """,
+)
+def cogroup_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-input keyed co-processing ≙ Flink's connect/coGroup (listed
+    ABSENT in the reference — IJoinFunction.cs:18-28 is interface-only with
+    no two-input vertex): Spark's ``groupby.cogroup(...).applyInPandas``
+    hands BOTH sides' rows for a key to one Python function, the general
+    form every CoProcessFunction reduces to.  Here: customers cogrouped
+    with their orders → per-key order count, exact integer price cents,
+    and a customer-presence flag; keys existing on either side must
+    appear (cogroup's outer semantics), which the full-join oracle checks.
+
+    Scale: one hash shuffle per side on the key — identical movement to a
+    shuffle join; the Python stage is Arrow-batched per key group.  Use
+    built-in joins when the combiner is relational (this op gates the
+    harness, not a recommendation)."""
+    import pandas as pd
+
+    from flink_net_spark.tables import load_table as _lt
+
+    cust = _lt(spark, sf_dir, "customer").select("c_custkey")
+    orders = _lt(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        tp = int(left["o_totalprice"].mul(100).round().astype("int64").sum()) if len(left) else 0
+        return pd.DataFrame(
+            {
+                "custkey": [key[0]],
+                "n_orders": [len(left)],
+                "total_price_c": [tp],
+                "n_customer_rows": [len(right)],
+            }
+        )
+
+    out = (
+        orders.groupby("o_custkey")
+        .cogroup(cust.groupby("c_custkey"))
+        .applyInPandas(
+            merge,
+            "custkey bigint, n_orders bigint, total_price_c bigint, n_customer_rows bigint",
+        )
+    )
+    return out.orderBy("custkey")
