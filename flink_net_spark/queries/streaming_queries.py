@@ -641,3 +641,60 @@ def stream_batch_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.orderBy("event_type")
+
+
+@query(
+    "stream_cdc_upsert_snapshot",
+    oracle="""
+    SELECT user_id,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           event_type               AS last_event_type,
+           ROUND(value, 2)          AS last_value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def stream_cdc_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC materialization end-to-end: the event stream is treated as a
+    keyed changelog (event_id = the LSN), drained through
+    ``sinks.UpsertSink`` — per-batch argmax compaction, snapshot merge that
+    tolerates out-of-order delivery, versioned atomic publish, batchId
+    replay skip — and the FINAL PUBLISHED SNAPSHOT is hash-checked against
+    the batch argmax truth.  This gates the materialized-view maintenance
+    path itself (≙ the reference's keyed-state Redis sink,
+    RedisIncrementSinkFunction.cs:1, as an upsert sink on a retract
+    stream), not just its unit pieces.
+
+    Scale: per-batch compaction is a keyed window over batch rows; the
+    merge is one keyed shuffle against the snapshot (≙ MERGE INTO on a
+    Delta/Iceberg table, where only touched files rewrite).
+    """
+    from flink_net_spark.sinks import UpsertSink, run_to_completion
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.col("value")
+    )
+    out_dir = tempfile.mkdtemp(prefix="fns_cdc_snap_")
+    ckpt = tempfile.mkdtemp(prefix="fns_cdc_ckpt_")
+    sink = UpsertSink(out_dir, ("user_id",), "event_id")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_completion(sink.writer(ev, ckpt))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        sink.snapshot(spark)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
