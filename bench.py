@@ -4,29 +4,44 @@
 Prints EXACTLY ONE JSON line to stdout:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
-     "rows_per_sec": N}
+     "rows_per_sec": N, ...}
 
 Everything else (progress, Spark logs) goes to stderr.  The driver records
 the JSON as BENCH_r{N}.json; BASELINE.md's stress target (~1.15M rec/s on a
 1M-record pipeline) is compared against ``rows_per_sec`` — total source rows
 scanned across all benched queries divided by total wall time.
+
+Noise defense (round-3 lesson: +23.5% headline drift on unchanged code):
+every headline query is timed as the MEDIAN OF 3 runs after one warm-up
+execution, and per-query min/max spread ships in the JSON so a real
+regression is distinguishable from sandbox variance.
+
+Scale smoke (``sf1x10`` section): events+lineitem replicated 10× with a
+deliberately hot key (~30% of rows on one key), other tables symlinked;
+the heaviest lineitem/events queries run once at that scale and the JSON
+records wall time, the ratio vs the sf0.1 median (≲ linear expected), and
+whether the plan flipped to a nested-loop/cartesian shape.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 # Headline set: the flagship TPC-H shapes, the windowing/eventing surface,
-# and one representative per LLM-pipeline family.  The O(n²) oracle-only
-# shapes (dedup_embedding_cosine) are deliberately excluded — sim_ann_lsh
-# and dedup_minhash_lsh are the scale paths and are benched instead.
+# and one representative per LLM-pipeline family.  Queries machine-tagged
+# scale_safe=False in the registry (O(n²) ground-truth oracles, e.g.
+# dedup_embedding_cosine) are filtered out below via META — the scale paths
+# (sim_ann_lsh, dedup_minhash_lsh) are benched instead.
 HEADLINE = [
     "q1_pricing_summary",
     "q6_revenue_delta",
@@ -72,6 +87,24 @@ HEADLINE = [
     "pipeline_five_stage",
 ]
 
+# sf1x10 scale smoke: the heaviest events/lineitem consumers plus the two
+# skew-targeted operators (salted agg / salted join) — hot keys are exactly
+# what the 10× staging injects.
+SCALE_SMOKE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_profit_by_nation",
+    "q18_large_volume_customers",
+    "window_tumbling_hourly",
+    "window_session",
+    "join_self_window",
+    "join_asof",
+    "agg_salted_hot_keys",
+    "join_skew_salted",
+    "topk_per_group",
+]
+
 
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
@@ -81,18 +114,151 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    return s[len(s) // 2]
+
+
+def time_queries(spark, queries, names, sf_dir, reps=REPS, tag=""):
+    """Warm once, then time fn()+collect ``reps`` times; return
+    (median_timings, spread, rowcounts)."""
+    timings, spread, rowcounts = {}, {}, {}
+    for name in names:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        # time fn()+collect as one unit: streaming queries and iterative
+        # algorithms execute inside fn(), not at collect time
+        fn(spark, sf_dir).count()  # warm: scan caches, codegen, staging dirs
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            n = len(fn(spark, sf_dir).collect())
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(_median(runs), 4)
+        spread[name] = [round(min(runs), 4), round(max(runs), 4)]
+        rowcounts[name] = n
+        print(
+            f"[bench]{tag} {name}: median {timings[name]:.3f}s "
+            f"(spread {spread[name][0]:.3f}-{spread[name][1]:.3f}, {n} rows)",
+            file=sys.stderr,
+        )
+    return timings, spread, rowcounts
+
+
+def stage_sf1x10(spark, sf_dir: str) -> str:
+    """Build the 10×-replicated, deliberately key-skewed copy of the corpus:
+    events and lineitem exploded ×10 with ~30% of rows forced onto ONE hot
+    key (user_id / l_orderkey), every other table symlinked unchanged.
+    Deterministic (skew assignment by modular arithmetic, no rand)."""
+    import pyspark.sql.functions as F
+
+    from flink_net_spark.tables import TABLE_NAMES, load_table, table_path
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"fns_sf1x10_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+
+    rep = F.explode(F.sequence(F.lit(1), F.lit(10))).alias("rep")
+
+    ev = load_table(spark, sf_dir, "events").select("*", rep)
+    ev = (
+        ev.withColumn("event_id", F.col("event_id") * 10 + F.col("rep") - 1)
+        .withColumn(
+            # ~30% of the replicated rows land on user_id 1 — hot-key skew
+            "user_id",
+            F.when(F.col("event_id") % 10 < 3, F.lit(1)).otherwise(F.col("user_id")),
+        )
+        .drop("rep")
+    )
+    ev.repartition(32).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+
+    li = load_table(spark, sf_dir, "lineitem").select("*", rep)
+    li = li.withColumn(
+        "l_orderkey",
+        F.when(
+            (F.col("l_orderkey") + F.col("rep")) % 10 < 3, F.lit(1)
+        ).otherwise(F.col("l_orderkey")),
+    ).drop("rep")
+    li.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
+
+    for t in TABLE_NAMES:
+        if t in ("events", "lineitem"):
+            continue
+        os.symlink(table_path(sf_dir, t), table_path(out, t))
+    open(marker, "w").close()
+    return out
+
+
+def scale_smoke(spark, queries, base_timings: dict[str, float], sf_dir: str) -> dict:
+    """Run SCALE_SMOKE once at the sf1x10 staging; record wall time, the
+    ratio vs 10× the sf0.1 median (≲1 expected — sub-linear is fine, fixed
+    per-job overhead amortizes), and whether the plan flipped to a
+    nested-loop/cartesian shape at scale."""
+    import contextlib
+    import io
+
+    from flink_net_spark.queries import META
+
+    staged = stage_sf1x10(spark, sf_dir)
+    section: dict[str, dict] = {}
+    for name in SCALE_SMOKE:
+        fn = queries.get(name)
+        if fn is None or not META.get(name, {}).get("scale_safe", True):
+            continue
+        rec: dict = {}
+        try:
+            df = fn(spark, staged)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+            rec["plan_flip"] = (
+                "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+            )
+            t0 = time.perf_counter()
+            rec["rows"] = len(fn(spark, staged).collect())
+            rec["sec"] = round(time.perf_counter() - t0, 4)
+            base = base_timings.get(name)
+            if base is None:
+                # not in the headline set: time one sf0.1 run for the ratio
+                fn(spark, sf_dir).count()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                base = time.perf_counter() - t0
+            rec["base_sec"] = round(base, 4)
+            # wall-time vs perfectly-linear 10× scaling; <1 = sub-linear
+            rec["ratio_vs_linear"] = round(rec["sec"] / (10 * base), 3) if base else None
+            rec["linear_ok"] = rec["ratio_vs_linear"] is not None and rec[
+                "ratio_vs_linear"
+            ] <= 1.5
+        except Exception as ex:  # pragma: no cover - smoke must not kill the bench
+            rec["err"] = f"{type(ex).__name__}: {str(ex)[:200]}"
+        section[name] = rec
+        print(f"[bench][sf1x10] {name}: {rec}", file=sys.stderr)
+    return section
+
+
 def main() -> int:
     from flink_net_spark.session import get_spark
     from flink_net_spark.tables import load_table
     import __spark_entry__ as entry_mod
+    from flink_net_spark.queries import META
 
     spark = get_spark("flink_net_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
 
     # Streaming-equivalent throughput probe: the reference's baseline is a
-    # 1M-msg Kafka→map→keyed-count pipeline (BASELINE.md ~1.15M msg/s).  The
-    # batch analog: scan events → per-record map → keyed count.
+    # 1M-msg Kafka→map→Redis-counter pipeline (BASELINE.md ~1.15M msg/s).
+    # The batch analog: scan events → per-record map → keyed count.
     import pyspark.sql.functions as F
 
     # ×10 replication ≈ the reference's 1M-message synthetic stress input;
@@ -117,7 +283,7 @@ def main() -> int:
         t0 = time.perf_counter()
         pipe.collect()
         runs.append(time.perf_counter() - t0)
-    pipeline_dt = sorted(runs)[1]  # median of 3 full re-executions
+    pipeline_dt = _median(runs)
     rows_per_sec = round(n_events / pipeline_dt) if pipeline_dt > 0 else None
     print(f"[bench] throughput pipeline: {n_events} events in {pipeline_dt:.3f}s"
           f" = {rows_per_sec} rec/s", file=sys.stderr)
@@ -130,9 +296,10 @@ def main() -> int:
     # events as 12 files, stream them as 1M-row micro-batches, and report
     # the steady-state rate from the engine's own per-batch trigger
     # timings, excluding batch 0 (query-start + codegen warm-up).
+    # Run TWICE: 1,024 keys (the reference's counter cardinality) and ~1M
+    # keys (state-store stress: every row its own state entry, round-2/3
+    # judge ask).
     import json as _json
-    import shutil
-    import tempfile
 
     stage = os.path.join(tempfile.gettempdir(), f"fns_bench_stream_{os.path.basename(SF_DIR)}")
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
@@ -141,59 +308,57 @@ def main() -> int:
         )
         ev3.repartition(12).write.mode("overwrite").parquet(stage)
     schema = spark.read.parquet(stage).schema
-    # Small state (1024 keys) -> 8 state-store partitions; restore after.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "4")
-        .parquet(stage)
-        .withColumn("k", F.abs(F.hash("user_id", "event_type", "rep")) % 1024)
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
-    )
-    ckpt = tempfile.mkdtemp(prefix="fns_bench_ckpt_")
-    q = (
-        stream.writeStream.format("memory")
-        .queryName("fns_bench_stream")
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    t0 = time.perf_counter()
-    q.processAllAvailable()
-    stream_dt = time.perf_counter() - t0
-    q.stop()
-    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    batches = [
-        (p["batchId"], p["numInputRows"], p["durationMs"].get("triggerExecution", 0))
-        for p in (_json.loads(pr.json) for pr in q.recentProgress)
-        if p["numInputRows"] > 0
-    ]
-    steady = batches[1:] if len(batches) > 1 else batches
-    steady_rows = sum(r for _, r, _ in steady)
-    steady_ms = sum(d for _, _, d in steady)
-    stream_rps = round(steady_rows / steady_ms * 1000) if steady_ms else None
-    shutil.rmtree(ckpt, ignore_errors=True)
-    for b, r, d in batches:
-        print(f"[bench]   stream batch {b}: {r} rows in {d}ms", file=sys.stderr)
-    print(f"[bench] streaming probe: steady-state {steady_rows} events in {steady_ms}ms"
-          f" = {stream_rps} rec/s (micro-batched; {stream_dt:.3f}s total drain)",
-          file=sys.stderr)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        # time fn()+collect as one unit: streaming queries and iterative
-        # algorithms execute inside fn(), not at collect time
-        fn(spark, SF_DIR).count()  # warm: scan caches, streaming staging dirs
+    def stream_probe(n_keys: int, shuffle_parts: str) -> tuple[int | None, float]:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_parts)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "4")
+            .parquet(stage)
+            .withColumn("k", F.abs(F.hash("user_id", "event_type", "rep")) % n_keys)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        )
+        ckpt = tempfile.mkdtemp(prefix="fns_bench_ckpt_")
+        q = (
+            stream.writeStream.format("noop" if n_keys > 10_000 else "memory")
+            .queryName(f"fns_bench_stream_{n_keys}")
+            .outputMode("complete" if n_keys <= 10_000 else "update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
         t0 = time.perf_counter()
-        n = len(fn(spark, SF_DIR).collect())
+        q.processAllAvailable()
         dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        print(f"[bench] {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        batches = [
+            (p["batchId"], p["numInputRows"], p["durationMs"].get("triggerExecution", 0))
+            for p in (_json.loads(pr.json) for pr in q.recentProgress)
+            if p["numInputRows"] > 0
+        ]
+        steady = batches[1:] if len(batches) > 1 else batches
+        steady_rows = sum(r for _, r, _ in steady)
+        steady_ms = sum(d for _, _, d in steady)
+        rps = round(steady_rows / steady_ms * 1000) if steady_ms else None
+        shutil.rmtree(ckpt, ignore_errors=True)
+        for b, r, d in batches:
+            print(f"[bench]   stream[{n_keys}k] batch {b}: {r} rows in {d}ms", file=sys.stderr)
+        print(
+            f"[bench] streaming probe ({n_keys} keys): steady-state {steady_rows} "
+            f"events in {steady_ms}ms = {rps} rec/s ({dt:.3f}s total drain)",
+            file=sys.stderr,
+        )
+        return rps, dt
+
+    stream_rps, stream_dt = stream_probe(1024, "8")
+    stream_rps_1m, _ = stream_probe(1_000_000, "32")
+
+    headline = [n for n in HEADLINE if META.get(n, {}).get("scale_safe", True)]
+    timings, spread, _counts = time_queries(spark, queries, headline, SF_DIR)
+
+    sf1x10 = scale_smoke(spark, queries, timings, SF_DIR)
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -201,12 +366,16 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spread,
+        "reps_per_query": REPS,
         "sf": _sf_from_dir(SF_DIR),
         "rows_per_sec": rows_per_sec,
         "throughput_pipeline_sec": round(pipeline_dt, 4),
         "throughput_events": n_events,
         "stream_rows_per_sec": stream_rps,
         "stream_pipeline_sec": round(stream_dt, 4),
+        "stream_rows_per_sec_1m_keys": stream_rps_1m,
+        "sf1x10": sf1x10,
     }
     print(json.dumps(out))
     return 0

@@ -8,11 +8,14 @@ registers ``byte[]`` as a first-class record type).
 
 Decode/feature-extract run as Arrow-batched ``mapInPandas`` — the payload
 bytes stay executor-side, one Arrow batch per partition slice, never
-row-at-a-time and never on the driver.  Real codecs (PIL/ffmpeg) are NOT in
-this container: ``decode_image`` is gated behind an import-try and raises
-``NotImplementedError`` without it; ``fake_decode_stats`` is the
-deterministic stand-in that exercises the identical plumbing (schema,
-partitioning, UDF signature, batch shape) and is what tests/queries use.
+row-at-a-time and never on the driver.  Real codecs are a live hook:
+``decode_image`` / ``resize_image`` / ``frame_sample`` import-try PIL / av
+INSIDE the UDF (so availability is decided per executor, not on the
+driver) and fall back per row to the deterministic FNSB-container maths —
+one static output schema either way, with a ``codec`` column recording
+which path each row took.  ``fake_decode_stats`` / ``fake_resize`` /
+``fake_frame_sample`` are the fallback maths exposed directly (stable
+oracles regardless of installed codecs) and are what oracle queries use.
 
 Scale: payload columns dominate bytes at 100 TB — keep them OUT of shuffles
 (derive features first, then drop the payload before any groupBy/join; all
@@ -56,20 +59,77 @@ def attach_payloads(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload"):
-    """REAL image decode — requires an image codec library.
+def decode_image(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Image decode via Arrow-batched ``mapInPandas`` with a REAL codec hook.
 
-    The container ships no PIL/opencv/ffmpeg; this is the clearly-marked
-    stub demanded by the build brief.  The deterministic plumbing-equivalent
-    is :func:`fake_decode_stats`."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - always taken in this env
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "use fake_decode_stats() for the plumbing-identical deterministic path"
-        ) from exc
-    raise NotImplementedError("real decode path reserved for codec-equipped clusters")
+    The codec is probed EXECUTOR-SIDE (import-try inside the UDF), so on a
+    heterogeneous cluster each task uses whatever is installed where it
+    runs.  Per row:
+
+    - PIL importable and the payload is a decodable image → real decode:
+      ``width``/``height`` from the codec, ``body_checksum``/``body_bytes``
+      over the decoded pixel buffer, ``codec = 'pil:<format>'``.
+    - otherwise → the deterministic FNSB-container parse (identical maths to
+      :func:`fake_decode_stats`), ``codec = 'fns'`` (or ``'raw'`` when the
+      magic header is absent).
+
+    The output schema is identical on every path — required anyway by
+    ``mapInPandas``'s static schema, and it means a job built against the
+    synthetic corpus runs unchanged on real images."""
+    from flink_net_spark.session import ship_package_to_executors
+
+    ship_package_to_executors(df.sparkSession)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        try:
+            import PIL.Image as _Image  # real codec, when present on this executor
+        except ImportError:
+            _Image = None
+        for pdf in batches:
+            ids, widths, heights, sums, sizes, codecs = [], [], [], [], [], []
+            for i, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(raw)
+                ids.append(int(i))
+                if _Image is not None:
+                    try:
+                        img = _Image.open(io.BytesIO(b))
+                        img.load()
+                        px = img.tobytes()
+                        widths.append(int(img.size[0]))
+                        heights.append(int(img.size[1]))
+                        sums.append(int(sum(px) % 1_000_000_007))
+                        sizes.append(len(px))
+                        codecs.append("pil:" + (img.format or "unknown").lower())
+                        continue
+                    except Exception:
+                        pass  # not a real image — deterministic container path
+                ok = b[:4] == PAYLOAD_MAGIC
+                widths.append(int(b[4:8]) if ok else -1)
+                heights.append(int(b[8:12]) if ok else -1)
+                body = b[HEADER_LEN:] if ok else b
+                sums.append(int(sum(body) % 1_000_000_007))
+                sizes.append(len(body))
+                codecs.append("fns" if ok else "raw")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": widths,
+                    "height": heights,
+                    "body_checksum": sums,
+                    "body_bytes": sizes,
+                    "codec": codecs,
+                }
+            )
+
+    return df.mapInPandas(
+        decode,
+        "doc_id BIGINT, width INT, height INT, body_checksum BIGINT, "
+        "body_bytes INT, codec STRING",
+    )
 
 
 def fake_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -131,13 +191,56 @@ def payload_features(df: DataFrame, dim: int = 16, id_col: str = "doc_id") -> Da
     return df.mapInPandas(extract, f"doc_id BIGINT, features ARRAY<FLOAT>")
 
 
-def frame_sample(df: DataFrame, every_n: int = 10):
-    """Video frame sampling with a REAL codec — requires ffmpeg/pyav.
-    Gated stub per brief; ``fake_frame_sample`` exercises identical
-    plumbing (bytes in → one row per sampled frame out)."""
-    raise NotImplementedError(
-        "video codecs not available in this environment; the mapInPandas "
-        "pattern is identical to fake_frame_sample (bytes in, frame rows out)"
+def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """Video frame sampling (1 clip row → N frame rows) with a REAL codec
+    hook: ``av`` (PyAV/ffmpeg) is import-tried EXECUTOR-SIDE per task; rows
+    it can demux get every ``every_n``-th decoded video frame (checksum over
+    the frame's plane bytes, ``codec='av'``); everything else takes the
+    deterministic FNSB path (``FRAME_BYTES``-sized pseudo-frames, identical
+    maths to :func:`fake_frame_sample`, ``codec='fns'``).  One static output
+    schema on both paths."""
+    from flink_net_spark.session import ship_package_to_executors
+
+    ship_package_to_executors(df.sparkSession)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        try:
+            import av as _av  # real demuxer/decoder, when present on this executor
+        except ImportError:
+            _av = None
+        for pdf in batches:
+            ids, idxs, sums, codecs = [], [], [], []
+            for i, raw in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(raw)
+                if _av is not None:
+                    try:
+                        with _av.open(io.BytesIO(b)) as container:
+                            for k, frame in enumerate(container.decode(video=0)):
+                                if k % every_n:
+                                    continue
+                                buf = bytes(frame.planes[0])
+                                ids.append(int(i))
+                                idxs.append(k)
+                                sums.append(int(sum(buf) % 1_000_000_007))
+                                codecs.append("av")
+                        continue
+                    except Exception:
+                        pass  # not a real video — deterministic container path
+                body = b[HEADER_LEN:] if b[:4] == PAYLOAD_MAGIC else b
+                for k in range(0, len(body) // FRAME_BYTES, every_n):
+                    frame_b = body[k * FRAME_BYTES : (k + 1) * FRAME_BYTES]
+                    ids.append(int(i))
+                    idxs.append(k)
+                    sums.append(int(sum(frame_b)))
+                    codecs.append("fns")
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_index": idxs, "checksum": sums, "codec": codecs}
+            )
+
+    return df.mapInPandas(
+        sample, "doc_id BIGINT, frame_index INT, checksum BIGINT, codec STRING"
     )
 
 
@@ -176,12 +279,63 @@ def fake_frame_sample(
     return df.mapInPandas(sample, "doc_id BIGINT, frame_index INT, checksum BIGINT")
 
 
-def resize_image(df: DataFrame, width: int, height: int):
-    """REAL image resize — requires an image codec.  Gated stub per brief;
-    ``fake_resize`` exercises identical plumbing."""
-    raise NotImplementedError(
-        "image codecs not available in this environment; the mapInPandas "
-        "pattern is identical to fake_resize (bytes in, smaller bytes out)"
+def resize_image(
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Image resize to (``width``, ``height``) with a REAL codec hook: PIL
+    is import-tried EXECUTOR-SIDE; decodable rows are resampled and
+    re-encoded as PNG (``codec='pil'``); non-image rows take the
+    deterministic path — FNSB header rewritten to the target dims, body
+    byte-stride-downsampled (``codec='fns'``).  Bytes-in/bytes-out, payload
+    stays executor-side, one static output schema on both paths."""
+    from flink_net_spark.session import ship_package_to_executors
+
+    ship_package_to_executors(df.sparkSession)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        try:
+            import PIL.Image as _Image
+        except ImportError:
+            _Image = None
+        for pdf in batches:
+            ids, payloads, widths, heights, codecs = [], [], [], [], []
+            for i, raw in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(raw)
+                ids.append(int(i))
+                if _Image is not None:
+                    try:
+                        img = _Image.open(io.BytesIO(b))
+                        img.load()
+                        out = io.BytesIO()
+                        img.resize((width, height)).save(out, format="PNG")
+                        payloads.append(out.getvalue())
+                        widths.append(width)
+                        heights.append(height)
+                        codecs.append("pil")
+                        continue
+                    except Exception:
+                        pass  # not a real image — deterministic container path
+                ok = b[:4] == PAYLOAD_MAGIC
+                body = (b[HEADER_LEN:] if ok else b)[::2]
+                header = PAYLOAD_MAGIC + b"%04d%04d" % (width, height)
+                payloads.append(header + body)
+                widths.append(width)
+                heights.append(height)
+                codecs.append("fns" if ok else "raw")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "width": widths,
+                    "height": heights,
+                    "codec": codecs,
+                }
+            )
+
+    return df.mapInPandas(
+        resize, "doc_id BIGINT, payload BINARY, width INT, height INT, codec STRING"
     )
 
 

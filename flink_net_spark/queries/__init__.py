@@ -26,9 +26,16 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, SparkQuery] = {}
 ORACLES: dict[str, str] = {}
+# Machine-readable per-query metadata.  ``scale_safe=False`` marks queries
+# that are deliberately O(n²)/driver-bounded GROUND-TRUTH shapes (oracles for
+# an approximate scale path) — bench harnesses, samplers, and plan audits
+# consult this instead of hand-maintained exclusion lists.
+META: dict[str, dict] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQuery]:
+def query(
+    name: str, oracle: str | None = None, *, scale_safe: bool = True
+) -> Callable[[SparkQuery], SparkQuery]:
     """Register a query (and its DuckDB oracle SQL) under ``name``."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
@@ -37,6 +44,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        META[name] = {"scale_safe": scale_safe}
         return fn
 
     return deco

@@ -444,6 +444,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding_cosine",
+    scale_safe=False,
     oracle=f"""
     WITH e AS (
         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,

@@ -42,6 +42,7 @@ _DOT = "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
 
 @query(
     "sim_cosine_topk",
+    scale_safe=False,
     oracle=f"""
     WITH e AS (
         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,

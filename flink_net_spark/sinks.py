@@ -59,17 +59,44 @@ def parquet_sink(df: DataFrame, path: str, checkpoint: str, mode: str = "append"
     )
 
 
-def kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str) -> DataStreamWriter:
+def kafka_sink_options(
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    producer_overrides: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The EXACT option map applied to the Kafka stream writer — pure
+    function so the producer contract is testable without a broker
+    (≙ KafkaSinkFunction.cs:13-90 config assembly).  ``kafka.*``-prefixed
+    overrides reach the underlying producer config verbatim (the
+    reference's ProducerConfig surface)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+    for k, v in (producer_overrides or {}).items():
+        opts[k if k.startswith("kafka.") else f"kafka.{k}"] = v
+    return opts
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    producer_overrides: dict[str, str] | None = None,
+) -> DataStreamWriter:
     """≙ KafkaSinkFunction.cs:13-90.  df must expose key/value columns.
     Exactly-once to Kafka = checkpointed offsets + idempotent producer
     (the reference's TransactionalId path maps to Kafka transactions which
     Spark's sink does not open; dedup-on-read or idempotent keys cover it)."""
-    return (
-        df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
-    )
+    writer = df.writeStream.format("kafka")
+    for k, v in kafka_sink_options(
+        bootstrap_servers, topic, checkpoint, producer_overrides
+    ).items():
+        writer = writer.option(k, v)
+    return writer
 
 
 class ForeachSinkAdapter:

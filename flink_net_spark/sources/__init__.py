@@ -109,20 +109,81 @@ class KafkaSource:
     bounded: bool = False
     options: dict[str, str] = field(default_factory=dict)
 
+    def reader_options(self) -> dict[str, str]:
+        """The EXACT option map applied to the (batch or stream) reader —
+        a pure function so the consumer-group / offset contract is testable
+        without a broker (≙ KafkaSourceBuilder's config assembly,
+        KafkaSourceFunction.cs:261).  ``kafka.*``-prefixed passthrough
+        options reach the underlying consumer config verbatim."""
+        opts = {
+            "kafka.bootstrap.servers": self.bootstrap_servers,
+            "subscribe": self.topics,
+            "startingOffsets": self.starting_offsets,
+        }
+        if self.bounded:
+            opts["endingOffsets"] = self.ending_offsets or "latest"
+        if self.group_id_prefix:
+            opts["groupIdPrefix"] = self.group_id_prefix
+        opts.update(self.options)
+        return opts
+
     def load(self, spark: SparkSession) -> DataFrame:
         reader = (spark.read if self.bounded else spark.readStream).format("kafka")
-        reader = (
-            reader.option("kafka.bootstrap.servers", self.bootstrap_servers)
-            .option("subscribe", self.topics)
-            .option("startingOffsets", self.starting_offsets)
-        )
-        if self.bounded:
-            reader = reader.option("endingOffsets", self.ending_offsets or "latest")
-        if self.group_id_prefix:
-            reader = reader.option("groupIdPrefix", self.group_id_prefix)
-        for k, v in self.options.items():
+        for k, v in self.reader_options().items():
             reader = reader.option(k, v)
         return reader.load()
+
+    @classmethod
+    def from_checkpoint(
+        cls, checkpoint_dir: str, bootstrap_servers: str, topics: str, **kwargs
+    ) -> "KafkaSource":
+        """Resume consumption from a query checkpoint's committed offsets
+        (≙ FlinkKafkaConsumerGroup.RestoreFromCheckpointAsync,
+        FlinkKafkaConsumerGroup.cs:20): parse the latest entry of the
+        checkpoint's offset log and use it as ``startingOffsets``."""
+        return cls(
+            bootstrap_servers,
+            topics,
+            starting_offsets=starting_offsets_from_checkpoint(checkpoint_dir),
+            **kwargs,
+        )
+
+
+def starting_offsets_from_checkpoint(checkpoint_dir: str) -> str:
+    """Extract the latest Kafka source offsets from a Structured Streaming
+    checkpoint as a ``startingOffsets`` JSON string.
+
+    Spark's offset log (``<ckpt>/offsets/<batchId>``) is line-oriented:
+    ``v1`` header, one metadata JSON line, then one offset JSON per source —
+    for the Kafka source that JSON is exactly the
+    ``{"topic":{"partition":offset}}`` shape ``startingOffsets`` accepts, so
+    restore is a parse + passthrough (the same contract the reference
+    implements by seeking the consumer group,
+    FlinkKafkaConsumerGroup.cs:20-100)."""
+    import json as _json
+
+    offsets_dir = os.path.join(checkpoint_dir, "offsets")
+    batches = [f for f in os.listdir(offsets_dir) if f.isdigit()]
+    if not batches:
+        raise FileNotFoundError(f"no offset log entries under {offsets_dir}")
+    latest = os.path.join(offsets_dir, max(batches, key=int))
+    with open(latest) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    if not lines or not lines[0].startswith("v"):
+        raise ValueError(f"unrecognized offset log header in {latest}")
+    for ln in lines[1:]:
+        if ln == "-":  # source with no offset yet
+            continue
+        try:
+            parsed = _json.loads(ln)
+        except ValueError:
+            continue
+        # the kafka source offset: {topic: {partition: offset}}
+        if isinstance(parsed, dict) and all(
+            isinstance(v, dict) for v in parsed.values()
+        ) and parsed and "batchWatermarkMs" not in parsed:
+            return _json.dumps(parsed, sort_keys=True)
+    raise ValueError(f"no kafka source offsets found in {latest}")
 
 
 def source_to_counter(source_df: DataFrame, counter_dir: str, checkpoint: str):

@@ -61,8 +61,27 @@ def _canon_rows(rows, colnames):
     return out
 
 
+def assert_flat_schema(df, name: str = "?"):
+    """Driver-canonicalizer guard: the driver value-hashes collected cells,
+    and a final schema containing arrays/maps/structs is the exact r02
+    ``unhashable type: 'list'`` crash class.  Every registered query must
+    emit only flat columns (join arrays to strings, flatten structs)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-flat final columns {bad} would crash the driver's "
+        "canonicalizer — array_join/flatten them before returning"
+    )
+
+
 def assert_matches_oracle(spark, duck, spark_fn, oracle: str, name: str = "?"):
     sdf = spark_fn(spark, SF_DIR)
+    assert_flat_schema(sdf, name)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 

@@ -81,14 +81,64 @@ def test_payload_features_shape(spark):
     )
 
 
-def test_codec_stubs_are_marked(spark):
-    """Real decode paths raise NotImplementedError in this container (the
-    brief's clearly-marked stub), never silently fake."""
-    d = attach_payloads(load_table(spark, SF_DIR, "documents").limit(1))
-    with pytest.raises(NotImplementedError, match="codec"):
-        decode_image(d)
-    with pytest.raises(NotImplementedError, match="codec"):
-        frame_sample(d)
+def test_decode_image_fallback_matches_fake(spark):
+    """Without PIL on the executors (this container), decode_image must take
+    the deterministic FNSB path and agree byte-for-byte with
+    fake_decode_stats, with the codec column recording the path."""
+    d = attach_payloads(load_table(spark, SF_DIR, "documents").limit(100))
+    real = {r.doc_id: r for r in decode_image(d).collect()}
+    fake = {r.doc_id: r for r in fake_decode_stats(d).collect()}
+    assert real.keys() == fake.keys()
+    for i, r in real.items():
+        f = fake[i]
+        assert (r.width, r.height, r.body_checksum, r.body_bytes) == (
+            f.width,
+            f.height,
+            f.body_checksum,
+            f.body_bytes,
+        )
+        # FNSB payloads are not decodable images, so even with PIL installed
+        # every row must land on the deterministic path
+        assert r.codec == "fns"
+
+
+def test_frame_sample_fallback_matches_fake(spark):
+    from flink_net_spark.operators.multimodal import fake_frame_sample
+
+    d = attach_payloads(load_table(spark, SF_DIR, "documents").limit(50))
+    real = sorted(
+        (r.doc_id, r.frame_index, r.checksum) for r in frame_sample(d, every_n=4).collect()
+    )
+    fake = sorted(
+        (r.doc_id, r.frame_index, r.checksum) for r in fake_frame_sample(d, every_n=4).collect()
+    )
+    assert real == fake
+
+
+def test_resize_image_targets_requested_dims(spark):
+    from flink_net_spark.operators.multimodal import resize_image
+
+    d = attach_payloads(load_table(spark, SF_DIR, "documents").limit(20))
+    rows = resize_image(d, 32, 24).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert (r.width, r.height) == (32, 24)
+        if r.codec == "fns":
+            assert bytes(r.payload)[:12] == b"FNSB00320024"
+
+
+def test_decode_image_real_pil_path(spark):
+    """Real codec path — runs wherever PIL is installed, skips here."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (8, 6), color=(1, 2, 3)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id BIGINT, payload BINARY")
+    row = decode_image(df).collect()[0]
+    assert (row.width, row.height, row.codec) == (8, 6, "pil:png")
+    assert row.body_bytes == 8 * 6 * 3
 
 
 def test_fake_resize_halves_dims_and_body(spark):

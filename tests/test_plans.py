@@ -36,8 +36,8 @@ from tests.conftest import SF_DIR
 #   sim_ann_ivf            — 16-row broadcast centroid dim join (coarse
 #     quantizer assignment; candidate join itself is equi on cent_id).
 NESTED_LOOP_ALLOWED = {
-    "dedup_embedding_cosine",
-    "sim_cosine_topk",
+    # dedup_embedding_cosine / sim_cosine_topk are pulled in below from the
+    # registry's scale_safe=False tag rather than listed by hand.
     "sim_ann_lsh",
     "sim_ann_multiprobe",
     "dedup_embedding_ann",
@@ -51,6 +51,12 @@ NESTED_LOOP_ALLOWED = {
     "emb_kmeans_assign",
     "emb_kmeans_iterate",
 }
+
+# Queries machine-tagged as deliberate non-scale-safe ground truth (META)
+# are allowed their O(n²) shape by construction.
+from flink_net_spark.queries import META  # noqa: E402
+
+NESTED_LOOP_ALLOWED |= {n for n, m in META.items() if not m["scale_safe"]}
 
 
 def plan_of(df) -> str:
@@ -71,8 +77,33 @@ def batch_queries():
 
 
 @pytest.fixture(scope="module")
-def plans(spark):
-    return {name: plan_of(fn(spark, SF_DIR)) for name, fn in batch_queries().items()}
+def batch_dfs(spark):
+    return {name: fn(spark, SF_DIR) for name, fn in batch_queries().items()}
+
+
+@pytest.fixture(scope="module")
+def plans(batch_dfs):
+    return {name: plan_of(df) for name, df in batch_dfs.items()}
+
+
+def test_all_batch_queries_have_flat_final_schema(batch_dfs):
+    """The r02 driver crash class: a registered query whose FINAL schema
+    contains ArrayType/MapType/StructType breaks the driver's value-hash
+    canonicalizer.  Guard every batch query's declared schema (stream_*
+    queries get the same assertion at execution time in
+    tests/test_queries_oracle.py)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = {
+        name: [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        for name, df in batch_dfs.items()
+    }
+    bad = {k: v for k, v in bad.items() if v}
+    assert not bad, f"non-flat final schemas: {bad}"
 
 
 def test_no_unexpected_nested_loop_join(plans):

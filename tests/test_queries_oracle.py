@@ -9,8 +9,8 @@ from __future__ import annotations
 
 import pytest
 
-from flink_net_spark.queries import ORACLES, QUERIES
-from tests.conftest import SF_DIR, assert_matches_oracle
+from flink_net_spark.queries import META, ORACLES, QUERIES
+from tests.conftest import SF_DIR, assert_flat_schema, assert_matches_oracle
 
 WITH_ORACLE = sorted(n for n in QUERIES if n in ORACLES)
 WITHOUT_ORACLE = sorted(n for n in QUERIES if n not in ORACLES)
@@ -25,4 +25,15 @@ def test_query_matches_oracle(spark, duck, name):
 def test_query_smoke(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.columns, f"{name}: no columns"
+    assert_flat_schema(df, name)
     assert df.count() >= 0
+
+
+def test_registry_metadata_complete():
+    """Every registered query carries machine-readable metadata, and the
+    deliberate O(n²) ground-truth shapes are tagged ``scale_safe=False`` so
+    bench harnesses / samplers / plan audits can honor the tag instead of
+    hand-maintained exclusion lists."""
+    assert set(META) == set(QUERIES)
+    not_scale_safe = {n for n, m in META.items() if not m["scale_safe"]}
+    assert not_scale_safe == {"dedup_embedding_cosine", "sim_cosine_topk"}
