@@ -10,11 +10,12 @@ list jobs, job detail, metrics, stop, cancel, checkpoints) re-expressed over
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import SparkSession
-from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
 from pyspark.sql.streaming.listener import StreamingQueryListener
 
 
@@ -64,6 +65,28 @@ class JobClient:
         return self.query.exception()
 
 
+@dataclass
+class JobSpec:
+    """Restartable job definition ≙ the submit payload of POST /jobs
+    (JobManagerController.cs:140): a ``build`` callable that reconstructs
+    the stream's writer from the session, plus the checkpoint directory
+    that carries the job's progress (source offsets + operator state).
+    Holding the *recipe* rather than a live query is what makes
+    restart-from-checkpoint a first-class operation."""
+
+    name: str
+    checkpoint: str
+    build: Callable[[SparkSession], DataStreamWriter]
+
+    def start(self, spark: SparkSession) -> JobClient:
+        writer = (
+            self.build(spark)
+            .queryName(self.name)
+            .option("checkpointLocation", self.checkpoint)
+        )
+        return JobClient(writer.start())
+
+
 class JobManager:
     """≙ JobManagerController collection endpoints (list/overview)."""
 
@@ -81,6 +104,43 @@ class JobManager:
     def stop_all(self) -> None:
         for q in self.spark.streams.active:
             q.stop()
+
+    def submit(self, spec: JobSpec) -> JobClient:
+        """≙ POST /jobs (JobManagerController.cs:140)."""
+        return spec.start(self.spark)
+
+    def restart(
+        self, spec: JobSpec, new_shuffle_partitions: int | None = None
+    ) -> JobClient:
+        """≙ POST /jobs/{id}/restart + /scale
+        (JobManagerController.cs:35-352): stop the active run of this job
+        if one exists, then resume the SAME job from its checkpoint —
+        optionally at a new parallelism.
+
+        Rescale semantics on Spark: ``spark.sql.shuffle.partitions``
+        governs task parallelism for stateless stages and new queries
+        immediately; a STATEFUL query's state-store partition count was
+        pinned into the checkpoint at its first batch (Spark reads
+        numShufflePartitions back from the offset log on restart), so the
+        keyed state layout is stable across the rescale — which is exactly
+        what makes the resume exactly-once: replayed batches recompute from
+        restored state and idempotent sinks skip already-committed
+        batchIds.  State keys still redistribute across whatever executors
+        the new parallelism provides (partition count ≠ executor count) —
+        the same decoupling the reference gets from key-group-to-subtask
+        reassignment on rescale."""
+        for q in self.spark.streams.active:
+            if q.name == spec.name:
+                q.stop()
+                try:
+                    q.awaitTermination(30)
+                except Exception:
+                    pass  # a failed run surfaces its error here; restart anyway
+        if new_shuffle_partitions is not None:
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions", str(new_shuffle_partitions)
+            )
+        return spec.start(self.spark)
 
 
 @dataclass

@@ -1024,7 +1024,7 @@ def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            len(string_split(text, ' '))                          AS n_tokens,
-           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], '|')
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], chr(1))
                                                                  AS first_terms,
            CAST(len([t for t in string_split(text, ' ') if length(t) > 4]) AS BIGINT)
                                                                  AS n_long_tokens,
@@ -1043,10 +1043,12 @@ def map_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a lambda, array_max, aggregate — all JVM-evaluated inside codegen,
     zero Python.
 
-    The final projection emits ``first_terms`` as a '|'-joined string
+    The final projection emits ``first_terms`` as a joined string
     (``array_join`` / DuckDB ``array_to_string``): every registered query's
     output schema is scalar-only so any row-hash canonicalizer can consume
-    it — the array ops themselves stay inside the plan."""
+    it — the array ops themselves stay inside the plan.  The delimiter is
+    ``\\x01`` (absent from the whitespace tokenizer's output), so the terms
+    stay recoverable by re-splitting — a '|' could collide with tokens."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
     toks = F.split("text", " ")
     return (
@@ -1054,7 +1056,7 @@ def map_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size(toks).alias("n_tokens"),
             F.array_join(
-                F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), "|"
+                F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), ""
             ).alias("first_terms"),
             F.size(F.filter(toks, lambda t: F.length(t) > 4)).cast("long").alias(
                 "n_long_tokens"

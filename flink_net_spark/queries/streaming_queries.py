@@ -643,6 +643,98 @@ def stream_batch_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.orderBy("event_type")
 
 
+def _stage_punctuated_stream(
+    spark: SparkSession, sf_dir: str, stage_dir: str, n_chunks: int = 6, n_keys: int = 4
+) -> None:
+    """Stage the events table as timestamp-ordered parquet chunks with a
+    punctuation marker row per key appended to each chunk (marker ts = the
+    chunk's max event ts).  Lexical file names + sequential writes keep the
+    file-stream delivery order aligned with event time, the arrival shape a
+    punctuated source produces (markers interleaved with in-order data,
+    WatermarkManager.cs:108-141)."""
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from flink_net_spark.tables import ensure_read_confs, load_table
+
+    ensure_read_confs(spark)
+    marker = os.path.join(stage_dir, "_staged")
+    if os.path.exists(marker):
+        return
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % n_keys).alias("k"), "ts", "value", "event_id"
+    )
+    w = Window.orderBy("ts", "event_id")
+    chunked = ev.withColumn("chunk", F.ntile(n_chunks).over(w) - 1)
+    chunk_max = chunked.groupBy("chunk").agg(F.max("ts").alias("mts"))
+    keys = spark.range(n_keys).select(F.col("id").alias("k"))
+    markers = chunk_max.crossJoin(keys).select(
+        "chunk",
+        "k",
+        F.col("mts").alias("ts"),
+        F.lit(0.0).alias("value"),
+        F.lit(True).alias("is_marker"),
+    )
+    staged = chunked.select(
+        "chunk", "k", "ts", "value", F.lit(False).alias("is_marker")
+    ).unionByName(markers)
+    os.makedirs(stage_dir, exist_ok=True)
+    for i in range(n_chunks):
+        tmp = os.path.join(stage_dir, f"_tmp_{i}")
+        staged.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in sorted(os.listdir(tmp)) if f.startswith("part-"))
+        os.replace(os.path.join(tmp, part), os.path.join(stage_dir, f"chunk_{i:02d}.parquet"))
+        shutil.rmtree(tmp)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+
+
+@query(
+    "stream_punctuated_watermark",
+    oracle=f"""
+    SELECT k, window_start_ms, n_events, sum_value FROM (
+        SELECT user_id % 4 AS k,
+               (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start_ms,
+               COUNT(*)             AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    )
+    WHERE window_start_ms + {HOUR_MS} <= (SELECT MAX(epoch_ms(ts)) FROM events)
+    ORDER BY k, window_start_ms
+    """,
+)
+def stream_punctuated_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Punctuated watermarks end-to-end (≙ PunctuatedWatermarkGenerator,
+    Core/Windowing/WatermarkManager.cs:108-141 — the one §2.8 surface Spark
+    has no native mode for): the event stream replays in timestamp order
+    with marker rows punctuating each chunk, and event time advances ONLY
+    on markers inside ``punctuated_window_aggregate`` — panes fire exactly
+    when a marker's watermark passes their end, never periodically.
+
+    The oracle is the batch truth restricted to windows the punctuation
+    actually covered (end <= the final marker = global max ts): the last,
+    never-punctuated window must NOT appear — emitting it would mean the
+    operator fired without a marker, i.e. periodic semantics.  Every
+    covered window must match the batch aggregate exactly: state crossed
+    micro-batch boundaries and no in-order element was dropped."""
+    from flink_net_spark.streaming.stateful import punctuated_window_aggregate
+
+    stage = _stage_dir(sf_dir, "events_punctuated")
+    _stage_punctuated_stream(spark, sf_dir, stage)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(stage)
+    )
+    fired = punctuated_window_aggregate(stream, "k", "ts", "value", "is_marker", HOUR_MS)
+    return _run_stream(fired, mode="append").orderBy("k", "window_start_ms")
+
+
 @query(
     "stream_cdc_upsert_snapshot",
     oracle="""

@@ -156,7 +156,15 @@ class TransactionalParquetSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         committed = self.committed_batches()
         if batch_id in committed:
-            return  # replay after restart — already durable
+            # Replay after restart — output already durable, so don't write.
+            # The batch must still be CONSUMED in full: upstream stateful
+            # operators only commit their state-store deltas when every
+            # partition is processed, and Spark validates those commits per
+            # batch.  A noop-format write drains all partitions without
+            # touching the sink output (the "abort keeps the transaction
+            # side-effect-free" half of the 2PC contract).
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
         final = os.path.join(self.out_dir, f"batch_id={batch_id}")
         staging = os.path.join(self.out_dir, ".staging", f"{batch_id}-{uuid.uuid4().hex}")
         batch_df.write.mode("overwrite").parquet(staging)

@@ -276,6 +276,82 @@ def process_window(
     )
 
 
+def punctuated_window_aggregate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    marker_col: str,
+    size_ms: int,
+) -> DataFrame:
+    """Punctuated watermark generator ≙ PunctuatedWatermarkGenerator
+    (Core/Windowing/WatermarkManager.cs:108-141): event time advances ONLY
+    when a marker element arrives — the watermark is the max marker
+    timestamp seen, never a periodic bound.  Spark has no punctuated mode
+    (its watermark moves once per micro-batch), so the contract is
+    reproduced on the stateful harness:
+
+      - non-marker rows buffer into tumbling panes held in MapState
+        (pane = epoch-aligned ``(ts // size) * size``, the same start
+        formula as TimeWindow.GetWindowStartWithOffset);
+      - marker rows advance per-key ValueState ``wm`` to their timestamp
+        (markers are replicated to every key upstream ≙ Flink broadcasting
+        watermarks to all parallel subtasks);
+      - when ``wm`` advances, every pane with ``end <= wm`` fires and
+        purges (≙ EventTimeTrigger registering at window.MaxTimestamp,
+        DefaultTriggers.cs:7-29);
+      - an element whose pane already fired in an EARLIER batch is late
+        relative to the punctuated watermark and is dropped — no periodic
+        rescue, exactly the punctuated semantics.
+
+    Within one micro-batch all elements buffer before markers fire (batch-
+    granular ordering), so results are deterministic under any batch
+    slicing of an in-timestamp-order replay.
+
+    Scale: one keyed shuffle into the state store; pane state per key is
+    bounded by the marker cadence × window size, identical at 1000
+    executors.
+    """
+
+    def fn(ctx: StateContext, pdfs: Iterator[pd.DataFrame]):
+        wm = ctx.value("wm", -1)
+        panes = ctx.map("panes")  # {str(window_start_ms): [n, sum]}
+        new_wm = wm
+        for pdf in pdfs:
+            ms = pdf[ts_col].astype("int64") // 1_000_000
+            is_marker = pdf[marker_col].astype(bool)
+            if bool(is_marker.any()):
+                new_wm = max(new_wm, int(ms[is_marker].max()))
+            ems = ms[~is_marker]
+            starts = (ems // size_ms) * size_ms
+            # late = pane fired (and purged) in a previous batch
+            live = (starts + size_ms) > wm
+            vals = pdf[value_col][~is_marker][live]
+            for st, v in zip(starts[live], vals):
+                cell = panes.setdefault(str(int(st)), [0, 0.0])
+                cell[0] += 1
+                cell[1] += float(v)
+        out = []
+        for st_s in sorted(panes, key=int):
+            st = int(st_s)
+            if st + size_ms <= new_wm:
+                n, s = panes.pop(st_s)
+                out.append((ctx.key, st, n, round(s, 2)))
+        ctx.update("wm", new_wm)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["k", "window_start_ms", "n_events", "sum_value"]
+            )
+
+    return map_groups_with_state(
+        df,
+        [key_col],
+        fn,
+        "k BIGINT, window_start_ms BIGINT, n_events BIGINT, sum_value DOUBLE",
+        output_mode="append",
+    )
+
+
 def dedupe_stream(df: DataFrame, id_cols: list[str]) -> DataFrame:
     """Streaming exact-once-per-id dedup via dropDuplicates on a keyed
     state store — the streaming counterpart of dedup_exact (and the

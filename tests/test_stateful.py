@@ -20,6 +20,7 @@ from flink_net_spark.streaming.stateful import (
     dedupe_stream,
     idle_session_timeout,
     process_window,
+    punctuated_window_aggregate,
     running_aggregate,
 )
 from flink_net_spark.tables import load_table
@@ -144,6 +145,77 @@ def test_event_time_timer_fires_session(spark, tmp_path):
         1: (base, base + 5_000 + 60_000, 2),
         2: (base + 1_000, base + 1_000 + 60_000, 1),
     }, f"unexpected sessions: {got}"
+
+
+def test_punctuated_watermark_fires_on_markers_and_drops_late(spark, tmp_path):
+    """≙ PunctuatedWatermarkGenerator (WatermarkManager.cs:108-141): panes
+    fire ONLY when a marker advances the watermark past their end, and an
+    element arriving after its pane fired is late and dropped — no periodic
+    rescue.  Files are fed to the live query one at a time, so batch
+    boundaries (and therefore the late arrival) are exact."""
+    H = 3_600_000
+    base = 472_222 * H  # epoch-aligned hour start
+    src_dir = str(tmp_path / "feed")
+    os.makedirs(src_dir)
+
+    def write_chunk(name: str, rows):
+        df = spark.createDataFrame(
+            rows, "k BIGINT, ts_ms BIGINT, value DOUBLE, is_marker BOOLEAN"
+        ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, name))
+
+    # chunk 1: two elements in pane [base, base+H), then a marker at base+H
+    write_chunk(
+        "c1",
+        [
+            (1, base, 1.0, False),
+            (1, base + 30 * 60_000, 2.0, False),
+            (1, base + H, 0.0, True),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(
+            "k BIGINT, ts_ms BIGINT, value DOUBLE, is_marker BOOLEAN, ts TIMESTAMP"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src_dir, "c*"))
+    )
+    out = punctuated_window_aggregate(stream, "k", "ts", "value", "is_marker", H)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("punct_panes")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    first = {(r.k, r.window_start_ms, r.n_events, r.sum_value)
+             for r in spark.table("punct_panes").collect()}
+    assert first == {(1, base, 2, 3.0)}, f"marker must fire the covered pane: {first}"
+
+    # chunk 2: a LATE element for the already-fired pane (dropped), a live
+    # element in the next pane, and a marker covering that pane
+    write_chunk(
+        "c2",
+        [
+            (1, base + 15 * 60_000, 99.0, False),  # late: its pane fired in batch 1
+            (1, base + 90 * 60_000, 7.0, False),
+            (1, base + 150 * 60_000, 0.0, True),
+        ],
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table("punct_panes").count() < 2:
+        q.processAllAvailable()
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+
+    got = {(r.k, r.window_start_ms, r.n_events, r.sum_value)
+           for r in spark.table("punct_panes").collect()}
+    assert got == {
+        (1, base, 2, 3.0),
+        (1, base + H, 1, 7.0),  # 99.0 late element excluded
+    }, f"unexpected panes: {got}"
 
 
 def test_process_window_function_with_evictor(spark):

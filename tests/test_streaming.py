@@ -100,6 +100,74 @@ def test_exactly_once_kill_restart(spark, tmp_path):
     assert os.path.isdir(os.path.join(out_dir, "batch_id=2"))
 
 
+def test_restart_rescale_resume_exactly_once(spark, tmp_path):
+    """≙ POST /jobs/{id}/restart + /scale (JobManagerController.cs:35-352):
+    a STATEFUL keyed aggregate dies mid-stream (after its sink committed a
+    batch but before Spark checkpointed it), then ``JobManager.restart``
+    resumes the same checkpoint at a DIFFERENT parallelism.  The final
+    complete-mode emission must equal the batch truth: state was restored,
+    the crashed batch replayed exactly once, and the rescale didn't disturb
+    the pinned state-store layout."""
+    from flink_net_spark.jobs import JobManager, JobSpec
+
+    stage = str(tmp_path / "stage")
+    stream = replay_table_as_stream(
+        spark, SF_DIR, "events", stage, n_chunks=6, max_files_per_trigger=1
+    )
+    truth = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        fail_sink = _FailingOnceSink(out_dir, fail_at_batch=2, flag_path=str(tmp_path / "flag"))
+        spec_v1 = JobSpec(
+            name="rescale_job",
+            checkpoint=ckpt,
+            build=lambda s: counts.writeStream.outputMode("complete").foreachBatch(fail_sink),
+        )
+        jm = JobManager(spark)
+        job = jm.submit(spec_v1)
+        with pytest.raises(Exception):  # noqa: PT011 - injected failure
+            job.await_termination()
+        assert os.path.exists(fail_sink.flag_path), "failure was not injected"
+
+        # restart from the same checkpoint, rescaled 8 -> 4
+        sink_v2 = TransactionalParquetSink(out_dir)
+        spec_v2 = JobSpec(
+            name="rescale_job",
+            checkpoint=ckpt,
+            build=lambda s: counts.writeStream.outputMode("complete").foreachBatch(sink_v2),
+        )
+        job2 = jm.restart(spec_v2, new_shuffle_partitions=4)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        job2.query.processAllAvailable()
+        job2.stop()
+        job2.await_termination(30)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    # last complete-mode batch = the final state of the keyed aggregate
+    batches = [
+        int(d.split("=")[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("batch_id=")
+    ]
+    last = spark.read.parquet(os.path.join(out_dir, f"batch_id={max(batches)}"))
+    got = {r["event_type"]: r["n"] for r in last.collect()}
+    assert got == truth, f"rescale/restart lost or duplicated state: {got} != {truth}"
+    # the crashed batch exists exactly once on disk (idempotent replay)
+    assert os.path.isdir(os.path.join(out_dir, "batch_id=2"))
+
+
 def test_foreach_sink_lifecycle(spark, events_stream, tmp_path):
     """ISinkFunction open/invoke/close lifecycle via writeStream.foreach
     (≙ ISinkFunction.cs:12, ConsoleSinkFunction.cs:7-30).  Each partition
