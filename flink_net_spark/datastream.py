@@ -97,6 +97,23 @@ class DataStream:
         """≙ DataStream.KeyBy (all 4 overloads collapse to column exprs)."""
         return KeyedDataStream(self.df, list(cols), self.env)
 
+    def assign_timestamps_and_watermarks(
+        self, ts_col: str, out_of_orderness: str | None = None
+    ) -> "DataStream":
+        """≙ the WatermarkStrategy factories (WatermarkManager.cs:210-275):
+        ``out_of_orderness=None`` is ForMonotonousTimestamps, a duration
+        string is BoundedOutOfOrderness.  Punctuated generation has no
+        declarative equivalent — key the stream and use
+        ``streaming.stateful.punctuated_window_aggregate``."""
+        from flink_net_spark.streaming import (
+            for_monotonous_timestamps,
+            with_bounded_out_of_orderness,
+        )
+
+        if out_of_orderness is None:
+            return self._wrap(for_monotonous_timestamps(self.df, ts_col))
+        return self._wrap(with_bounded_out_of_orderness(self.df, ts_col, out_of_orderness))
+
     def union(self, other: "DataStream") -> "DataStream":
         return self._wrap(self.df.unionByName(other.df))
 

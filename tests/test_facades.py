@@ -46,6 +46,22 @@ def test_datastream_windowed_stream(spark):
     assert out.df.count() == ev.groupBy(F.window("ts", "1 day"), "event_type").count().count()
 
 
+def test_datastream_watermark_assignment(spark):
+    """≙ WatermarkStrategy.BoundedOutOfOrderness / ForMonotonousTimestamps
+    via the facade (WatermarkManager.cs:210-275): both strategies must plant
+    an EventTimeWatermark node on the plan; in batch mode the watermark is
+    metadata-only so results are unchanged."""
+    env = StreamExecutionEnvironment(spark)
+    ev = load_table(spark, SF_DIR, "events")
+    bounded = env.from_dataframe(ev).assign_timestamps_and_watermarks("ts", "30 minutes")
+    mono = env.from_dataframe(ev).assign_timestamps_and_watermarks("ts")
+    for ds in (bounded, mono):
+        # parsed plan: the analyzer strips EventTimeWatermark on batch inputs
+        plan = ds.df._jdf.queryExecution().logical().toString()
+        assert "EventTimeWatermark" in plan
+    assert bounded.df.count() == ev.count()
+
+
 def test_datastream_flatmap_union(spark):
     env = StreamExecutionEnvironment(spark)
     a = env.from_elements([("x y",)], "s STRING").flat_map("w", F.split("s", " "))
