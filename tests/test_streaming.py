@@ -168,6 +168,56 @@ def test_restart_rescale_resume_exactly_once(spark, tmp_path):
     assert os.path.isdir(os.path.join(out_dir, "batch_id=2"))
 
 
+def test_restart_survives_process_boundary(spark, tmp_path):
+    """Checkpoint durability ACROSS PROCESSES (≙ JobManager restarting a
+    job on fresh TaskManager processes after a cluster bounce): a stateful
+    keyed count runs in subprocess A (own JVM) over the first half of the
+    chunks, exits; the stage gains the remaining chunks and subprocess B (a
+    brand-new JVM, at a DIFFERENT parallelism) resumes the same checkpoint.
+    B's final complete-mode emission must equal the batch truth over ALL
+    chunks — the state store and source offsets were rebuilt purely from
+    the checkpoint files, nothing in-memory survived."""
+    import subprocess
+    import sys as _sys
+
+    # stage 6 single-file chunks; only 3 visible to the first process
+    full = load_table(spark, SF_DIR, "events")
+    all_dir = str(tmp_path / "all_chunks")
+    full.repartition(6).write.mode("overwrite").parquet(all_dir)
+    parts = sorted(f for f in os.listdir(all_dir) if f.startswith("part-"))
+    assert len(parts) == 6
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    for p in parts[:3]:
+        os.link(os.path.join(all_dir, p), os.path.join(stage, p))
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    runner = os.path.join(os.path.dirname(__file__), "process_restart_runner.py")
+
+    def run(parallelism: str):
+        r = subprocess.run(
+            [_sys.executable, runner, stage, out_dir, ckpt, parallelism],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0 and "RUNNER_OK" in r.stdout, r.stderr[-2000:]
+
+    run("8")
+    for p in parts[3:]:  # the tail arrives while no job is running
+        os.link(os.path.join(all_dir, p), os.path.join(stage, p))
+    run("4")  # fresh JVM, rescaled, same checkpoint
+
+    truth = {
+        r["event_type"]: r["n"]
+        for r in full.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    batches = [
+        int(d.split("=")[1]) for d in os.listdir(out_dir) if d.startswith("batch_id=")
+    ]
+    last = spark.read.parquet(os.path.join(out_dir, f"batch_id={max(batches)}"))
+    got = {r["event_type"]: r["n"] for r in last.collect()}
+    assert got == truth, f"state lost across process boundary: {got} != {truth}"
+
+
 def test_foreach_sink_lifecycle(spark, events_stream, tmp_path):
     """ISinkFunction open/invoke/close lifecycle via writeStream.foreach
     (≙ ISinkFunction.cs:12, ConsoleSinkFunction.cs:7-30).  Each partition
