@@ -103,6 +103,12 @@ SCALE_SMOKE = [
     "agg_salted_hot_keys",
     "join_skew_salted",
     "topk_per_group",
+    # documents-based LLM-pipeline family (10× corpus, see stage_sf1x10):
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_resolve_groups",
+    "text_repetition_stats",
+    "vocab_top_terms",
 ]
 
 
@@ -155,8 +161,9 @@ def stage_sf1x10(spark, sf_dir: str) -> str:
 
     from flink_net_spark.tables import TABLE_NAMES, load_table, table_path
 
+    # v2: documents replicated too — versioned name invalidates stale stagings
     out = os.path.join(
-        tempfile.gettempdir(), f"fns_sf1x10_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(), f"fns_sf1x10v2_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     marker = os.path.join(out, "_STAGED")
     if os.path.exists(marker):
@@ -189,8 +196,30 @@ def stage_sf1x10(spark, sf_dir: str) -> str:
         os.path.join(out, "lineitem.parquet")
     )
 
+    # documents ×10 as "parallel universes": each replica's text goes
+    # through a rep-rotated alphabet substitution, so the corpus's internal
+    # duplicate/near-duplicate structure repeats once per replica (dup work
+    # scales ~linearly) while replicas of the same doc share no shingles
+    # (no artificial quadratic pair blow-up inside LSH buckets — every
+    # character of every shingle changes under the rotation).
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    docs = load_table(spark, sf_dir, "documents").select("*", rep)
+    docs = (
+        docs.withColumn(
+            "text",
+            F.expr(
+                f"translate(text, '{alpha}', substring('{alpha + alpha}', rep, 26))"
+            ),
+        )
+        .withColumn("doc_id", F.col("doc_id") * 10 + F.col("rep") - 1)
+        .drop("rep")
+    )
+    docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+
     for t in TABLE_NAMES:
-        if t in ("events", "lineitem"):
+        if t in ("events", "lineitem", "documents"):
             continue
         os.symlink(table_path(sf_dir, t), table_path(out, t))
     open(marker, "w").close()
