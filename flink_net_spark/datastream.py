@@ -117,6 +117,25 @@ class DataStream:
     def union(self, other: "DataStream") -> "DataStream":
         return self._wrap(self.df.unionByName(other.df))
 
+    # -- §2.4 explicit redistribution ≙ ShuffleMode (ShuffleMode.cs:4-10) ----
+    def rescale(self, n: int) -> "DataStream":
+        """≙ ShuffleMode.Rescale: shrink parallelism WITHOUT a shuffle
+        (narrow coalesce — each downstream task reads a local subset of
+        upstream partitions, like the reference's subset round-robin)."""
+        return self._wrap(self.df.coalesce(n))
+
+    def rebalance(self, n: int | None = None) -> "DataStream":
+        """Round-robin full redistribution (Flink's rebalance; the
+        even-spread counterpart of ShuffleMode.Hash without a key) — one
+        shuffle, evens out skew before a parallel stage."""
+        return self._wrap(self.df.repartition(n) if n else self.df.repartition())
+
+    def partition_by(self, n: int, *cols: str | Column) -> "DataStream":
+        """≙ ShuffleMode.Hash with an explicit key + parallelism
+        (KeyGenStage.NumberOfPartitions, GatewayAndKeyGenStages.cs:217-446):
+        hash-partition so equal keys co-locate for downstream stages."""
+        return self._wrap(self.df.repartition(n, *cols))
+
     # -- §2.2 sinks ---------------------------------------------------------
     def add_sink(self, sink_factory: Callable[[DataFrame], Any]):
         """≙ DataStream.AddSink: pass a factory from flink_net_spark.sinks

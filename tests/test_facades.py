@@ -62,6 +62,36 @@ def test_datastream_watermark_assignment(spark):
     assert bounded.df.count() == ev.count()
 
 
+def test_datastream_shuffle_modes(spark):
+    """≙ ShuffleMode Forward/Broadcast/Rescale/Hash (ShuffleMode.cs:4-10)
+    as facade verbs: rescale must stay narrow (Coalesce, no exchange),
+    rebalance must be a round-robin exchange, partition_by must be a hash
+    exchange on the key — asserted on the physical plan, not hoped."""
+    import contextlib
+    import io
+
+    env = StreamExecutionEnvironment(spark)
+    ev = load_table(spark, SF_DIR, "events")
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    rescaled = plan_of(env.from_dataframe(ev).rescale(2).df)
+    assert "Coalesce" in rescaled and "Exchange" not in rescaled
+
+    rebalanced = plan_of(env.from_dataframe(ev).rebalance(8).df)
+    assert "RoundRobinPartitioning" in rebalanced or "roundrobinpartitioning" in rebalanced.lower()
+
+    keyed = plan_of(env.from_dataframe(ev).partition_by(8, "user_id").df)
+    assert "hashpartitioning(user_id" in keyed.lower()
+
+    # row preservation: redistribution must never change the data
+    assert env.from_dataframe(ev).rescale(2).df.count() == ev.count()
+
+
 def test_datastream_flatmap_union(spark):
     env = StreamExecutionEnvironment(spark)
     a = env.from_elements([("x y",)], "s STRING").flat_map("w", F.split("s", " "))
