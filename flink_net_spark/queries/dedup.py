@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_net_spark.functions import hashing as H
 from flink_net_spark.queries import query
-from flink_net_spark.tables import load_table
+from flink_net_spark.tables import load_table, spread_small_scan
 
 MINHASH_K = 16
 LSH_BANDS = 8  # 2 rows per band
@@ -55,7 +55,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spark_shingle_hash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # shingle/hash HOFs are the CPU-heavy map stage: spread a sub-splittable
+    # small scan across cores before computing them (no-op at real scale)
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return d.withColumn("th", F.expr(H.spark_token_hashes("text"))).select(
         "doc_id",
         F.expr(H.spark_hashed_shingles("th")).alias("sh"),
@@ -284,7 +286,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w_block = Window.partitionBy("lang", "len_bucket").orderBy("doc_id")
     sh = (
-        load_table(spark, sf_dir, "documents")
+        spread_small_scan(load_table(spark, sf_dir, "documents"))
         .withColumn("th", F.expr(H.spark_token_hashes("text")))
         .select(
             "doc_id",

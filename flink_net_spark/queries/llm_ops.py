@@ -24,7 +24,7 @@ from flink_net_spark.operators.multimodal import (
 )
 from flink_net_spark.operators.udaf import apply_udaf, median_abs_deviation
 from flink_net_spark.queries import query
-from flink_net_spark.tables import load_table
+from flink_net_spark.tables import load_table, spread_small_scan
 
 # the payload string, DuckDB-side (same UTF-8 bytes as attach_payloads'
 # binary cast; DuckDB's md5 takes VARCHAR and hashes its UTF-8 bytes)
@@ -51,7 +51,7 @@ def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal payload construction + metadata struct: binary column and
     typed metadata flow through column expressions; md5 proves the payload
     bytes are exactly what the oracle builds."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     mm = attach_payloads(d)
     return (
         mm.select(
@@ -84,7 +84,7 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     header, checksum the body bytes executor-side in Arrow batches.  A real
     image decoder swaps into exactly this plumbing (see
     operators/multimodal.py decode_image for the codec-gated stub)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return fake_decode_stats(attach_payloads(d)).orderBy("doc_id")
 
 
@@ -109,7 +109,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum) row — the 1→N explode shape of real video sampling, executed
     as Arrow-batched mapInPandas (operators/multimodal.py frame_sample is
     the codec-gated real path)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return fake_frame_sample(attach_payloads(d), every_n=4).orderBy("doc_id", "frame_index")
 
 
@@ -119,7 +119,7 @@ def mm_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas (the embedding-model plumbing, minus the model).  The
     payload is dropped in the output — at 100 TB media bytes must never
     enter a shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     feats = payload_features(attach_payloads(d), dim=16)
     return feats.select(
         "doc_id", F.size("features").alias("dim"), F.round(F.expr("aggregate(features, 0.0D, (a, x) -> a + x)"), 4).alias("feat_sum")

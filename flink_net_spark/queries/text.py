@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_net_spark.functions import hashing as H
 from flink_net_spark.queries import query
-from flink_net_spark.tables import load_table
+from flink_net_spark.tables import load_table, spread_small_scan
 
 STOPWORDS = ("the", "a")  # present in the synthetic vocabulary
 
@@ -31,7 +31,7 @@ STOPWORDS = ("the", "a")  # present in the synthetic vocabulary
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (content-defined identity)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return (
         d.select("doc_id", F.expr(H.spark_char_polyhash("text")).alias("fingerprint"))
         .orderBy("doc_id")
@@ -52,7 +52,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace split + BPE-ish regex token runs."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return (
         d.select(
             "doc_id",
@@ -94,7 +94,7 @@ _STOP_SET_SQL = "('" + "', '".join(STOPWORDS) + "')"
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score: length saturation × stopword-density factor
     (the classic 'looks like natural language' gate for pretraining data)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     n_stop = F.expr(f"size(filter(split(text, ' '), x -> x IN ({stop_list})))")
@@ -140,7 +140,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated against the labeled ``lang`` column.  (A real deployment swaps
     in per-language n-gram profiles; the pipeline shape — score, threshold,
     compare — is identical.)"""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     # 1.0D (not 1.0): Spark SQL parses a bare 1.0 literal as DECIMAL(2,1),
     # which would propagate DecimalType into the output and hash-mismatch the
@@ -177,7 +177,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_char_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character n-gram profile (the feature extractor behind real lang-ID)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return (
         d.select(
             F.explode(
@@ -242,7 +242,9 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(doc_id) double shuffle of the naive word-count shape.  At 100 TB
     this is embarrassingly parallel: throughput = scan speed.
     """
-    d = load_table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", F.split("text", " ").alias("w"))
     # max word frequency == longest run in the sorted array; NULL initial
     # `prev` makes the first comparison fall to the run-reset branch.
     top_word = F.expr(

@@ -68,6 +68,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin rebalance a scan that yielded fewer partitions than the
+    session's parallelism — the small-file fix for CPU-heavy per-row stages.
+
+    A parquet file with a single row group cannot be split by the reader,
+    so array higher-order functions / Arrow stages downstream serialize on
+    one core no matter how many are free.  When the scan has fewer splits
+    than ``defaultParallelism`` the rows are rebalanced round-robin (one
+    narrow exchange over already-pruned columns, no keying); when the input
+    already has ≥ cores splits — every real 100 TB layout — the check is
+    false and the plan stays exchange-free.  This is deliberately NOT a
+    hash shuffle: per-row work needs spread, not co-location.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
