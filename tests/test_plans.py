@@ -211,8 +211,27 @@ def test_pack_sequences_partitions_by_source(spark):
 def test_repetition_stats_is_shuffle_free(spark):
     """Every repetition stat is a per-document array computation, so the
     plan must be a pure map-side projection: NO hash-partitioned exchange
-    anywhere (the only exchange allowed is the presentation orderBy's range
-    partitioning)."""
+    anywhere.  Allowed exchanges: the presentation orderBy's range
+    partitioning, and the small-scan round-robin spread (keyless by
+    construction — see spread_small_scan)."""
     p = plan_of(entry.queries()["text_repetition_stats"](spark, SF_DIR))
     assert "hashpartitioning" not in p, p
     assert "HashAggregate" not in p, p
+
+
+def test_spread_small_scan_contract(spark):
+    """spread_small_scan: a sub-splittable single-partition scan gets a
+    round-robin rebalance to session parallelism; an input that already has
+    ≥ cores partitions passes through UNTOUCHED (the 100 TB case — real
+    layouts must not pay an extra exchange)."""
+    from flink_net_spark.tables import load_table, spread_small_scan
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert docs.rdd.getNumPartitions() == 1  # the hazard this guards
+    spread = spread_small_scan(docs)
+    par = spark.sparkContext.defaultParallelism
+    assert spread.rdd.getNumPartitions() == par
+    assert spread.count() == docs.count()
+
+    wide = docs.repartition(par + 4)
+    assert spread_small_scan(wide) is wide, "already-parallel input must pass through"
