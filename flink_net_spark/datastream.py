@@ -119,16 +119,25 @@ class DataStream:
 
     # -- §2.4 explicit redistribution ≙ ShuffleMode (ShuffleMode.cs:4-10) ----
     def rescale(self, n: int) -> "DataStream":
-        """≙ ShuffleMode.Rescale: shrink parallelism WITHOUT a shuffle
-        (narrow coalesce — each downstream task reads a local subset of
-        upstream partitions, like the reference's subset round-robin)."""
+        """≙ ShuffleMode.Rescale: redistribute to ``n`` partitions in either
+        direction.  Shrinking uses a narrow coalesce (no shuffle — each
+        downstream task reads a local subset of upstream partitions, like
+        the reference's subset round-robin); growing needs data movement on
+        Spark, so it falls back to a round-robin repartition (coalesce can
+        only reduce and would silently no-op)."""
+        if not self.df.isStreaming and n > self.df.rdd.getNumPartitions():
+            return self._wrap(self.df.repartition(n))
         return self._wrap(self.df.coalesce(n))
 
     def rebalance(self, n: int | None = None) -> "DataStream":
         """Round-robin full redistribution (Flink's rebalance; the
         even-spread counterpart of ShuffleMode.Hash without a key) — one
-        shuffle, evens out skew before a parallel stage."""
-        return self._wrap(self.df.repartition(n) if n else self.df.repartition())
+        shuffle, evens out skew before a parallel stage.  ``n=None``
+        rebalances to the session's ``spark.sql.shuffle.partitions``
+        (DataFrame.repartition has no no-arg form)."""
+        if n is None:
+            n = int(self.df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        return self._wrap(self.df.repartition(n))
 
     def partition_by(self, n: int, *cols: str | Column) -> "DataStream":
         """≙ ShuffleMode.Hash with an explicit key + parallelism

@@ -136,11 +136,18 @@ class JobManager:
                     q.awaitTermination(30)
                 except Exception:
                     pass  # a failed run surfaces its error here; restart anyway
-        if new_shuffle_partitions is not None:
-            self.spark.conf.set(
-                "spark.sql.shuffle.partitions", str(new_shuffle_partitions)
-            )
-        return spec.start(self.spark)
+        if new_shuffle_partitions is None:
+            return spec.start(self.spark)
+        # Scope the parallelism override to this job's start: the resumed
+        # checkpoint pins its own state partitioning anyway, and leaving the
+        # session-global conf mutated would silently rescale every other
+        # query sharing the SparkSession.
+        prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(new_shuffle_partitions))
+        try:
+            return spec.start(self.spark)
+        finally:
+            self.spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @dataclass

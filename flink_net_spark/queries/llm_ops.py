@@ -113,7 +113,32 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fake_frame_sample(attach_payloads(d), every_n=4).orderBy("doc_id", "frame_index")
 
 
-@query("mm_payload_features")  # rows-only: fixed-dim float folding, no SQL analog worth writing
+@query(
+    "mm_payload_features",
+    # The per-dim fold is pure byte maths (running (acc+byte) % 4096 ==
+    # total % 4096), so the whole feature vector is SQL-expressible: dim d
+    # sums payload bytes at 0-based positions ≡ d (mod 16).  Every acc/4096
+    # is a 12-bit dyadic rational — exact in float32 AND double — so the
+    # 4-dp round matches bit-for-bit across engines.
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               'FNSB' || lpad(CAST(doc_id % 640 + 16 AS VARCHAR), 4, '0')
+                      || lpad(CAST(doc_id % 480 + 16 AS VARCHAR), 4, '0')
+                      || text AS payload
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(16 AS INT) AS dim,
+           ROUND(list_sum([
+               (COALESCE(list_sum([ascii(payload[i:i])
+                                   for i in range(d + 1, length(payload) + 1, 16)]), 0)
+                % 4096) / 4096.0
+               for d in range(0, 16)]), 4) AS feat_sum
+    FROM p
+    ORDER BY doc_id
+    """,
+)
 def mm_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction shape: payload bytes → fixed-dim array<float> via
     mapInPandas (the embedding-model plumbing, minus the model).  The

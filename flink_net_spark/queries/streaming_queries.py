@@ -686,7 +686,13 @@ def _stage_punctuated_stream(
             "overwrite"
         ).parquet(tmp)
         part = next(f for f in sorted(os.listdir(tmp)) if f.startswith("part-"))
-        os.replace(os.path.join(tmp, part), os.path.join(stage_dir, f"chunk_{i:02d}.parquet"))
+        dest = os.path.join(stage_dir, f"chunk_{i:02d}.parquet")
+        os.replace(os.path.join(tmp, part), dest)
+        # FileStreamSource orders files by modification time: sequential
+        # writes usually yield ascending mtimes, but a tie at coarse fs
+        # granularity could deliver a later chunk first and drop in-order
+        # rows as late-to-marker.  Pin strictly increasing mtimes.
+        os.utime(dest, (1_600_000_000 + i, 1_600_000_000 + i))
         shutil.rmtree(tmp)
     with open(marker, "w") as fh:
         fh.write("ok")

@@ -79,8 +79,9 @@ def test_datastream_shuffle_modes(spark):
             df.explain("formatted")
         return buf.getvalue()
 
-    rescaled = plan_of(env.from_dataframe(ev).rescale(2).df)
-    assert "Coalesce" in rescaled and "Exchange" not in rescaled
+    wide = env.from_dataframe(ev.repartition(8)).df  # start wide so 2 is a shrink
+    rescaled = plan_of(env.from_dataframe(wide).rescale(2).df)
+    assert "Coalesce" in rescaled
 
     rebalanced = plan_of(env.from_dataframe(ev).rebalance(8).df)
     assert "RoundRobinPartitioning" in rebalanced or "roundrobinpartitioning" in rebalanced.lower()
@@ -90,6 +91,19 @@ def test_datastream_shuffle_modes(spark):
 
     # row preservation: redistribution must never change the data
     assert env.from_dataframe(ev).rescale(2).df.count() == ev.count()
+
+    # rebalance() with no arg targets spark.sql.shuffle.partitions (the
+    # documented default — DataFrame.repartition has no no-arg form)
+    noarg = env.from_dataframe(ev).rebalance()
+    assert "roundrobinpartitioning" in plan_of(noarg.df).lower()
+    expected = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert noarg.df.rdd.getNumPartitions() == expected
+
+    # rescale UP must actually redistribute (coalesce would silently no-op)
+    small = env.from_dataframe(ev.coalesce(1))
+    grown = small.rescale(4)
+    assert grown.df.rdd.getNumPartitions() == 4
+    assert grown.df.count() == ev.count()
 
 
 def test_datastream_flatmap_union(spark):

@@ -148,7 +148,9 @@ def test_restart_rescale_resume_exactly_once(spark, tmp_path):
             build=lambda s: counts.writeStream.outputMode("complete").foreachBatch(sink_v2),
         )
         job2 = jm.restart(spec_v2, new_shuffle_partitions=4)
-        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        # the override is scoped to the restarted job (its cloned stream
+        # session) — the shared session conf must come back untouched
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
         job2.query.processAllAvailable()
         job2.stop()
         job2.await_termination(30)
