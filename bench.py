@@ -1,32 +1,46 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints EXACTLY ONE JSON line to stdout:
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
-     "rows_per_sec": N, ...}
+Prints EXACTLY ONE compact JSON line (< ~1.4 kB) to stdout as the FINAL
+line — the driver records a bounded tail of stdout, and round 4's ~5.6 kB
+line fell off that window (BENCH_r04.json ``parsed: null``).  The compact
+line carries the headline total, both streaming probe rates, per-FAMILY
+wall-time rollups, the scale-smoke + shuffle-audit violation counts, and a
+one-line noise-aware comparison verdict vs the previous round.
 
-Everything else (progress, Spark logs) goes to stderr.  The driver records
-the JSON as BENCH_r{N}.json; BASELINE.md's stress target (~1.15M rec/s on a
-1M-record pipeline) is compared against ``rows_per_sec`` — total source rows
-scanned across all benched queries divided by total wall time.
+Everything per-query — medians, min/max spreads, row counts, scale-smoke
+ratios, measured shuffle/spill bytes — goes to the sidecar
+``bench_out/BENCH_DETAIL.json`` (committed per round as bench_out/r{N}.json)
+and is mirrored to stderr.  ``tools/bench_compare.py`` diffs two sidecars
+and flags only moves outside the recorded noise envelope.
 
 Noise defense (round-3 lesson: +23.5% headline drift on unchanged code):
 every headline query is timed as the MEDIAN OF 3 runs after one warm-up
-execution, and per-query min/max spread ships in the JSON so a real
-regression is distinguishable from sandbox variance.
+execution of the SAME collect plan (round-4 lesson, q9: a ``.count()``
+warm-up compiles a different codegen path than the timed ``.collect()``,
+so the first timed rep paid JIT compilation and the spread read as plan
+instability).
 
-Scale smoke (``sf1x10`` section): events+lineitem replicated 10× with a
-deliberately hot key (~30% of rows on one key), other tables symlinked;
-the heaviest lineitem/events queries run once at that scale and the JSON
-records wall time, the ratio vs the sf0.1 median (≲ linear expected), and
-whether the plan flipped to a nested-loop/cartesian shape.
+Scale smoke (``sf1x10`` section): events+lineitem+documents replicated 10×
+with a deliberately hot key (~30% of rows on one key), other tables
+symlinked; the heaviest queries run once at that scale and the JSON records
+the ratio vs linear scaling and whether the plan flipped to a
+nested-loop/cartesian shape.  ``SPARK_GRAFT_SCALE_SMOKE=100`` additionally
+runs the five most expensive shapes at 100× (one more decade catches
+superlinear blowups the 10× step hides).
+
+Shuffle audit: the dedup/ANN 100 TB claim is "the shuffle moves ids+keys,
+never text" — measured here per query via flink_net_spark.metrics (task
+metrics out of the driver's AppStatusStore): shuffle_write / input ratios
+asserted against per-query bounds, disk spill asserted zero.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import shutil
 import sys
 import tempfile
@@ -36,6 +50,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out")
+STAGING_VERSION = "v3"  # v3: affine-permutation document replicas, factor-generic
 
 # Headline set: the flagship TPC-H shapes, the windowing/eventing surface,
 # and one representative per LLM-pipeline family.  Queries machine-tagged
@@ -87,6 +103,27 @@ HEADLINE = [
     "pipeline_five_stage",
 ]
 
+# Per-family rollup for the compact stdout line (order = first match wins).
+FAMILY_PATTERNS = [
+    ("tpch", r"^q\d+_"),
+    ("stream", r"^(stream_|pipeline_)"),
+    ("window", r"^window_"),
+    ("join", r"^join_"),
+    ("dedup", r"^dedup_"),
+    ("ann", r"^(sim_|emb_)"),
+    ("text", r"^(text_|flatmap_|vocab_|tfidf_)"),
+    ("curation", r"^(curation_|sample_)"),
+    ("rel", r"."),
+]
+
+
+def _family(name: str) -> str:
+    for fam, pat in FAMILY_PATTERNS:
+        if re.match(pat, name):
+            return fam
+    return "rel"
+
+
 # sf1x10 scale smoke: the heaviest events/lineitem consumers plus the two
 # skew-targeted operators (salted agg / salted join) — hot keys are exactly
 # what the 10× staging injects.
@@ -103,13 +140,85 @@ SCALE_SMOKE = [
     "agg_salted_hot_keys",
     "join_skew_salted",
     "topk_per_group",
-    # documents-based LLM-pipeline family (10× corpus, see stage_sf1x10):
+    # documents-based LLM-pipeline family (10× corpus, see stage_scaled):
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_resolve_groups",
     "text_repetition_stats",
     "vocab_top_terms",
 ]
+
+# One more decade for the five most expensive shapes (opt-in:
+# SPARK_GRAFT_SCALE_SMOKE=100) — superlinear blowups the 10× step hides.
+SCALE_SMOKE_100 = [
+    "q18_large_volume_customers",
+    "dedup_resolve_groups",
+    "dedup_minhash_lsh",
+    "window_session",
+    "join_asof",
+]
+
+# Shuffle audit: per query, the tables it scans and the max allowed
+# shuffle_write / on-disk-bytes-of-those-tables ratio at bench SF
+# (None = record, don't assert).  The denominator is on-disk parquet size,
+# NOT the task-metric inputBytes — multi-branch plans legitimately re-scan
+# parquet several times (e.g. minhash's per-band self-join branches), which
+# would inflate the denominator and flatter the ratio.
+#
+# Bounds are ~1.5–2× the measured sf0.1 values.  Two shapes to know when
+# reading them:
+#   - "ids and keys only" families (minhash/simhash/ann/vocab, the 100 TB
+#     claim) sit at 0.005–0.3: the shuffle carries (doc_id, band_key) /
+#     signature pairs, never document text.
+#   - ratios near or above 1.0 have a local-bench explanation, documented
+#     per entry: the spread_small_scan round-robin exchange moves the
+#     corpus once when the input is a single sub-splittable file (it
+#     passes real multi-partition layouts through untouched —
+#     test_spread_small_scan_contract), and windowed aggs move row-format
+#     data once whose parquet source is columnar-compressed.
+# Disk spill must be 0 for every audited query at this scale.
+SHUFFLE_AUDIT: dict[str, tuple[list[str], float | None]] = {
+    # measured 0.66 — the spread exchange moves the corpus once; the dedup
+    # shuffle itself is the (doc_id, content_hash) groupBy on top
+    "dedup_exact": (["documents"], 1.0),
+    "dedup_minhash_lsh": (["documents"], 0.30),  # measured 0.10
+    "dedup_simhash_pairs": (["documents"], 0.20),  # measured 0.05
+    "dedup_resolve_groups": (["documents"], 0.70),  # measured 0.31 (pair-set iters)
+    # measured 0.54 — candidate pairs carry their two vectors into the
+    # exact-cosine verify join; candidates only, never all-pairs
+    "dedup_embedding_ann": (["embeddings"], 0.90),
+    "sim_ann_lsh": (["embeddings"], 0.10),  # measured 0.005
+    # measured 1.75 — ALL of it is the spread exchange moving raw text once
+    # (uncompressed vs parquet's 584 KB) + the presentation sort; the plan
+    # itself is hash-shuffle-free (test_repetition_stats_is_shuffle_free)
+    "text_repetition_stats": (["documents"], 2.5),
+    "vocab_top_terms": (["documents"], 0.10),  # measured 0.003 (partial agg)
+    "curation_end_to_end": (["documents"], 0.60),  # measured 0.23
+    # measured 0.0008 — every join broadcasts, only final agg rows shuffle
+    "q9_profit_by_nation": (["lineitem", "orders", "part", "supplier", "nation"], 0.05),
+    "q18_large_volume_customers": (["lineitem", "orders", "customer"], 0.50),  # measured 0.21
+    # measured 1.6 — session windows move each event through ONE keyed
+    # shuffle in row format (~8× parquet's columnar compression on events)
+    "window_session": (["events"], 3.0),
+    "join_asof": (["events"], 1.5),  # measured 0.66 (union + running-last window)
+}
+
+
+def _disk_bytes(sf_dir: str, tables: list[str]) -> int:
+    from flink_net_spark.tables import table_path
+
+    total = 0
+    for t in tables:
+        p = table_path(sf_dir, t)
+        if os.path.isdir(p):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _d, files in os.walk(p)
+                for f in files
+            )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
 
 
 def _sf_from_dir(d: str) -> float:
@@ -125,9 +234,14 @@ def _median(xs: list[float]) -> float:
     return s[len(s) // 2]
 
 
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr)
+
+
 def time_queries(spark, queries, names, sf_dir, reps=REPS, tag=""):
-    """Warm once, then time fn()+collect ``reps`` times; return
-    (median_timings, spread, rowcounts)."""
+    """Warm once (same collect plan as the timed reps — a count() warm-up
+    compiles different codegen and the first rep then pays JIT, q9 lesson),
+    then time fn()+collect ``reps`` times; return (medians, spread, rows)."""
     timings, spread, rowcounts = {}, {}, {}
     for name in names:
         fn = queries.get(name)
@@ -135,7 +249,7 @@ def time_queries(spark, queries, names, sf_dir, reps=REPS, tag=""):
             continue
         # time fn()+collect as one unit: streaming queries and iterative
         # algorithms execute inside fn(), not at collect time
-        fn(spark, sf_dir).count()  # warm: scan caches, codegen, staging dirs
+        fn(spark, sf_dir).collect()  # warm: codegen of the exact plan, scans
         runs = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -144,38 +258,63 @@ def time_queries(spark, queries, names, sf_dir, reps=REPS, tag=""):
         timings[name] = round(_median(runs), 4)
         spread[name] = [round(min(runs), 4), round(max(runs), 4)]
         rowcounts[name] = n
-        print(
+        log(
             f"[bench]{tag} {name}: median {timings[name]:.3f}s "
-            f"(spread {spread[name][0]:.3f}-{spread[name][1]:.3f}, {n} rows)",
-            file=sys.stderr,
+            f"(spread {spread[name][0]:.3f}-{spread[name][1]:.3f}, {n} rows)"
         )
     return timings, spread, rowcounts
 
 
-def stage_sf1x10(spark, sf_dir: str) -> str:
-    """Build the 10×-replicated, deliberately key-skewed copy of the corpus:
-    events and lineitem exploded ×10 with ~30% of rows forced onto ONE hot
-    key (user_id / l_orderkey), every other table symlinked unchanged.
+def _affine_perm(r: int) -> str:
+    """Deterministic per-replica alphabet permutation σ(i) = a·i + b mod 26.
+
+    Distinct replicas get distinct affine maps (injective for r ≤ 156:
+    a cycles through the 12 units mod 26, b steps by 7), and two distinct
+    affine maps agree on at most gcd(a1−a2, 26) ≤ 13 single characters —
+    so any multi-character shingle almost surely changes between replicas:
+    the corpus's internal duplicate structure repeats once per replica
+    (dup work scales ~linearly) without cross-replica shingle collisions
+    (no artificial quadratic pair blow-up inside LSH buckets)."""
+    units = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+    a = units[(r - 1) % len(units)]
+    b = ((r - 1) * 7) % 26
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    return "".join(alpha[(a * i + b) % 26] for i in range(26))
+
+
+def stage_scaled(spark, sf_dir: str, factor: int) -> str:
+    """Build a ``factor``×-replicated, deliberately key-skewed copy of the
+    corpus: events and lineitem exploded ×factor with ~30% of rows forced
+    onto ONE hot key (user_id / l_orderkey), documents ×factor as "parallel
+    universes" (per-replica affine alphabet substitution, see
+    ``_affine_perm``), every other table symlinked unchanged.
     Deterministic (skew assignment by modular arithmetic, no rand)."""
     import pyspark.sql.functions as F
 
     from flink_net_spark.tables import TABLE_NAMES, load_table, table_path
 
-    # v2: documents replicated too — versioned name invalidates stale stagings
+    base = os.path.basename(sf_dir.rstrip("/"))
     out = os.path.join(
-        tempfile.gettempdir(), f"fns_sf1x10v2_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(), f"fns_sf1x{factor}{STAGING_VERSION}_{base}"
     )
+    # stale-staging cleanup (ADVICE r4): older generations (fns_sf1x10_*,
+    # fns_sf1x10v2_*) are never read again once a new version lands — at
+    # larger SFs they orphan tens of GB in tmp.
+    for old in glob.glob(os.path.join(tempfile.gettempdir(), "fns_sf1x*")):
+        if f"{STAGING_VERSION}_" not in os.path.basename(old):
+            shutil.rmtree(old, ignore_errors=True)
+
     marker = os.path.join(out, "_STAGED")
     if os.path.exists(marker):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
 
-    rep = F.explode(F.sequence(F.lit(1), F.lit(10))).alias("rep")
+    rep = F.explode(F.sequence(F.lit(1), F.lit(factor))).alias("rep")
 
     ev = load_table(spark, sf_dir, "events").select("*", rep)
     ev = (
-        ev.withColumn("event_id", F.col("event_id") * 10 + F.col("rep") - 1)
+        ev.withColumn("event_id", F.col("event_id") * factor + F.col("rep") - 1)
         .withColumn(
             # ~30% of the replicated rows land on user_id 1 — hot-key skew
             "user_id",
@@ -196,22 +335,15 @@ def stage_sf1x10(spark, sf_dir: str) -> str:
         os.path.join(out, "lineitem.parquet")
     )
 
-    # documents ×10 as "parallel universes": each replica's text goes
-    # through a rep-rotated alphabet substitution, so the corpus's internal
-    # duplicate/near-duplicate structure repeats once per replica (dup work
-    # scales ~linearly) while replicas of the same doc share no shingles
-    # (no artificial quadratic pair blow-up inside LSH buckets — every
-    # character of every shingle changes under the rotation).
     alpha = "abcdefghijklmnopqrstuvwxyz"
+    case = "CASE rep " + " ".join(
+        f"WHEN {r} THEN translate(text, '{alpha}', '{_affine_perm(r)}')"
+        for r in range(1, factor + 1)
+    ) + " END"
     docs = load_table(spark, sf_dir, "documents").select("*", rep)
     docs = (
-        docs.withColumn(
-            "text",
-            F.expr(
-                f"translate(text, '{alpha}', substring('{alpha + alpha}', rep, 26))"
-            ),
-        )
-        .withColumn("doc_id", F.col("doc_id") * 10 + F.col("rep") - 1)
+        docs.withColumn("text", F.expr(case))
+        .withColumn("doc_id", F.col("doc_id") * factor + F.col("rep") - 1)
         .drop("rep")
     )
     docs.repartition(32).write.mode("overwrite").parquet(
@@ -226,19 +358,20 @@ def stage_sf1x10(spark, sf_dir: str) -> str:
     return out
 
 
-def scale_smoke(spark, queries, base_timings: dict[str, float], sf_dir: str) -> dict:
-    """Run SCALE_SMOKE once at the sf1x10 staging; record wall time, the
-    ratio vs 10× the sf0.1 median (≲1 expected — sub-linear is fine, fixed
-    per-job overhead amortizes), and whether the plan flipped to a
+def scale_smoke(spark, queries, base_timings: dict[str, float], sf_dir: str,
+                factor: int, names: list[str]) -> dict:
+    """Run ``names`` once at the ``factor``× staging; record wall time, the
+    ratio vs factor× the sf0.1 median (≲1 expected — sub-linear is fine,
+    fixed per-job overhead amortizes), and whether the plan flipped to a
     nested-loop/cartesian shape at scale."""
     import contextlib
     import io
 
     from flink_net_spark.queries import META
 
-    staged = stage_sf1x10(spark, sf_dir)
+    staged = stage_scaled(spark, sf_dir, factor)
     section: dict[str, dict] = {}
-    for name in SCALE_SMOKE:
+    for name in names:
         fn = queries.get(name)
         if fn is None or not META.get(name, {}).get("scale_safe", True):
             continue
@@ -263,16 +396,87 @@ def scale_smoke(spark, queries, base_timings: dict[str, float], sf_dir: str) -> 
                 fn(spark, sf_dir).collect()
                 base = time.perf_counter() - t0
             rec["base_sec"] = round(base, 4)
-            # wall-time vs perfectly-linear 10× scaling; <1 = sub-linear
-            rec["ratio_vs_linear"] = round(rec["sec"] / (10 * base), 3) if base else None
+            # wall-time vs perfectly-linear factor× scaling; <1 = sub-linear
+            rec["ratio_vs_linear"] = (
+                round(rec["sec"] / (factor * base), 3) if base else None
+            )
             rec["linear_ok"] = rec["ratio_vs_linear"] is not None and rec[
                 "ratio_vs_linear"
             ] <= 1.5
         except Exception as ex:  # pragma: no cover - smoke must not kill the bench
             rec["err"] = f"{type(ex).__name__}: {str(ex)[:200]}"
         section[name] = rec
-        print(f"[bench][sf1x10] {name}: {rec}", file=sys.stderr)
+        log(f"[bench][sf1x{factor}] {name}: {rec}")
     return section
+
+
+def _smoke_summary(section: dict) -> dict:
+    ratios = [r["ratio_vs_linear"] for r in section.values()
+              if r.get("ratio_vs_linear") is not None]
+    violations = [n for n, r in section.items()
+                  if r.get("err") or r.get("plan_flip") or not r.get("linear_ok")]
+    return {
+        "n": len(section),
+        "violations": len(violations),
+        "bad": violations[:6],
+        "worst_ratio": max(ratios) if ratios else None,
+    }
+
+
+def shuffle_audit(spark, queries, sf_dir: str) -> dict:
+    """Measure shuffle/spill bytes per audited query (one extra execution
+    each, already warm from the timing pass) and check the per-query
+    shuffle_write/input bound.  See SHUFFLE_AUDIT."""
+    from flink_net_spark.metrics import measure_job_metrics
+
+    section: dict[str, dict] = {}
+    for name, (tables, bound) in SHUFFLE_AUDIT.items():
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        try:
+            m, _ = measure_job_metrics(
+                spark, lambda: fn(spark, sf_dir).collect(), group=f"fns_shuf_{name}"
+            )
+            rec = m.as_dict()
+            disk = _disk_bytes(sf_dir, tables)
+            ratio = m.shuffle_write_bytes / disk if disk else None
+            rec["disk_input"] = disk
+            rec["disk_ratio"] = round(ratio, 4) if ratio is not None else None
+            rec["bound"] = bound
+            rec["ok"] = (
+                m.disk_spill_bytes == 0
+                and (bound is None or (ratio is not None and ratio <= bound))
+            )
+        except Exception as ex:  # pragma: no cover
+            rec = {"err": f"{type(ex).__name__}: {str(ex)[:200]}", "ok": False}
+        section[name] = rec
+        log(f"[bench][shuffle] {name}: {rec}")
+    return section
+
+
+def _shuffle_summary(section: dict) -> dict:
+    return {
+        "n": len(section),
+        "violations": sum(1 for r in section.values() if not r.get("ok")),
+        "spill": sum(r.get("spill", 0) for r in section.values()),
+    }
+
+
+def _load_prev_detail() -> tuple[dict, str] | None:
+    """Previous round's sidecar for the round-over-round verdict: env
+    override, else the newest committed bench_out/r*.json."""
+    prev = os.environ.get("SPARK_GRAFT_BENCH_PREV")
+    if not prev:
+        snaps = sorted(glob.glob(os.path.join(OUT_DIR, "r*.json")))
+        prev = snaps[-1] if snaps else None
+    if not prev or not os.path.exists(prev):
+        return None
+    try:
+        with open(prev) as f:
+            return json.load(f), os.path.basename(prev)
+    except Exception:
+        return None
 
 
 def main() -> int:
@@ -314,8 +518,8 @@ def main() -> int:
         runs.append(time.perf_counter() - t0)
     pipeline_dt = _median(runs)
     rows_per_sec = round(n_events / pipeline_dt) if pipeline_dt > 0 else None
-    print(f"[bench] throughput pipeline: {n_events} events in {pipeline_dt:.3f}s"
-          f" = {rows_per_sec} rec/s", file=sys.stderr)
+    log(f"[bench] throughput pipeline: {n_events} events in {pipeline_dt:.3f}s"
+        f" = {rows_per_sec} rec/s")
 
     # TRUE Structured Streaming probe — the baseline's own semantics: a
     # running micro-batch pipeline (file source -> map -> keyed count ->
@@ -373,11 +577,10 @@ def main() -> int:
         rps = round(steady_rows / steady_ms * 1000) if steady_ms else None
         shutil.rmtree(ckpt, ignore_errors=True)
         for b, r, d in batches:
-            print(f"[bench]   stream[{n_keys}k] batch {b}: {r} rows in {d}ms", file=sys.stderr)
-        print(
+            log(f"[bench]   stream[{n_keys}k] batch {b}: {r} rows in {d}ms")
+        log(
             f"[bench] streaming probe ({n_keys} keys): steady-state {steady_rows} "
-            f"events in {steady_ms}ms = {rps} rec/s ({dt:.3f}s total drain)",
-            file=sys.stderr,
+            f"events in {steady_ms}ms = {rps} rec/s ({dt:.3f}s total drain)"
         )
         return rps, dt
 
@@ -385,17 +588,27 @@ def main() -> int:
     stream_rps_1m, _ = stream_probe(1_000_000, "32")
 
     headline = [n for n in HEADLINE if META.get(n, {}).get("scale_safe", True)]
-    timings, spread, _counts = time_queries(spark, queries, headline, SF_DIR)
+    timings, spread, rowcounts = time_queries(spark, queries, headline, SF_DIR)
 
-    sf1x10 = scale_smoke(spark, queries, timings, SF_DIR)
+    shuf = shuffle_audit(spark, queries, SF_DIR)
+    sf1x10 = scale_smoke(spark, queries, timings, SF_DIR, 10, SCALE_SMOKE)
+    sf1x100 = None
+    if os.environ.get("SPARK_GRAFT_SCALE_SMOKE") == "100":
+        sf1x100 = scale_smoke(spark, queries, timings, SF_DIR, 100, SCALE_SMOKE_100)
 
     total = round(sum(timings.values()), 4)
-    out = {
+    families: dict[str, float] = {}
+    for name, sec in timings.items():
+        fam = _family(name)
+        families[fam] = round(families.get(fam, 0.0) + sec, 2)
+
+    detail = {
         "metric": "headline_queries_total_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_spread": spread,
+        "query_rows": rowcounts,
         "reps_per_query": REPS,
         "sf": _sf_from_dir(SF_DIR),
         "rows_per_sec": rows_per_sec,
@@ -404,9 +617,61 @@ def main() -> int:
         "stream_rows_per_sec": stream_rps,
         "stream_pipeline_sec": round(stream_dt, 4),
         "stream_rows_per_sec_1m_keys": stream_rps_1m,
+        "families": families,
+        "shuffle_audit": shuf,
         "sf1x10": sf1x10,
     }
-    print(json.dumps(out))
+    if sf1x100 is not None:
+        detail["sf1x100"] = sf1x100
+
+    # round-over-round verdict vs the previous committed sidecar
+    compare_verdict = None
+    prev = _load_prev_detail()
+    if prev is not None:
+        try:
+            from tools.bench_compare import compare
+
+            result = compare(prev[0], detail, old_label=prev[1])
+            compare_verdict = result["verdict"]
+            detail["compare"] = {"verdict": compare_verdict, "rows": result["rows"]}
+        except Exception as ex:  # pragma: no cover
+            compare_verdict = {"err": str(ex)[:120]}
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    detail_path = os.path.join(OUT_DIR, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    log("[bench] full detail: " + json.dumps(detail))
+
+    # THE one compact stdout line (the driver keeps a bounded stdout tail —
+    # this must stay well under it, per-query detail lives in the sidecar)
+    compact = {
+        "metric": "headline_queries_total_wall_time",
+        "value": total,
+        "unit": "sec",
+        "sf": _sf_from_dir(SF_DIR),
+        "n_queries": len(timings),
+        "reps": REPS,
+        "families": families,
+        "rows_per_sec": rows_per_sec,
+        "stream_rows_per_sec": stream_rps,
+        "stream_rows_per_sec_1m_keys": stream_rps_1m,
+        "shuffle_audit": _shuffle_summary(shuf),
+        "sf1x10": _smoke_summary(sf1x10),
+        "detail": "bench_out/BENCH_DETAIL.json",
+    }
+    if sf1x100 is not None:
+        compact["sf1x100"] = _smoke_summary(sf1x100)
+    if compare_verdict is not None:
+        compact["compare"] = compare_verdict
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1400:  # belt-and-braces: shed optional fields, keep parseable
+        compact.pop("families", None)
+        compact["compare"] = {k: compare_verdict[k] for k in ("vs", "reg", "imp")
+                              if compare_verdict and k in compare_verdict}
+        line = json.dumps(compact, separators=(",", ":"))
+    log(f"[bench] compact line: {len(line)} chars")
+    print(line)
     return 0
 
 

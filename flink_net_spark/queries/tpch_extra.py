@@ -245,7 +245,19 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIKE-filtered part join + supplier-nation rollup by year.
     p_name LIKE '%widget%' cannot push to parquet (leading wildcard) but
     prunes before the join; the join order keeps the filtered part side
-    first so AQE sizes it for a runtime broadcast if small enough."""
+    first so AQE sizes it for a runtime broadcast if small enough.
+
+    Plan stability (round-4 verdict #2 — 2.3× wall-time spread): diagnosed
+    via 6 back-to-back executions capturing the AQE *final* plan each time
+    (tools/diag_q9.py): the physical strategy never flips — every run's
+    final plan is 4× BroadcastHashJoin (part/supplier/orders/nation all
+    under the 10 MB threshold at bench SF) — while wall time decays
+    monotonically 5.9→1.5→1.2→1.1→0.9→0.7 s.  The spread is JVM JIT/codegen
+    warm-up, not AQE re-planning: the bench's old ``.count()`` warm-up
+    compiled a *different* codegen path than the timed ``.collect()``.
+    bench.py now warms with the exact collect plan, and
+    tests/test_plans.py::test_q9_final_plan_all_broadcast_and_stable pins
+    the executed-plan join strategy across consecutive runs."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
