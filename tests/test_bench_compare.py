@@ -1,0 +1,97 @@
+"""Unit tests for the noise-aware bench regression gate (no Spark needed).
+
+The gate's contract: a wall-time move counts only when the min/max spread
+envelopes are disjoint AND the median shifted >10%; a shuffle-byte move
+counts only when the measured shuffle_write/on-disk ratio grew >25%
+relative AND >0.05 absolute.  Everything else is sandbox noise and must
+NOT be reported — round 3's false "+23.5% regression on unchanged code"
+is the failure mode this tool exists to prevent.
+"""
+
+from __future__ import annotations
+
+from tools.bench_compare import compare, compare_shuffle, to_markdown
+
+
+def detail(queries, spreads=None, shuffle=None):
+    d = {"queries": queries}
+    if spreads:
+        d["queries_spread"] = spreads
+    if shuffle:
+        d["shuffle_audit"] = shuffle
+    return d
+
+
+def test_overlapping_spreads_are_noise():
+    old = detail({"q": 1.0}, {"q": [0.9, 1.3]})
+    new = detail({"q": 1.25}, {"q": [1.1, 1.4]})  # +25% median but spreads overlap
+    r = compare(old, new)
+    assert r["rows"][0]["status"] == "within-noise"
+    assert r["verdict"]["reg"] == 0
+
+
+def test_disjoint_spreads_and_big_move_is_regression():
+    old = detail({"q": 1.0}, {"q": [0.9, 1.1]})
+    new = detail({"q": 2.0}, {"q": [1.8, 2.2]})
+    r = compare(old, new)
+    assert r["rows"][0]["status"] == "REGRESSION"
+    assert r["verdict"]["regressions"] == ["q"]
+
+
+def test_disjoint_but_tiny_median_move_is_noise():
+    # disjoint intervals but <10% median move: two tight samples close
+    # together, not a structural change
+    old = detail({"q": 1.00}, {"q": [0.99, 1.01]})
+    new = detail({"q": 1.05}, {"q": [1.04, 1.06]})
+    r = compare(old, new)
+    assert r["rows"][0]["status"] == "within-noise"
+
+
+def test_improvement_is_symmetric():
+    old = detail({"q": 2.0}, {"q": [1.8, 2.2]})
+    new = detail({"q": 1.0}, {"q": [0.9, 1.1]})
+    r = compare(old, new)
+    assert r["rows"][0]["status"] == "improvement"
+    assert r["verdict"]["imp"] == 1
+
+
+def test_missing_spread_falls_back_to_band():
+    # old artifact predates spread capture: +-15% band stands in
+    old = detail({"q": 1.0})
+    new = detail({"q": 1.10}, {"q": [1.08, 1.12]})  # inside the 15% band
+    assert compare(old, new)["rows"][0]["status"] == "within-noise"
+    new2 = detail({"q": 1.60}, {"q": [1.55, 1.65]})
+    assert compare(old, new2)["rows"][0]["status"] == "REGRESSION"
+
+
+def test_new_query_listed_not_compared():
+    r = compare(detail({"a": 1.0}), detail({"a": 1.0, "b": 2.0}))
+    assert r["only_new"] == ["b"]
+    assert [row["query"] for row in r["rows"]] == ["a"]
+
+
+def test_shuffle_ratio_growth_flags_plan_change():
+    old = detail({}, shuffle={"q": {"disk_ratio": 0.10}})
+    new = detail({}, shuffle={"q": {"disk_ratio": 0.40}})
+    rows = compare_shuffle(old, new)
+    assert rows[0]["status"] == "SHUFFLE-REGRESSION"
+
+
+def test_shuffle_near_zero_relative_growth_is_ok():
+    # 0.003 -> 0.006 doubles relatively but is no plan change (abs < 0.05)
+    old = detail({}, shuffle={"q": {"disk_ratio": 0.003}})
+    new = detail({}, shuffle={"q": {"disk_ratio": 0.006}})
+    assert compare_shuffle(old, new)[0]["status"] == "ok"
+
+
+def test_shuffle_missing_old_datum():
+    rows = compare_shuffle(detail({}), detail({}, shuffle={"q": {"disk_ratio": 0.2}}))
+    assert rows[0]["status"] == "no-old-datum"
+
+
+def test_markdown_renders_both_sections():
+    old = detail({"q": 1.0}, {"q": [0.9, 1.1]}, {"q": {"disk_ratio": 0.1}})
+    new = detail({"q": 2.0}, {"q": [1.8, 2.2]}, {"q": {"disk_ratio": 0.4}})
+    md = to_markdown(compare(old, new))
+    assert "REGRESSION" in md and "SHUFFLE-REGRESSION" in md
+    assert "| q |" in md

@@ -45,6 +45,32 @@ def _envelope(detail: dict, name: str) -> tuple[float, float, float] | None:
     return float(med), lo, hi
 
 
+SHUFFLE_GROWTH = 1.25  # disk_ratio growth beyond this flags a plan regression
+
+
+def compare_shuffle(old: dict, new: dict) -> list[dict]:
+    """Diff the measured shuffle_write/on-disk-input ratios: wall-time noise
+    can hide a plan regression (a join flipping off broadcast, a lost
+    partial agg), but the bytes a plan shuffles are deterministic for a
+    deterministic plan — >25% growth is a structural change, not noise."""
+    rows = []
+    olds, news = old.get("shuffle_audit", {}), new.get("shuffle_audit", {})
+    for name, nrec in news.items():
+        nr = nrec.get("disk_ratio")
+        orec = olds.get(name, {})
+        orr = orec.get("disk_ratio")
+        if nr is None:
+            continue
+        status = "no-old-datum"
+        if orr is not None:
+            grew = orr > 0 and nr / orr > SHUFFLE_GROWTH
+            # absolute guard for near-zero ratios where relative growth is
+            # meaningless (0.003 -> 0.005 is not a plan change)
+            status = "SHUFFLE-REGRESSION" if grew and (nr - orr) > 0.05 else "ok"
+        rows.append({"query": name, "old_ratio": orr, "new_ratio": nr, "status": status})
+    return rows
+
+
 def compare(old: dict, new: dict, old_label: str = "old", new_label: str = "new") -> dict:
     rows = []
     names = [n for n in new.get("queries", {}) if n in old.get("queries", {})]
@@ -72,17 +98,21 @@ def compare(old: dict, new: dict, old_label: str = "old", new_label: str = "new"
     regressions = [r["query"] for r in rows if r["status"] == "REGRESSION"]
     improvements = [r["query"] for r in rows if r["status"] == "improvement"]
     only_new = sorted(set(new.get("queries", {})) - set(old.get("queries", {})))
+    shuffle_rows = compare_shuffle(old, new)
+    shuffle_regs = [r["query"] for r in shuffle_rows if r["status"] == "SHUFFLE-REGRESSION"]
     verdict = {
         "vs": old_label,
         "n": len(rows),
         "reg": len(regressions),
         "imp": len(improvements),
-        "regressions": regressions[:8],
+        "shuf_reg": len(shuffle_regs),
+        "regressions": (regressions + shuffle_regs)[:8],
     }
     return {
         "old_label": old_label,
         "new_label": new_label,
         "rows": rows,
+        "shuffle_rows": shuffle_rows,
         "only_new": only_new,
         "verdict": verdict,
     }
@@ -110,6 +140,21 @@ def to_markdown(result: dict) -> str:
         )
     if result["only_new"]:
         lines += ["", f"New queries (no {old_l} datum): " + ", ".join(result["only_new"])]
+    shuffle_rows = result.get("shuffle_rows", [])
+    if shuffle_rows:
+        lines += [
+            "",
+            "## Measured shuffle ratios (shuffle_write / on-disk input)",
+            "",
+            f"Flags structural plan changes wall-time noise hides: "
+            f">{int((SHUFFLE_GROWTH-1)*100)}% relative growth AND >0.05 absolute.",
+            "",
+            "| query | old ratio | new ratio | status |",
+            "|---|---|---|---|",
+        ]
+        for r in shuffle_rows:
+            old_s = f"{r['old_ratio']:.4f}" if r["old_ratio"] is not None else "—"
+            lines.append(f"| {r['query']} | {old_s} | {r['new_ratio']:.4f} | {r['status']} |")
     return "\n".join(lines) + "\n"
 
 
@@ -130,7 +175,7 @@ def main() -> int:
             f.write(md)
     print(md)
     print(json.dumps(result["verdict"]))
-    return 1 if result["verdict"]["reg"] else 0
+    return 1 if (result["verdict"]["reg"] or result["verdict"]["shuf_reg"]) else 0
 
 
 if __name__ == "__main__":
