@@ -2,19 +2,32 @@
 """Noise-aware bench regression gate (round-4 verdict, next-round task #2).
 
 Compares two bench DETAIL artifacts (the sidecar JSON bench.py writes to
-``bench_out/``, carrying per-query medians AND min/max spreads) and flags
-only moves that fall OUTSIDE the recorded noise envelope:
+``bench_out/``, carrying per-query medians AND min/max spreads).
 
-  regression  — the new spread sits entirely above the old spread AND the
-                median moved > 10% (both conditions: disjoint intervals
-                alone can be two tight-but-close samples; a >10% median
-                move alone can be inside overlapping spreads = noise).
-  improvement — symmetric, downward.
-  otherwise   — within noise envelope; not reported as a move.
+Calibration — measured on this box, round 5, by comparing two clean runs
+of IDENTICAL engine code ~30 min apart: within-session min/max spreads sit
+at ±2–5%, but between-session per-query ratios ranged 0.66×–1.42× around a
+shared session factor of only 1.07×.  JIT state, page cache, and scheduler
+placement move individual queries far outside their own within-session
+spread, mostly in a correlated (session-wide) direction.  Two consequences
+baked into the rules below:
+
+  1. Ratios are NORMALIZED by the session factor (median new/old ratio
+     across all shared queries, used when ≥8 are shared) before judging.
+  2. The per-query flag threshold is 1.5× normalized — below that, a
+     single session pair on this box cannot distinguish a real regression
+     from drift (observed same-code normalized max: 1.32×).
+
+  REGRESSION  — spreads disjoint upward AND normalized ratio > 1.5 AND
+                absolute move > 0.15 s (micro-queries' constant overhead
+                otherwise dominates the ratio).
+  suspect     — spreads disjoint upward AND normalized ratio > 1.25:
+                reported for eyes, not counted in the verdict.
+  improvement — symmetric to REGRESSION, downward.
+  otherwise   — within noise; not reported as a move.
 
 When one side has no recorded spread (e.g. the r3 artifact predates
-spread capture), a ±15% band around its median stands in — roughly the
-round-3→4 observed same-box variance for sub-second queries.
+spread capture), a ±15% band around its median stands in.
 
 Usage:
     python tools/bench_compare.py OLD.json NEW.json [--markdown OUT.md]
@@ -27,10 +40,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import statistics
 import sys
 
 FALLBACK_BAND = 0.15  # envelope halfwidth when a side lacks recorded spread
-MEDIAN_MOVE = 0.10  # minimum relative median move to call a change real
+NORM_THRESHOLD = 1.50  # normalized ratio beyond which a move is a real change
+SUSPECT_THRESHOLD = 1.25  # normalized ratio worth human eyes, not a verdict
+ABS_FLOOR_SEC = 0.15  # ignore moves smaller than this in absolute seconds
+MIN_SHARED_FOR_NORM = 8  # need this many shared queries to trust the factor
 
 
 def _envelope(detail: dict, name: str) -> tuple[float, float, float] | None:
@@ -72,15 +89,29 @@ def compare_shuffle(old: dict, new: dict) -> list[dict]:
 
 
 def compare(old: dict, new: dict, old_label: str = "old", new_label: str = "new") -> dict:
-    rows = []
     names = [n for n in new.get("queries", {}) if n in old.get("queries", {})]
+    ratios = {
+        n: new["queries"][n] / old["queries"][n] for n in names if old["queries"][n]
+    }
+    session_factor = (
+        statistics.median(ratios.values())
+        if len(ratios) >= MIN_SHARED_FOR_NORM
+        else 1.0
+    )
+    rows = []
     for name in names:
         om, olo, ohi = _envelope(old, name)
         nm, nlo, nhi = _envelope(new, name)
-        if nlo > ohi and nm > om * (1 + MEDIAN_MOVE):
+        norm = (nm / om) / session_factor if om else None
+        delta = nm - om
+        if norm is None:
+            status = "within-noise"
+        elif nlo > ohi and norm > NORM_THRESHOLD and delta > ABS_FLOOR_SEC:
             status = "REGRESSION"
-        elif nhi < olo and nm < om * (1 - MEDIAN_MOVE):
+        elif nhi < olo and norm < 1 / NORM_THRESHOLD and delta < -ABS_FLOOR_SEC:
             status = "improvement"
+        elif nlo > ohi and norm > SUSPECT_THRESHOLD:
+            status = "suspect"
         else:
             status = "within-noise"
         rows.append(
@@ -91,20 +122,29 @@ def compare(old: dict, new: dict, old_label: str = "old", new_label: str = "new"
                 "new": nm,
                 "new_spread": [round(nlo, 4), round(nhi, 4)],
                 "ratio": round(nm / om, 3) if om else None,
+                "norm_ratio": round(norm, 3) if norm is not None else None,
                 "status": status,
             }
         )
-    rows.sort(key=lambda r: (-{"REGRESSION": 2, "improvement": 1}.get(r["status"], 0), -(r["ratio"] or 0)))
+    rows.sort(
+        key=lambda r: (
+            -{"REGRESSION": 3, "improvement": 2, "suspect": 1}.get(r["status"], 0),
+            -(r["norm_ratio"] or 0),
+        )
+    )
     regressions = [r["query"] for r in rows if r["status"] == "REGRESSION"]
     improvements = [r["query"] for r in rows if r["status"] == "improvement"]
+    suspects = [r["query"] for r in rows if r["status"] == "suspect"]
     only_new = sorted(set(new.get("queries", {})) - set(old.get("queries", {})))
     shuffle_rows = compare_shuffle(old, new)
     shuffle_regs = [r["query"] for r in shuffle_rows if r["status"] == "SHUFFLE-REGRESSION"]
     verdict = {
         "vs": old_label,
         "n": len(rows),
+        "session_factor": round(session_factor, 3),
         "reg": len(regressions),
         "imp": len(improvements),
+        "suspect": len(suspects),
         "shuf_reg": len(shuffle_regs),
         "regressions": (regressions + shuffle_regs)[:8],
     }
@@ -124,19 +164,22 @@ def to_markdown(result: dict) -> str:
     lines = [
         f"# Bench comparison: {old_l} → {new_l}",
         "",
-        f"{v['n']} shared queries — **{v['reg']} regressions**, "
-        f"{v['imp']} improvements, rest within the recorded noise envelope "
-        f"(move counts only when the min/max spreads are disjoint AND the "
-        f"median shifted >{int(MEDIAN_MOVE*100)}%).",
+        f"{v['n']} shared queries, session factor {v['session_factor']}× — "
+        f"**{v['reg']} regressions**, {v['imp']} improvements, "
+        f"{v['suspect']} suspects, rest within the noise envelope. "
+        f"A move counts only when the min/max spreads are disjoint AND the "
+        f"session-factor-normalized ratio exceeds {NORM_THRESHOLD}× AND the "
+        f"absolute move exceeds {ABS_FLOOR_SEC}s (calibration: same-code "
+        f"between-session normalized ratios on this box reach 1.32×).",
         "",
-        f"| query | {old_l} med (spread) | {new_l} med (spread) | ratio | status |",
-        "|---|---|---|---|---|",
+        f"| query | {old_l} med (spread) | {new_l} med (spread) | ratio | norm | status |",
+        "|---|---|---|---|---|---|",
     ]
     for r in result["rows"]:
         lines.append(
             f"| {r['query']} | {r['old']:.3f} ({r['old_spread'][0]:.3f}–{r['old_spread'][1]:.3f})"
             f" | {r['new']:.3f} ({r['new_spread'][0]:.3f}–{r['new_spread'][1]:.3f})"
-            f" | {r['ratio']:.2f} | {r['status']} |"
+            f" | {r['ratio']:.2f} | {r['norm_ratio']:.2f} | {r['status']} |"
         )
     if result["only_new"]:
         lines += ["", f"New queries (no {old_l} datum): " + ", ".join(result["only_new"])]
