@@ -75,6 +75,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_resolve_groups",
     "dedup_simhash_pairs",
+    "dedup_substring_winnow",
     "dedup_embedding_ann",
     "sim_ann_lsh",
     "sim_ann_multiprobe",
@@ -144,6 +145,7 @@ SCALE_SMOKE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_resolve_groups",
+    "dedup_substring_winnow",
     "text_repetition_stats",
     "vocab_top_terms",
 ]
@@ -183,6 +185,18 @@ SHUFFLE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     "dedup_exact": (["documents"], 1.0),
     "dedup_minhash_lsh": (["documents"], 0.30),  # measured 0.10
     "dedup_simhash_pairs": (["documents"], 0.20),  # measured 0.05
+    # Substring dedup shuffles one 8-byte hash per TOKEN (positional k-gram
+    # windows, stride 1) — inherently ~2-3× the RAW text and more vs
+    # parquet's columnar compression; this corpus's 594 kB parquet holds
+    # ~785 kB of raw text.  measured 8.1.  The volume is linear (one hash
+    # per token), never quadratic — and the winnowed variant below is the
+    # scale path that cuts it 2/(w+1).
+    "dedup_substring_pairs": (["documents"], 12.0),
+    # measured 4.2 cold — winnowing keeps ~2/(w+1) of the positional hashes
+    # (w=4 → 0.4×; measured 0.51× of dedup_substring_pairs, asserted in
+    # tests/test_plans.py::test_winnow_cuts_substring_shuffle)
+    "dedup_substring_winnow": (["documents"], 6.5),
+    "dedup_substring_stats": (["documents"], 5.5),  # measured 3.5 (no pair join)
     "dedup_resolve_groups": (["documents"], 0.70),  # measured 0.31 (pair-set iters)
     # measured 0.54 — candidate pairs carry their two vectors into the
     # exact-cosine verify join; candidates only, never all-pairs

@@ -152,3 +152,50 @@ def duckdb_minhash_sig(hashes: str, k: int = 16) -> str:
         for a, b in minhash_coeffs(k)
     )
     return f"[{mins}]"
+
+
+# -- ordered (positional) shingle hashes + winnowing -------------------------
+# Substring dedup needs POSITIONAL k-gram hashes (winnowing selects by
+# sliding window over positions, so order matters and duplicates must stay).
+
+def spark_ordered_shingle_hashes(th: str, n: int = 3) -> str:
+    """Spark SQL: positional n-gram hashes over token-hash ARRAY COLUMN
+    ``th`` — same combiner as ``spark_hashed_shingles`` but order-preserving
+    and duplicate-preserving."""
+    combined = f"{th}[i]"
+    for j in range(1, n):
+        combined = f"(({combined}) * {SHINGLE_MULT} + {th}[i + {j}]) % {MOD}"
+    return (
+        f"CASE WHEN size({th}) >= {n} THEN "
+        f"transform(sequence(0, size({th}) - {n}), i -> {combined}) "
+        f"ELSE CAST(array() AS array<bigint>) END"
+    )
+
+
+def duckdb_ordered_shingle_hashes(th: str, n: int = 3) -> str:
+    combined = f"{th}[i]"
+    for j in range(1, n):
+        combined = f"(({combined}) * {SHINGLE_MULT} + {th}[i + {j}]) % {MOD}"
+    return f"[{combined} for i in range(1, greatest(len({th}) - {n - 1}, 0) + 1)]"
+
+
+def spark_winnow(h: str, w: int = 4) -> str:
+    """Spark SQL: winnowing fingerprint selection over a positional hash
+    ARRAY COLUMN ``h`` — the distinct set of per-window minima across every
+    w-long sliding window (Schleimer/Wilkerson/Aiken 2003).  Guarantee: two
+    documents sharing a span of >= k+w-1 tokens share >= 1 fingerprint.
+    Short arrays (0 < len < w) winnow to their global min; empty stays
+    empty.  Slice past the end clamps identically on both engines."""
+    return (
+        f"CASE WHEN size({h}) = 0 THEN CAST(array() AS array<bigint>) ELSE "
+        f"array_distinct(transform(sequence(1, greatest(size({h}) - {w - 1}, 1)), "
+        f"p -> array_min(slice({h}, p, {w})))) END"
+    )
+
+
+def duckdb_winnow(h: str, w: int = 4) -> str:
+    return (
+        f"CASE WHEN len({h}) = 0 THEN []::BIGINT[] ELSE "
+        f"list_distinct([list_min(({h})[p:p + {w - 1}]) "
+        f"for p in range(1, greatest(len({h}) - {w - 1}, 1) + 1)]) END"
+    )

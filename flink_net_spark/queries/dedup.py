@@ -484,3 +484,251 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+# -- exact-substring dedup (k-token duplicated spans) -------------------------
+#
+# The classic training-data step MinHash can't replace: MinHash scores
+# WHOLE-document similarity, but corpora also contain long verbatim spans
+# embedded in otherwise-different documents (quoted boilerplate, licence
+# headers, copied paragraphs).  Suffix-array substring dedup (Lee et al.
+# 2022, "Deduplicating Training Data Makes Language Models Better") removes
+# those; the distributed re-expression is k-token window hashing: every
+# length-k token window hashes to one BIGINT, windows sharing a hash across
+# documents are duplicated spans.
+#
+# Scale design (the 100 TB shape):
+#   - the ONLY thing shuffled is (doc_id, window_hash) — 16-byte rows, never
+#     text.  One hash-groupBy gives per-window document frequency.
+#   - the pair join is gated on 2 <= df <= SUBSTR_DF_CAP: singleton windows
+#     never enter the join, and boilerplate windows (df > cap) are dropped
+#     exactly as production pipelines drop them — a window shared by d docs
+#     yields d(d-1)/2 pairs, so the cap bounds the fanout of any hot span.
+#   - winnowing (keep only the min-hash window of every w-window run) cuts
+#     the exploded row count ~2/(w+1)-fold while guaranteeing recall for
+#     spans >= k+w-1; it ships as its own query (dedup_substring_winnow)
+#     so the exact variant's oracle stays an exact full-window mirror.
+
+SUBSTR_WINDOW = 8  # tokens per window (k)
+SUBSTR_DF_CAP = 50  # windows in more docs than this are boilerplate: dropped
+
+
+def _substring_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gram) — one row per DISTINCT k-token window hash per doc."""
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    return (
+        d.withColumn("th", F.expr(H.spark_token_hashes("text")))
+        .select(
+            "doc_id",
+            F.explode(F.expr(H.spark_hashed_shingles("th", SUBSTR_WINDOW))).alias("gram"),
+        )
+    )
+
+
+# shared oracle CTE: per-doc distinct k-token window hashes
+_DUCK_SUB_GRAMS = f"""
+    gr AS (
+        SELECT doc_id, UNNEST({H.duckdb_hashed_shingles("th", SUBSTR_WINDOW)}) AS gram
+        FROM {_DUCK_TH_DOCS}
+    )
+"""
+
+
+@query(
+    "dedup_substring_pairs",
+    oracle=f"""
+    WITH {_DUCK_SUB_GRAMS},
+    elig AS (
+        SELECT gram FROM gr GROUP BY gram
+        HAVING COUNT(*) BETWEEN 2 AND {SUBSTR_DF_CAP}
+    ),
+    nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM gr GROUP BY doc_id),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_shared_windows
+        FROM gr a
+        JOIN elig e ON a.gram = e.gram
+        JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared_windows,
+           ROUND(p.n_shared_windows * 1.0
+                 / LEAST(wa.n_windows, wb.n_windows), 4) AS overlap
+    FROM p
+    JOIN nw wa ON wa.doc_id = p.doc_a
+    JOIN nw wb ON wb.doc_id = p.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing at least one k-token verbatim span, with the
+    shared-window count and containment overlap
+    (``n_shared / min(windows_a, windows_b)`` — the substring analogue of
+    Jaccard containment).  See the section comment for the scale contract;
+    the self-join input is pre-shrunk to windows with ``2 <= df <= cap``."""
+    gr = _substring_grams(spark, sf_dir).persist()
+    elig = (
+        gr.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SUBSTR_DF_CAP))
+        .select("gram")
+    )
+    shared = gr.join(elig, "gram")
+    nw = gr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    a = shared.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = shared.select(F.col("doc_id").alias("doc_b"), "gram")
+    pairs = (
+        a.join(b, ["gram"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+    wa = nw.select(F.col("doc_id").alias("doc_a"), F.col("n_windows").alias("nw_a"))
+    wb = nw.select(F.col("doc_id").alias("doc_b"), F.col("n_windows").alias("nw_b"))
+    return (
+        pairs.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_windows",
+            F.round(
+                F.col("n_shared_windows") * F.lit(1.0) / F.least("nw_a", "nw_b"), 4
+            ).alias("overlap"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_substring_stats",
+    oracle=f"""
+    WITH {_DUCK_SUB_GRAMS},
+    freq AS (SELECT gram, COUNT(*) AS df FROM gr GROUP BY gram),
+    nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM gr GROUP BY doc_id),
+    nd AS (
+        SELECT g.doc_id, COUNT(*) AS n_dup
+        FROM gr g JOIN freq f ON g.gram = f.gram AND f.df >= 2
+        GROUP BY g.doc_id
+    )
+    SELECT d.doc_id AS doc_id,
+           CAST(COALESCE(nw.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           ROUND(CASE WHEN COALESCE(nw.n_windows, 0) = 0 THEN 0.0
+                      ELSE COALESCE(nd.n_dup, 0) * 1.0 / nw.n_windows END, 4)
+               AS dup_ratio
+    FROM documents d
+    LEFT JOIN nw ON nw.doc_id = d.doc_id
+    LEFT JOIN nd ON nd.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span profile: how many of the doc's k-token
+    windows appear verbatim in at least one OTHER document (df >= 2 — no
+    boilerplate cap here: a doc that is mostly boilerplate should score as
+    mostly duplicated).  ``dup_ratio`` is the curation signal a pipeline
+    thresholds on before dropping/trimming documents.  Docs shorter than k
+    tokens have no windows and score 0.  No pair join at all — membership
+    only, so the whole query is two hash-aggregations over (doc_id, hash)."""
+    gr = _substring_grams(spark, sf_dir).persist()
+    freq = gr.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    nw = gr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    nd = (
+        gr.join(freq.filter(F.col("df") >= 2).select("gram"), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_windows = F.coalesce("n_windows", F.lit(0).cast("long"))
+    n_dup = F.coalesce("n_dup", F.lit(0).cast("long"))
+    return (
+        d.join(nw, "doc_id", "left")
+        .join(nd, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_windows.alias("n_windows"),
+            n_dup.alias("n_dup_windows"),
+            F.round(
+                F.when(n_windows == 0, F.lit(0.0)).otherwise(
+                    n_dup * F.lit(1.0) / n_windows
+                ),
+                4,
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SUBSTR_WINNOW_W = 4  # winnowing window: guarantee spans >= k + w - 1 = 11 tokens
+
+
+def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) — winnowed k-gram fingerprints, ~2/(w+1) of the full
+    positional window set (the measured shuffle cut vs dedup_substring_pairs
+    is asserted in tests/test_plans.py)."""
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    return (
+        d.withColumn("th", F.expr(H.spark_token_hashes("text")))
+        .withColumn(
+            "g", F.expr(H.spark_ordered_shingle_hashes("th", SUBSTR_WINDOW))
+        )
+        .select(
+            "doc_id",
+            F.explode(F.expr(H.spark_winnow("g", SUBSTR_WINNOW_W))).alias("fp"),
+        )
+    )
+
+
+@query(
+    "dedup_substring_winnow",
+    oracle=f"""
+    WITH gr AS (
+        SELECT doc_id,
+               UNNEST({H.duckdb_winnow(
+                   H.duckdb_ordered_shingle_hashes("th", SUBSTR_WINDOW),
+                   SUBSTR_WINNOW_W)}) AS fp
+        FROM {_DUCK_TH_DOCS}
+    ),
+    elig AS (
+        SELECT fp FROM gr GROUP BY fp
+        HAVING COUNT(*) BETWEEN 2 AND {SUBSTR_DF_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_fingerprints
+    FROM gr a
+    JOIN elig e ON a.fp = e.fp
+    JOIN gr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-based substring dedup — the 100 TB path.  Instead of
+    shuffling every positional k-gram hash (~8 bytes per TOKEN, which
+    exceeds the compressed text itself — see dedup_substring_pairs'
+    audit entry), each doc keeps only the per-window minima of w=4
+    consecutive hashes (Schleimer et al. 2003, the MOSS fingerprinter):
+    ~2/(w+1) of the hashes, with the deterministic guarantee that any
+    verbatim span of >= k+w-1 = 11 tokens still collides on >= 1
+    fingerprint.  Pipeline after selection is identical to the exact
+    variant: df-gate (2 <= df <= cap) then pair-count.  The oracle runs the
+    same winnowing, so recall differences vs the exact variant are part of
+    the checked contract, not drift."""
+    gr = _winnow_fingerprints(spark, sf_dir).persist()
+    elig = (
+        gr.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SUBSTR_DF_CAP))
+        .select("fp")
+    )
+    shared = gr.join(elig, "fp")
+    a = shared.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = shared.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
+        .orderBy("doc_a", "doc_b")
+    )
