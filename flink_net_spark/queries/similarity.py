@@ -746,3 +746,76 @@ def emb_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, u.dim AS dim,
+               CAST(ROUND(CAST(embedding[u.dim + 1] AS DOUBLE) * 1000000, 0)
+                    AS BIGINT) AS val_e6
+        FROM embeddings, unnest(range(0, {DIM})) AS u(dim)
+    ),
+    st AS (SELECT dim, MIN(val_e6) AS mn, MAX(val_e6) AS mx FROM ex GROUP BY dim),
+    qz AS (
+        SELECT ex.dim, val_e6, mn, mx,
+               CASE WHEN mx = mn THEN 0
+                    ELSE ((val_e6 - mn) * 255) // (mx - mn) END AS q
+        FROM ex JOIN st ON ex.dim = st.dim
+    ),
+    r AS (
+        SELECT dim, q, val_e6,
+               mn + CASE WHEN mx = mn THEN 0
+                         ELSE (q * (mx - mn)) // 255 END AS recon_e6
+        FROM qz
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT)                 AS n,
+           CAST(SUM(q) AS BIGINT)                   AS sum_q,
+           CAST(MAX(ABS(val_e6 - recon_e6)) AS BIGINT) AS max_abs_err_e6,
+           CAST(SUM(ABS(val_e6 - recon_e6)) AS BIGINT) AS sum_abs_err_e6
+    FROM r GROUP BY dim ORDER BY dim
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embedding column — the
+    standard 4× storage/IO cut for corpus-scale vector stores (what FAISS
+    calls SQ8): fit per-dim (min, max) over the corpus, map each value to
+    ``q = floor((x - min) * 255 / (max - min))``, and audit the
+    reconstruction error the compression costs.
+
+    All arithmetic happens on exact 1e-6-scaled BIGINTs (same discipline as
+    emb_dim_stats), so quantization codes AND error totals are
+    order-independent integers — identical on both engines at any
+    parallelism, no float rounding ties.
+
+    Scale: posexplode is map-side; the (min, max) fit aggregates to DIM rows
+    and re-joins as a broadcast dim table, so the value stream is never
+    shuffled — the only shuffles are two partial-aggregated DIM-row aggs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("dim", "val")).select(
+        "dim",
+        F.round(F.col("val").cast("double") * 1_000_000, 0).cast("long").alias("val_e6"),
+    )
+    st = ex.groupBy("dim").agg(
+        F.min("val_e6").alias("mn"), F.max("val_e6").alias("mx")
+    )
+    q = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long")).otherwise(
+        F.expr("((val_e6 - mn) * 255) div (mx - mn)")
+    )
+    qz = ex.join(F.broadcast(st), "dim").withColumn("q", q)
+    recon = F.col("mn") + F.when(
+        F.col("mx") == F.col("mn"), F.lit(0).cast("long")
+    ).otherwise(F.expr("(q * (mx - mn)) div 255"))
+    err = F.abs(F.col("val_e6") - recon)
+    return (
+        qz.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("sum_q"),
+            F.max(err).alias("max_abs_err_e6"),
+            F.sum(err).alias("sum_abs_err_e6"),
+        )
+        .orderBy("dim")
+    )
