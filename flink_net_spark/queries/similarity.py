@@ -91,12 +91,26 @@ def _plane_weight(j: int, d: int) -> int:
     return ((j * DIM + d) * 2654435761) % 1000003 - 500001
 
 
-def _spark_bucket_expr() -> str:
-    dots = []
-    for j in range(N_PLANES):
-        terms = " + ".join(f"v[{d}] * {_plane_weight(j, d)}.0D" for d in range(DIM))
-        dots.append(f"CASE WHEN ({terms}) > 0 THEN {1 << j}L ELSE 0L END")
-    return " + ".join(dots)
+def _st_planes_df(spark: SparkSession) -> DataFrame:
+    """Single-table hyperplane weights as a 1-row broadcast dim table.
+
+    Same rationale as the multi-probe variant below: weights travel as DATA,
+    not as SQL text — an unrolled N_PLANES×DIM multiply chain costs ~1.5 s
+    of Catalyst analysis + Janino codegen PER PLAN COMPILE (measured at
+    DIM=64; execution itself is 0.17 s), and at DIM=1024 the SQL string
+    would be megabytes.  The fold below multiplies in the same d=0..DIM-1
+    order as a left-associated ``+`` chain, so the float dot products (and
+    therefore the bucket signs) are bit-identical to the unrolled form the
+    DuckDB oracle still uses."""
+    ws = [(j, [float(_plane_weight(j, d)) for d in range(DIM)]) for j in range(N_PLANES)]
+    return spark.createDataFrame([(ws,)], "ws ARRAY<STRUCT<j: INT, w: ARRAY<DOUBLE>>>")
+
+
+_ST_BUCKET_EXPR = (
+    "aggregate(ws, 0L, (acc, pw) -> acc + CASE WHEN "
+    "aggregate(zip_with(v, pw.w, (x, y) -> x * y), 0.0D, (a, x) -> a + x) > 0D "
+    "THEN shiftleft(1L, pw.j) ELSE 0L END)"
+)
 
 
 def _duckdb_bucket_expr() -> str:
@@ -141,7 +155,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine re-rank within the query's bucket only.  Equi-join on bucket id =
     the scalable shuffle shape.  (Single-table variant; the production path
     with recall control is ``sim_ann_multiprobe``.)"""
-    e = _emb_with_norm(spark, sf_dir).withColumn("bucket", F.expr(_spark_bucket_expr()))
+    e = (
+        _emb_with_norm(spark, sf_dir)
+        .crossJoin(F.broadcast(_st_planes_df(spark)))
+        .withColumn("bucket", F.expr(_ST_BUCKET_EXPR))
+        .drop("ws")
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -155,8 +174,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("nb"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    # the query batch is small by definition — broadcast it so the corpus
+    # side streams through the bucket probe without ever shuffling
     return (
-        q.join(n, (F.col("qb") == F.col("nb")) & (F.col("neighbor_id") != F.col("query_id")))
+        F.broadcast(q)
+        .join(n, (F.col("qb") == F.col("nb")) & (F.col("neighbor_id") != F.col("query_id")))
         .withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
@@ -295,8 +317,11 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("probe_bucket"),
         )
     )
+    # probe rows = L×(P+1) per batch query — small by definition: broadcast
+    # them so the corpus's (vec_id, t, bucket) stream is never shuffled
     cand = (
-        probes.alias("p")
+        F.broadcast(probes)
+        .alias("p")
         .join(
             tb.alias("n"),
             (F.col("p.t") == F.col("n.t"))
@@ -309,6 +334,10 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
     ns = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), F.col("nrm").alias("nn"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    # candidate → vector lookups stay un-hinted: AQE broadcasts the deduped
+    # candidate side when its runtime size warrants (it does at any scale
+    # where candidates ≪ corpus), without forcing an extra materialization
+    # barrier at small scale
     return (
         cand.join(qs, "query_id")
         .join(ns, "neighbor_id")

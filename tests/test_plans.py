@@ -162,12 +162,14 @@ def test_no_sf_scaled_broadcast_hints():
         src = path.read_text()
         for m in re.finditer(r"F\.broadcast\((\w+)", src):
             target = m.group(1)
-            # n/n1/n2 = 25-row nation aliases, r = 5-row region, planes =
-            # 1-row hyperplane weights, q/qe = fixed 5-row query sets,
-            # thr/mx = 1-row scalar aggregates, cent = 16-row IVF centroids
-            # c = K=8 k-means centroids, eval_sh = held-out eval-set
-            # shingles (benchmarks are KBs; corpus-size-independent)
-            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "q", "qe", "thr", "mx", "cent", "converted", "c", "eval_sh"}:
+            # n/n1/n2 = 25-row nation aliases, r = 5-row region, planes /
+            # _st_planes_df = 1-row hyperplane weights, q/qe = fixed 5-row
+            # query sets, probes = L×(P+1) rows per batch query (bounded by
+            # the query batch, not the corpus), thr/mx = 1-row scalar
+            # aggregates, cent = 16-row IVF centroids, c = K=8 k-means
+            # centroids, st = DIM-row quantizer fit, eval_sh = held-out
+            # eval-set shingles (benchmarks are KBs; corpus-size-independent)
+            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh"}:
                 offenders.append(f"{path.name}: F.broadcast({target}")
     assert not offenders, offenders
 
