@@ -63,6 +63,14 @@ def get_spark(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
+        # commit deltas to the checkpoint instead of full RocksDB snapshots:
+        # measured +20-30% steady-state rate on the 1M-distinct-key probe
+        # (bench.py stream_probe), and at real state sizes full-snapshot
+        # uploads are the classic large-state checkpoint bottleneck
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
         .config("spark.sql.streaming.multipleWatermarkPolicy", "min")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -433,10 +433,15 @@ def test_rocksdb_state_backend_is_active_and_correct(spark, tmp_path):
         .collect()
     }
     assert rows == truth
-    zips = [
+    # RocksDB leaves provider-specific artifacts under state/: versioned
+    # .zip snapshot archives, and — with changelogCheckpointing on (the
+    # session default) — per-commit .changelog deltas uploaded in place of
+    # eager full snapshots.  The HDFS-backed store would write bare .delta
+    # files and neither of these.
+    arts = [
         f
         for root, _, files in os.walk(os.path.join(ckpt, "state"))
         for f in files
-        if f.endswith(".zip")
+        if f.endswith((".zip", ".changelog"))
     ]
-    assert zips, "no RocksDB snapshot archives under the state checkpoint"
+    assert arts, "no RocksDB snapshot/changelog artifacts under the state checkpoint"
