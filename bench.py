@@ -156,6 +156,7 @@ SCALE_SMOKE_100 = [
     "q18_large_volume_customers",
     "dedup_resolve_groups",
     "dedup_minhash_lsh",
+    "dedup_substring_winnow",
     "window_session",
     "join_asof",
 ]
