@@ -286,3 +286,98 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 term scoring — the retrieval-grade companion of tfidf_doc_terms.
+# --------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM terms WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * ({_BM25_K1} + 1))
+                 / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / st.avgdl))
+                 AS bm25
+        FROM tf
+        JOIN dl ON dl.doc_id = tf.doc_id
+        JOIN df ON df.term = tf.term
+        CROSS JOIN st
+        WHERE tf.doc_id % 20 = 0
+    )
+    SELECT doc_id, term, rank, ROUND(bm25, 4) AS bm25
+    FROM (
+        SELECT doc_id, term, bm25,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY bm25 DESC, term) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    ORDER BY doc_id, rank
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 BM25-scored terms per sampled document (Okapi BM25, k1=1.2,
+    b=0.75) — the retrieval scoring every quality-filter / decontamination /
+    eval-retrieval pipeline reaches for once plain tf-idf saturates on long
+    documents.
+
+    Float discipline: document lengths and term counts are exact integers,
+    and integer sums stay EXACT (hence order-independent) in IEEE doubles
+    below 2^53, so ``avgdl`` and every score input is bit-identical across
+    engines; the only transcendental is one ``ln`` per term, identically
+    rounded on both engines for this deterministic corpus (checked by the
+    hash gate, not assumed).
+
+    Scale: tf shuffles once on (doc_id, term) with map-side combine; dl and
+    df are tiny rollups of tf (doc- and vocab-bounded); (n_docs, avgdl) is a
+    1-row scalar aggregate broadcast to the scoring join; the top-k window
+    partitions by doc_id — same shuffle shape as tfidf_doc_terms."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (_BM25_K1 + 1)) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("bm25").desc(), F.col("term"))
+    return (
+        tf.filter(F.col("doc_id") % 20 == 0)
+        .join(dl, "doc_id")
+        .join(df, "term")
+        .crossJoin(F.broadcast(st))
+        .withColumn("bm25", idf * tf_part)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "term", "rank", F.round("bm25", 4).alias("bm25"))
+        .orderBy("doc_id", "rank")
+    )

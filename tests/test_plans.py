@@ -167,7 +167,7 @@ def test_no_sf_scaled_broadcast_hints():
             # query sets, probes = L×(P+1) rows per batch query (bounded by
             # the query batch, not the corpus), thr/mx = 1-row scalar
             # aggregates, cent = 16-row IVF centroids, c = K=8 k-means
-            # centroids, st = DIM-row quantizer fit, eval_sh = held-out
+            # centroids, st = DIM-row quantizer fit / 1-row bm25 corpus stats, eval_sh = held-out
             # eval-set shingles (benchmarks are KBs; corpus-size-independent)
             if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh"}:
                 offenders.append(f"{path.name}: F.broadcast({target}")
