@@ -50,6 +50,10 @@ NESTED_LOOP_ALLOWED = {
     # (broadcast; N×K scoring is the canonical distributed k-means step).
     "emb_kmeans_assign",
     "emb_kmeans_iterate",
+    # text_bm25_topk / emb_quantize_int8 — crossJoin/join against a 1-row
+    # (n_docs, avgdl) scalar aggregate resp. DIM-row quantizer fit.
+    "text_bm25_topk",
+    "emb_quantize_int8",
 }
 
 # Queries machine-tagged as deliberate non-scale-safe ground truth (META)
