@@ -653,6 +653,42 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_ntile_lead_cume",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LEAD(o_orderkey) OVER w                  AS next_orderkey,
+           NTILE(4)         OVER w                  AS spend_quartile,
+           ROUND(CUME_DIST()    OVER w, 4)          AS cume,
+           ROUND(PERCENT_RANK() OVER w, 4)          AS pct_rank
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_ntile_lead_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function surface: LEAD / NTILE / CUME_DIST / PERCENT_RANK
+    per customer, ordered by spend with an orderkey tie-break so every rank
+    is deterministic across engines and parallelism.  One shuffle on the
+    partition key; the sort is within-partition."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+            F.ntile(4).over(w).alias("spend_quartile"),
+            F.round(F.cume_dist().over(w), 4).alias("cume"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # Projections / per-record transforms (≙ Map/FlatMap/Filter, SURVEY §2.3) and
 # the scalar function surface (§2.11: Spark builtins are our scalar library)

@@ -848,3 +848,64 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+RANGE_COS_THRESHOLD = 0.30  # ≈ top 1% of within-label pairs on the synthetic corpus
+
+
+@query(
+    "sim_range_search_blocked",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum([a.v[i] * b.v[i] for i in range(1, {DIM + 1})])
+                 / (a.nrm * b.nrm), 4) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum([a.v[i] * b.v[i] for i in range(1, {DIM + 1})])
+          / (a.nrm * b.nrm) >= {RANGE_COS_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def sim_range_search_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: every within-block pair whose
+    cosine clears a threshold — the "all neighbors within r" counterpart of
+    top-k ANN, used for near-dup clustering and diversity filtering.
+
+    The ``label`` column is the block key (in a production corpus: an IVF
+    coarse-centroid assignment, cf. ``sim_ann_ivf``): all-pairs runs only
+    *inside* a block, so the join is an EQUI-join on the block id and the
+    shuffle moves (id, vector) once — no global cartesian.  With balanced
+    blocks the pair count is n²/n_blocks; the IVF assignment step keeps
+    blocks bounded at 100 TB (hot blocks can be sub-split by a secondary
+    hash, same discipline as dedup_ngram_jaccard's block cap).
+
+    Float discipline: the dot product folds in the same left-to-right
+    order on both engines (zip_with+aggregate vs list_sum of an ordered
+    comprehension — proven bit-stable in sim_cosine_topk)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        F.expr(
+            "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            "0.0D, (acc, x) -> acc + x))"
+        ).alias("nrm"),
+    )
+    a = e.select(
+        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    b = e.select(
+        F.col("label").alias("lb"), F.col("vec_id").alias("vec_b"), F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
+        .filter(F.col("cosine") >= RANGE_COS_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )

@@ -183,3 +183,83 @@ def pattern_absence_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+RANGE_JOIN_WINDOW_DAYS = 7
+_RJ_MONTH_START, _RJ_MONTH_END = "1996-03-01", "1996-04-01"
+
+
+@query(
+    "join_range_bucketed",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           CAST(COUNT(*) AS BIGINT)          AS n_shipped,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL {RANGE_JOIN_WINDOW_DAYS} DAY
+    WHERE o.o_orderdate >= TIMESTAMP '{_RJ_MONTH_START}'
+      AND o.o_orderdate < TIMESTAMP '{_RJ_MONTH_END}'
+    GROUP BY o.o_orderkey
+    ORDER BY o.o_orderkey
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join at scale: for each March-1996 order,
+    count global shipments inside its 7-day fulfilment window.
+
+    Spark has no IEJoin — a naive ``ON point BETWEEN lo AND hi`` plans as
+    BroadcastNestedLoop (quadratic).  The scale path COARSE-BUCKETS time:
+    each interval explodes into the weekly buckets it overlaps (≤2 here —
+    ceil(window/bucket)+1 in general, a small constant), each point maps to
+    exactly one bucket, and the join becomes an EQUI-join on the bucket id
+    refined by the exact range predicate.  Buckets partition the timeline,
+    so a (point, interval) match lands in exactly one bucket — no dedup
+    pass needed.  Cost: one hash shuffle on the bucket id over rows
+    replicated ×(buckets-per-interval); never quadratic, and AQE sees an
+    ordinary equi-join it can size.  (Same trick generalises to interval
+    overlap joins; bucket width tunes replication vs selectivity.)"""
+    bucket_s = RANGE_JOIN_WINDOW_DAYS * 86_400  # bucket width = window width
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_RJ_MONTH_START).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_RJ_MONTH_END).cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("lo_s"),
+            (
+                F.unix_timestamp("o_orderdate")
+                + F.lit(RANGE_JOIN_WINDOW_DAYS * 86_400)
+            ).alias("hi_s"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    (F.col("lo_s") / bucket_s).cast("long"),
+                    ((F.col("hi_s") - 1) / bucket_s).cast("long"),
+                )
+            ),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.unix_timestamp("l_shipdate").alias("ship_s"),
+        F.col("l_quantity"),
+    ).withColumn("bucket", (F.col("ship_s") / bucket_s).cast("long"))
+    return (
+        o.join(
+            li,
+            (o.bucket == li.bucket)
+            & (F.col("ship_s") >= F.col("lo_s"))
+            & (F.col("ship_s") < F.col("hi_s")),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipped"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -381,3 +381,76 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "rank", F.round("bm25", 4).alias("bm25"))
         .orderBy("doc_id", "rank")
     )
+
+
+# Gopher-style quality rules (Rae et al. 2021, table A1 — bounds adapted to
+# the synthetic corpus' scale): word-count window, mean-word-length window,
+# minimum stopword evidence, and a repetition (distinct-word ratio) floor.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 20, 80
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 8.0
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MIN_UNIQ_RATIO = 0.55
+
+
+@query(
+    "text_gopher_filters",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               (length(text) - len(string_split(text, ' ')) + 1) * 1.0
+                   / len(string_split(text, ' ')) AS mean_wl,
+               len(list_filter(string_split(text, ' '),
+                               x -> x IN {_STOP_SET_SQL})) AS stop_hits,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) AS uniq_ratio
+        FROM documents
+    )
+    SELECT doc_id, n_words, ROUND(mean_wl, 4) AS mean_word_len, stop_hits,
+           ROUND(uniq_ratio, 4) AS uniq_ratio,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS pass_words,
+           (mean_wl >= {GOPHER_MIN_MWL} AND mean_wl <= {GOPHER_MAX_MWL}) AS pass_mwl,
+           (stop_hits >= {GOPHER_MIN_STOP_HITS}) AS pass_stop,
+           (uniq_ratio >= {GOPHER_MIN_UNIQ_RATIO}) AS pass_rep,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND mean_wl >= {GOPHER_MIN_MWL} AND mean_wl <= {GOPHER_MAX_MWL}
+            AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+            AND uniq_ratio >= {GOPHER_MIN_UNIQ_RATIO}) AS keep
+    FROM f ORDER BY doc_id
+    """,
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate: the standard pre-training corpus
+    filter battery (word-count window, mean-word-length window, stopword
+    evidence, repetition floor) as pure column expressions — per-document
+    map work, zero shuffle, one scan at any corpus size.
+
+    Each rule emits its own boolean so downstream curation can audit WHY a
+    document was dropped (the survival-rate-per-rule report is a groupBy
+    over these flags); ``keep`` is the conjunction."""
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    ws = F.split("text", " ")
+    n_words = F.size(ws)
+    mean_wl = (F.length("text") - n_words + 1) * F.lit(1.0) / n_words
+    stop_hits = F.expr(f"size(filter(split(text, ' '), x -> x IN ({stop_list})))")
+    uniq_ratio = F.size(F.array_distinct(ws)) * F.lit(1.0) / n_words
+    pass_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    pass_mwl = (mean_wl >= GOPHER_MIN_MWL) & (mean_wl <= GOPHER_MAX_MWL)
+    pass_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    pass_rep = uniq_ratio >= GOPHER_MIN_UNIQ_RATIO
+    return (
+        d.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            F.round(mean_wl, 4).alias("mean_word_len"),
+            stop_hits.alias("stop_hits"),
+            F.round(uniq_ratio, 4).alias("uniq_ratio"),
+            pass_words.alias("pass_words"),
+            pass_mwl.alias("pass_mwl"),
+            pass_stop.alias("pass_stop"),
+            pass_rep.alias("pass_rep"),
+            (pass_words & pass_mwl & pass_stop & pass_rep).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

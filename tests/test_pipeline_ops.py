@@ -135,3 +135,19 @@ def test_approx_percentiles_within_bound(spark):
         for col_e, col_a in (("p50_qty", "p50_qty"), ("p90_qty", "p90_qty"), ("p99_price", "p99_price")):
             rel = abs(a[col_a] - e[col_e]) / max(abs(e[col_e]), 1e-9)
             assert rel < 0.02, f"{flag}.{col_a}: approx {a[col_a]} vs exact {e[col_e]}"
+
+
+def test_gopher_filters_flags_consistent(spark):
+    """keep must equal the conjunction of the per-rule flags, and the gate
+    must actually discriminate on the corpus (not all-pass / all-fail)."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_DIR
+
+    df = __import__("__spark_entry__").queries()["text_gopher_filters"](spark, SF_DIR)
+    rows = df.collect()
+    assert rows, "empty gopher output"
+    for r in rows:
+        assert r.keep == (r.pass_words and r.pass_mwl and r.pass_stop and r.pass_rep)
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows), f"gate does not discriminate: {kept}/{len(rows)}"

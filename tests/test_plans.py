@@ -307,3 +307,21 @@ def test_winnow_cuts_substring_shuffle(spark):
         win.as_dict(),
         full.as_dict(),
     )
+
+
+def test_range_bucketed_join_is_equi_not_nested_loop(spark):
+    """join_range_bucketed's whole point: the point-in-interval predicate
+    must plan as an EQUI-join on the coarse time bucket (hash-partitionable
+    at any scale), never a BroadcastNestedLoopJoin range probe."""
+    p = plan_of(entry.queries()["join_range_bucketed"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert any(
+        j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), p
+
+
+def test_range_search_blocked_is_equi_on_label(spark):
+    """sim_range_search_blocked joins equi on the block id (label); the
+    cosine threshold is a post-join filter, not a join strategy."""
+    p = plan_of(entry.queries()["sim_range_search_blocked"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
