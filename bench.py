@@ -102,6 +102,10 @@ HEADLINE = [
     "window_count_per_key",
     "window_session_dynamic_gap",
     "pipeline_five_stage",
+    "text_gopher_filters",
+    "sim_range_search_blocked",
+    "join_range_bucketed",
+    "window_ntile_lead_cume",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
@@ -148,6 +152,11 @@ SCALE_SMOKE = [
     "dedup_substring_winnow",
     "text_repetition_stats",
     "vocab_top_terms",
+    "text_gopher_filters",
+    # lineitem-based bucketed range join: replication multiplies matches per
+    # interval, so runtime scales with OUTPUT pairs (~10x) — still one
+    # equi-join shuffle, no quadratic blowup:
+    "join_range_bucketed",
 ]
 
 # One more decade for the five most expensive shapes (opt-in:
@@ -216,6 +225,14 @@ SHUFFLE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # shuffle in row format (~8× parquet's columnar compression on events)
     "window_session": (["events"], 3.0),
     "join_asof": (["events"], 1.5),  # measured 0.66 (union + running-last window)
+    # bucketed range join: shuffle carries (bucket, ship_s, l_quantity) per
+    # lineitem row + the ≤2×-exploded March orders — 2 narrow columns of 16,
+    # so well under the raw table bytes
+    "join_range_bucketed": (["lineitem", "orders"], None),
+    # blocked radius search: each side shuffles (vec_id, label, 64-float
+    # vector) once on the block key; float vectors barely compress in
+    # parquet, so the ratio ≈ 2× + the small pair output
+    "sim_range_search_blocked": (["embeddings"], None),
 }
 
 

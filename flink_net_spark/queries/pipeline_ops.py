@@ -22,6 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from flink_net_spark.functions import hashing as H
 from flink_net_spark.queries import query
 from flink_net_spark.tables import load_table
 
@@ -596,4 +597,69 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
         .orderBy("source", "seq_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window document chunking (training-example construction).
+# --------------------------------------------------------------------------
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@query(
+    "curation_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               s.start // {CHUNK_STRIDE}                            AS chunk_idx,
+               array_to_string(ws[s.start + 1 : s.start + {CHUNK_TOKENS}], ' ') AS ctext
+        FROM t, UNNEST(range(0, len(ws), {CHUNK_STRIDE})) AS s(start)
+    )
+    SELECT doc_id, chunk_idx,
+           len(string_split(ctext, ' '))                    AS n_chunk_tokens,
+           {H.duckdb_char_polyhash("ctext")}                AS chunk_hash
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+)
+def curation_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunker: split each document into CHUNK_TOKENS-token
+    training chunks with a CHUNK_TOKENS−CHUNK_STRIDE (8-token) overlap (the
+    standard long-document → context-window construction; overlap preserves
+    cross-boundary continuations).
+
+    Pure map work: explode ~n_tokens/stride chunk starts per document
+    (≈1.33× row duplication from the overlap), slice the pre-split token
+    array, emit (chunk_idx, token count, content hash).  No shuffle except
+    the presentation sort; at 100 TB this is scan → explode → write,
+    embarrassingly parallel and pushdown-friendly."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    c = (
+        d.select("doc_id", ws.alias("ws"))
+        .withColumn(
+            "start",
+            F.explode(
+                F.sequence(F.lit(0), F.size("ws") - 1, F.lit(CHUNK_STRIDE))
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("ws"), F.col("start") + 1, CHUNK_TOKENS)
+            ).alias("ctext"),
+        )
+    )
+    return (
+        c.select(
+            "doc_id",
+            "chunk_idx",
+            F.size(F.split("ctext", " ")).alias("n_chunk_tokens"),
+            F.expr(H.spark_char_polyhash("ctext")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
     )
