@@ -106,6 +106,8 @@ HEADLINE = [
     "sim_range_search_blocked",
     "join_range_bucketed",
     "window_ntile_lead_cume",
+    "text_unigram_nll",
+    "curation_chunk_overlap",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).

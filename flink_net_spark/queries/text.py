@@ -454,3 +454,72 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_unigram_nll",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    cnt AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM terms WHERE term <> '' GROUP BY term
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+    tok AS (
+        SELECT t.doc_id,
+               CAST(ROUND((ln(tot.n) - ln(cnt.c)) * 1000000) AS BIGINT) AS nll_e6
+        FROM terms t JOIN cnt ON cnt.term = t.term CROSS JOIN tot
+        WHERE t.term <> ''
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)      AS n_tokens,
+           CAST(SUM(nll_e6) AS BIGINT)   AS sum_nll_e6,
+           SUM(nll_e6) // COUNT(*)       AS avg_nll_e6
+    FROM tok GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram negative log-likelihood per document — the CCNet-style
+    perplexity-proxy quality signal (docs whose tokens are improbable under
+    the corpus' own unigram LM are outliers: boilerplate, noise, wrong
+    language), computed without any external model.
+
+    Float discipline: each token contributes ``ln(N) − ln(count)`` — two
+    transcendentals on exact integer inputs, identical on both engines —
+    quantized to integer micro-nats BEFORE the per-document sum, so the
+    aggregation is order-independent integer math at any parallelism.
+
+    Scale: two term-keyed partial aggregations (term cardinality, not
+    corpus size, bounds the reduce side), one join back on the term, one
+    doc-keyed agg.  The corpus total rides along as a broadcast 1-row
+    scalar.  At 100 TB the term dictionary shuffles once and the token
+    stream shuffles twice — no all-pairs anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    cnt = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    tok = (
+        terms.join(cnt, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round((F.log("n") - F.log("c")) * 1_000_000, 0)
+            .cast("long")
+            .alias("nll_e6"),
+        )
+    )
+    return (
+        tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("nll_e6").alias("sum_nll_e6"),
+        )
+        .withColumn(
+            "avg_nll_e6", F.expr("sum_nll_e6 div n_tokens")
+        )
+        .orderBy("doc_id")
+    )

@@ -422,3 +422,58 @@ class UpsertSink:
 
     def writer(self, df: DataFrame, checkpoint: str) -> DataStreamWriter:
         return df.writeStream.foreachBatch(self).option("checkpointLocation", checkpoint)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory so output files
+    approach ``target_file_bytes`` (the operational chore every streaming
+    sink and fine-grained partitioned write creates at 100 TB — thousands
+    of KB-sized files per partition turn scans into metadata storms and
+    NameNode/listing hot spots).
+
+    Sizing uses the directory's actual on-disk bytes (compressed), so the
+    output file count is ``ceil(disk_bytes / target)`` — one coalesce-style
+    round-robin repartition, no key shuffle.  For partitioned layouts pass
+    ``partition_cols`` to preserve the directory structure (files compact
+    *within* partitions via a repartition on the partition key).  Writes to
+    a staging dir then atomically renames, so a crash mid-compaction never
+    corrupts the source.  Returns the new file count."""
+    import math
+    import os
+    import shutil
+
+    disk = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _d, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(disk / target_file_bytes))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "._compacting"
+    shutil.rmtree(staging, ignore_errors=True)
+    if partition_cols:
+        (
+            df.repartition(n_files, *partition_cols)
+            .write.partitionBy(*partition_cols)
+            .mode("overwrite")
+            .parquet(staging)
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    backup = path.rstrip("/") + "._precompact"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return sum(
+        1
+        for root, _d, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )

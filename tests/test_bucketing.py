@@ -60,3 +60,37 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_compact_parquet_flat_and_partitioned(spark, tmp_path):
+    """Compaction must cut the file count toward ceil(disk/target), keep
+    every row bit-identical, and preserve a partitioned directory layout."""
+    from flink_net_spark.sinks import compact_parquet
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", F.col("value")
+    )
+    n_rows = ev.count()
+
+    # flat layout: fragment into many tiny files first
+    flat = str(tmp_path / "flat")
+    ev.repartition(64).write.parquet(flat)
+    before = sum(1 for f in __import__("pathlib").Path(flat).rglob("*.parquet"))
+    assert before >= 32
+    n_after = compact_parquet(spark, flat, target_file_bytes=1 << 30)
+    assert n_after == 1, n_after
+    back = spark.read.parquet(flat)
+    assert back.count() == n_rows
+    assert back.agg(F.sum(F.hash("event_id", "event_type"))).first()[0] == ev.agg(
+        F.sum(F.hash("event_id", "event_type"))
+    ).first()[0]
+
+    # partitioned layout: structure must survive, pruning must still work
+    part = str(tmp_path / "part")
+    ev.repartition(16).write.partitionBy("event_type").parquet(part)
+    compact_parquet(spark, part, target_file_bytes=1 << 30,
+                    partition_cols=["event_type"])
+    import os
+    assert any(d.startswith("event_type=") for d in os.listdir(part)), os.listdir(part)
+    back2 = spark.read.parquet(part)
+    assert back2.count() == n_rows

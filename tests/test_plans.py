@@ -50,10 +50,12 @@ NESTED_LOOP_ALLOWED = {
     # (broadcast; N×K scoring is the canonical distributed k-means step).
     "emb_kmeans_assign",
     "emb_kmeans_iterate",
-    # text_bm25_topk / emb_quantize_int8 — crossJoin/join against a 1-row
-    # (n_docs, avgdl) scalar aggregate resp. DIM-row quantizer fit.
+    # text_bm25_topk / emb_quantize_int8 / text_unigram_nll — crossJoin/join
+    # against a 1-row (n_docs, avgdl / corpus-total) scalar aggregate resp.
+    # DIM-row quantizer fit.
     "text_bm25_topk",
     "emb_quantize_int8",
+    "text_unigram_nll",
 }
 
 # Queries machine-tagged as deliberate non-scale-safe ground truth (META)
@@ -172,8 +174,9 @@ def test_no_sf_scaled_broadcast_hints():
             # the query batch, not the corpus), thr/mx = 1-row scalar
             # aggregates, cent = 16-row IVF centroids, c = K=8 k-means
             # centroids, st = DIM-row quantizer fit / 1-row bm25 corpus stats, eval_sh = held-out
-            # eval-set shingles (benchmarks are KBs; corpus-size-independent)
-            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh"}:
+            # eval-set shingles (benchmarks are KBs; corpus-size-independent),
+            # tot = 1-row corpus token total (text_unigram_nll)
+            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot"}:
                 offenders.append(f"{path.name}: F.broadcast({target}")
     assert not offenders, offenders
 
