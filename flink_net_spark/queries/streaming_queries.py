@@ -796,3 +796,50 @@ def stream_cdc_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+HALF_HOUR_MS = 1_800_000
+
+
+@query(
+    "stream_window_sliding",
+    oracle=f"""
+    SELECT window_start_ms, event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM (
+        SELECT UNNEST([((epoch_ms(ts) // {HALF_HOUR_MS}) - k) * {HALF_HOUR_MS}
+                       for k in [0, 1]]) AS window_start_ms,
+               event_type, value
+        FROM events
+    )
+    GROUP BY window_start_ms, event_type
+    ORDER BY window_start_ms, event_type
+    """,
+)
+def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (size=1h, slide=30m, keyed by event_type)
+    ≙ SlidingEventTimeWindows over a live stream: each event contributes to
+    size/slide = 2 window panes, and panes must accumulate correctly across
+    micro-batch boundaries (the replay drains in 2 batches).  Hash-checked
+    against the same expand-by-k oracle as the batch ``window_sliding`` —
+    the streaming state machinery must reproduce the batch result exactly.
+
+    Scale: the ×(size/slide) row expansion happens map-side inside the
+    window assigner; state is one row per (pane, key), bounded by the
+    watermark in production append mode."""
+    ev = _events_stream(spark, sf_dir)
+    win = (
+        with_bounded_out_of_orderness(ev, "ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_stream(win).orderBy("window_start_ms", "event_type")
