@@ -523,3 +523,42 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BOW_DIM = 64  # hashed feature space (hashing trick: fixed dim, any vocab)
+
+
+@query(
+    "text_hashed_bow",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id, unnest({H.duckdb_token_hashes("text")}) AS h
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           h % {_BOW_DIM}           AS feature,
+           CAST(COUNT(*) AS BIGINT) AS tf
+    FROM th GROUP BY doc_id, feature
+    ORDER BY doc_id, feature
+    """,
+)
+def text_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words vectorizer (Weinberger et al. 2009; what
+    HashingTF does in Spark MLlib): each token hashes into a fixed
+    64-bucket feature space, so the vectorizer needs NO vocabulary pass,
+    no dictionary broadcast, and its output dimensionality is independent
+    of corpus size — the property that makes it the default featurizer at
+    100 TB.  Emitted as sparse (doc_id, feature, tf) rows over a 1-in-10
+    document sample.
+
+    Scale: token hashing is map-side column work; the only shuffle is the
+    (doc_id, feature)-keyed partial-aggregated count."""
+    d = spread_small_scan(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return (
+        d.select("doc_id", F.explode(F.expr(H.spark_token_hashes("text"))).alias("h"))
+        .groupBy("doc_id", (F.col("h") % _BOW_DIM).alias("feature"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy("doc_id", "feature")
+    )
