@@ -174,3 +174,20 @@ def test_table_environment_sql(spark):
     ds = t_env.to_datastream("orders_t")
     assert ds.df.count() == load_table(spark, SF_DIR, "orders").count()
     assert t_env.drop_table("orders_t")
+
+
+def test_rebalance_no_arg_and_rescale_grow(spark):
+    """ADVICE r4 regressions pinned: rebalance() with no argument must
+    target the session's shuffle-partition count (repartition has no no-arg
+    form), and rescale(n) with n ABOVE the current partition count must
+    actually grow (coalesce alone would silently no-op)."""
+    env = StreamExecutionEnvironment(spark)
+    ev = load_table(spark, SF_DIR, "events")
+
+    out = env.from_dataframe(ev).rebalance().df
+    expected = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert out.rdd.getNumPartitions() == expected
+
+    narrow = ev.coalesce(2)
+    grown = env.from_dataframe(narrow).rescale(8).df
+    assert grown.rdd.getNumPartitions() == 8
