@@ -636,7 +636,12 @@ def curation_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     array, emit (chunk_idx, token count, content hash).  No shuffle except
     the presentation sort; at 100 TB this is scan → explode → write,
     embarrassingly parallel and pushdown-friendly."""
-    d = load_table(spark, sf_dir, "documents")
+    from flink_net_spark.tables import spread_small_scan
+
+    # spread: the per-chunk rolling hash is CPU-heavy higher-order-function
+    # work, and a single-row-group corpus file would serialize it on one
+    # core (measured 2.8s → sub-second at sf0.1)
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     ws = F.split("text", " ")
     c = (
         d.select("doc_id", ws.alias("ws"))
