@@ -227,14 +227,14 @@ SHUFFLE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # shuffle in row format (~8× parquet's columnar compression on events)
     "window_session": (["events"], 3.0),
     "join_asof": (["events"], 1.5),  # measured 0.66 (union + running-last window)
-    # bucketed range join: shuffle carries (bucket, ship_s, l_quantity) per
-    # lineitem row + the ≤2×-exploded March orders — 2 narrow columns of 16,
-    # so well under the raw table bytes
-    "join_range_bucketed": (["lineitem", "orders"], None),
-    # blocked radius search: each side shuffles (vec_id, label, 64-float
-    # vector) once on the block key; float vectors barely compress in
-    # parquet, so the ratio ≈ 2× + the small pair output
-    "sim_range_search_blocked": (["embeddings"], None),
+    # measured 0.0035 — the bucket equi-join shuffles only (bucket, ship_s,
+    # l_quantity): 2 narrow columns of lineitem's 16, plus the ≤2×-exploded
+    # March orders
+    "join_range_bucketed": (["lineitem", "orders"], 0.05),
+    # measured 1.10 — ALL of it is the spread exchange moving each float
+    # vector once (floats barely compress in parquet) before the fan-out
+    # dot products; the block join itself broadcasts the b side locally
+    "sim_range_search_blocked": (["embeddings"], 2.0),
 }
 
 
