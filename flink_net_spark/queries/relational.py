@@ -1177,3 +1177,116 @@ def sql_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_RECURSIVE_CLOSURE_SQL)
+
+
+@query(
+    "agg_corr_covar_exact",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT)                                  AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)           AS sx,
+               CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                        * CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT)         AS sxx,
+               CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)
+                        * CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((nd * sxyd - sxd * syd) / (nd * nd), 2)                 AS covar_pop,
+           ROUND((nd * sxyd - sxd * syd)
+                 / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)), 6) AS corr
+    FROM (SELECT l_returnflag, n,
+                 CAST(n AS DOUBLE) nd, CAST(sx AS DOUBLE) sxd,
+                 CAST(sy AS DOUBLE) syd, CAST(sxy AS DOUBLE) sxyd,
+                 CAST(sxx AS DOUBLE) sxxd, CAST(syy AS DOUBLE) syyd
+          FROM s)
+    ORDER BY l_returnflag
+    """,
+)
+def agg_corr_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance of (quantity, price) per return flag — the
+    feature-profiling statistics a curation pipeline runs before mixing.
+
+    Built-in ``corr``/``covar_pop`` accumulate FLOAT sums whose value
+    depends on partition merge order — they cannot hash-match across
+    engines or even across reruns at different parallelism.  Instead the
+    five raw moments are summed as EXACT integers (quantity ≤ 50, price
+    < 2^17 dollars, so every moment over even 10^9 rows stays < 2^63), and the float
+    formula runs once per group on those integers — bit-identical at any
+    parallelism, the same discipline as emb_dim_stats.  Prices round to
+    whole dollars so Σy² stays far inside 2^63 even at 100× this corpus
+    (cents² overflowed at bench SF).  Partial aggregation
+    (map-side combine) still applies: integer sums are associative."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice"), 0).cast("long").alias("y"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # the formula multiplies moments together (n·syy ~ 10^21 at sf0.1), so
+    # it runs on DOUBLES of the exact integer sums — both engines cast the
+    # SAME integers, so the float results are still bit-identical
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    return (
+        s.select(
+            "l_returnflag",
+            "n",
+            F.round((n * sxy - sx * sy) / (n * n), 2).alias("covar_pop"),
+            F.round(
+                (n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+                6,
+            ).alias("corr"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LAST_VALUE(o_orderkey)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_key,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE analytic surface per customer
+    (first order ever, most recent order, second order), with the explicit
+    unbounded frame LAST_VALUE needs to mean "latest", and orderkey
+    tie-breaks for cross-engine determinism."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w).alias("first_key"),
+            F.last("o_orderkey").over(w_all).alias("last_key"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
