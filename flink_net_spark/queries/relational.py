@@ -1290,3 +1290,132 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@query(
+    "agg_skew_kurt_exact",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT)                              AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)       AS s1,
+               CAST(SUM(CAST(l_quantity AS BIGINT)**2) AS BIGINT)    AS s2,
+               CAST(SUM(CAST(l_quantity AS BIGINT)**3) AS BIGINT)    AS s3,
+               CAST(SUM(CAST(l_quantity AS BIGINT)**4) AS BIGINT)    AS s4
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+        SELECT l_returnflag, n,
+               CAST(n AS DOUBLE)  AS nd, CAST(s1 AS DOUBLE) AS d1,
+               CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
+               CAST(s4 AS DOUBLE) AS d4
+        FROM s
+    ),
+    c AS (
+        SELECT l_returnflag, n, nd, d1 / nd AS mu,
+               d2 / nd - (d1 / nd)**2 AS var,
+               d3 / nd - 3 * (d1 / nd) * d2 / nd + 2 * (d1 / nd)**3 AS m3,
+               d4 / nd - 4 * (d1 / nd) * d3 / nd
+                 + 6 * (d1 / nd)**2 * d2 / nd - 3 * (d1 / nd)**4 AS m4
+        FROM m
+    )
+    SELECT l_returnflag, n,
+           ROUND(mu, 4)                    AS mean_qty,
+           ROUND(var, 4)                   AS var_pop,
+           ROUND(m3 / var**1.5, 6)         AS skewness,
+           ROUND(m4 / var**2 - 3, 6)       AS kurtosis_excess
+    FROM c ORDER BY l_returnflag
+    """,
+)
+def agg_skew_kurt_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness / excess kurtosis of quantity per return flag — the
+    higher-moment distribution profile (heavy tails, asymmetry) curation
+    uses to spot anomalous strata.
+
+    Same exact-moment discipline as agg_corr_covar_exact: Σx..Σx⁴ are
+    EXACT associative integer sums (quantity ≤ 50 → Σx⁴ < 4·10¹³ even at
+    10⁹ rows), central moments and the final ratios run on doubles of
+    those sums once per group — bit-identical at any parallelism, unlike
+    the built-in ``skewness``/``kurtosis`` float accumulators."""
+    x = F.col("l_quantity").cast("long")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        x.alias("x1"),
+        (x * x).alias("x2"),
+        (x * x * x).alias("x3"),
+        (x * x * x * x).alias("x4"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("x3").alias("s3"),
+        F.sum("x4").alias("s4"),
+    )
+    nd, d1, d2, d3, d4 = (
+        F.col(c).cast("double") for c in ("n", "s1", "s2", "s3", "s4")
+    )
+    mu = d1 / nd
+    var = d2 / nd - mu * mu
+    m3 = d3 / nd - 3 * mu * d2 / nd + 2 * mu * mu * mu
+    m4 = d4 / nd - 4 * mu * d3 / nd + 6 * mu * mu * d2 / nd - 3 * mu * mu * mu * mu
+    return (
+        s.select(
+            "l_returnflag",
+            "n",
+            F.round(mu, 4).alias("mean_qty"),
+            F.round(var, 4).alias("var_pop"),
+            F.round(m3 / F.pow(var, 1.5), 6).alias("skewness"),
+            F.round(m4 / (var * var) - 3, 6).alias("kurtosis_excess"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "window_range_frame_trailing",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2)
+               AS trailing_30d_spend,
+           COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+               AS trailing_30d_orders
+    FROM orders
+    WHERE o_custkey <= 50
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame windowed aggregation: 30-day trailing spend per customer
+    — the frame is bounded by the ORDER-BY *value* (event time), not row
+    position, so same-timestamp rows share one frame and gaps in time
+    shrink it (ROWS frames can express neither).  The trailing-window
+    metric every feature-engineering pipeline computes.
+
+    Engine note: Spark's rangeBetween needs a numeric sort key, so the
+    order key is epoch seconds on both engines.  Equal order-key rows make
+    per-row output ambiguous under RANGE (all peers share the frame) —
+    which is exactly why the result carries o_orderkey but the frame sorts
+    only on time: peer rows get identical (and thus deterministic) values.
+    One shuffle on the partition key, within-partition sort."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2_592_000, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
+            F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
