@@ -843,3 +843,39 @@ def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_stream(win).orderBy("window_start_ms", "event_type")
+
+
+@query(
+    "stream_window_tumbling_offset",
+    oracle=f"""
+    SELECT ((epoch_ms(ts) - 900000) // {HOUR_MS}) * {HOUR_MS} + 900000 AS window_start_ms,
+           event_type,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start_ms, event_type
+    """,
+)
+def stream_window_tumbling_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-tumbling windows over a live stream ≙
+    TumblingEventTimeWindows.Of(size, offset) (TimeWindow.cs:75-95) in
+    streaming execution: hourly panes shifted by 15 minutes (the
+    timezone-alignment use case), keyed by event_type, accumulated across
+    micro-batch boundaries and hash-checked against the batch oracle."""
+    ev = _events_stream(spark, sf_dir)
+    win = (
+        with_bounded_out_of_orderness(ev, "ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "1 hour", "15 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_stream(win).orderBy("window_start_ms", "event_type")
