@@ -108,6 +108,12 @@ HEADLINE = [
     "window_ntile_lead_cume",
     "text_unigram_nll",
     "curation_chunk_overlap",
+    "text_hashed_bow",
+    "agg_corr_covar_exact",
+    "agg_skew_kurt_exact",
+    "window_first_last_nth",
+    "window_range_frame_trailing",
+    "stream_window_sliding",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
