@@ -151,14 +151,41 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # no oracle: HLL sketch values are engine-specific
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — the 100 TB path for cardinality.
-    Rows-only driver check; exactness is covered by ``agg_distinct``."""
+
+    The sketch value itself is engine-specific, so the ACCURACY CONTRACT is
+    emitted as data instead (round-5 verdict #4): the Spark side computes
+    both the sketch and the exact count and returns
+    ``|approx − exact| ≤ 5% · exact`` as a boolean; the DuckDB oracle emits
+    literal TRUE — the contract is now driver-hashable, not just a local
+    pytest bound.  The exact twin here exists only to make the bound
+    checkable in-query; the production sketch path carries no exact
+    distinct (that is ``agg_distinct``)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.col("exact_users") * 0.05
+            ).alias("within_bound"),
+        )
         .orderBy("event_type")
     )
 
@@ -911,24 +938,54 @@ def sql_surface_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentiles")  # rows-only: t-digest sketches differ across engines
+@query(
+    "agg_approx_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_within, TRUE AS p90_within, TRUE AS p99_within
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (t-digest): the PRODUCTION percentile path at
     100 TB — bounded memory per group, partial-mergeable sketches, no full
-    in-group sort (cf. agg_percentiles, the exact oracle-gated twin).  No
-    value oracle (sketch internals are engine-specific); the accuracy
-    contract vs the exact percentile is asserted in
-    tests/test_pipeline_ops.py::test_approx_percentiles_within_bound.
+    in-group sort (cf. agg_percentiles, the exact oracle-gated twin).
+
+    Sketch internals are engine-specific, so the ACCURACY CONTRACT is the
+    value under test (round-5 verdict #4): each group emits
+    ``|approx − exact| / exact < 2%`` booleans per percentile (the same
+    bound tests/test_pipeline_ops.py asserted locally), computed in-query
+    against Spark's exact interpolated ``percentile``; the DuckDB oracle
+    emits literal TRUE — driver-hashable.  The exact percentile here exists
+    only to score the sketch; agg_percentiles is the exact production twin.
     ≙ the reference's aggregate surface (Table.cs:51-82) extended with the
     sketch family a scale-out engine actually ships."""
     li = load_table(spark, sf_dir, "lineitem")
+
+    def within(approx: str, exact: str):
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            / F.greatest(F.abs(F.col(exact)), F.lit(1e-9))
+        ) < 0.02
+
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("p50_qty"),
-            F.expr("approx_percentile(l_quantity, 0.9, 10000)").alias("p90_qty"),
-            F.expr("approx_percentile(l_extendedprice, 0.99, 10000)").alias("p99_price"),
             F.count(F.lit(1)).alias("n"),
+            F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("a50"),
+            F.expr("approx_percentile(l_quantity, 0.9, 10000)").alias("a90"),
+            F.expr("approx_percentile(l_extendedprice, 0.99, 10000)").alias("a99"),
+            F.expr("percentile(l_quantity, 0.5)").alias("e50"),
+            F.expr("percentile(l_quantity, 0.9)").alias("e90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("e99"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            within("a50", "e50").alias("p50_within"),
+            within("a90", "e90").alias("p90_within"),
+            within("a99", "e99").alias("p99_within"),
         )
         .orderBy("l_returnflag")
     )
@@ -1295,14 +1352,18 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_skew_kurt_exact",
     oracle="""
-    WITH s AS (
+    WITH x AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x1
+        FROM lineitem
+    ),
+    s AS (
         SELECT l_returnflag,
-               CAST(COUNT(*) AS BIGINT)                              AS n,
-               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)       AS s1,
-               CAST(SUM(CAST(l_quantity AS BIGINT)**2) AS BIGINT)    AS s2,
-               CAST(SUM(CAST(l_quantity AS BIGINT)**3) AS BIGINT)    AS s3,
-               CAST(SUM(CAST(l_quantity AS BIGINT)**4) AS BIGINT)    AS s4
-        FROM lineitem GROUP BY l_returnflag
+               CAST(COUNT(*) AS BIGINT)            AS n,
+               CAST(SUM(x1) AS BIGINT)             AS s1,
+               CAST(SUM(x1 * x1) AS BIGINT)        AS s2,
+               CAST(SUM(x1 * x1 * x1) AS BIGINT)   AS s3,
+               CAST(SUM(x1 * x1 * x1 * x1) AS BIGINT) AS s4
+        FROM x GROUP BY l_returnflag
     ),
     m AS (
         SELECT l_returnflag, n,
@@ -1333,10 +1394,14 @@ def agg_skew_kurt_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses to spot anomalous strata.
 
     Same exact-moment discipline as agg_corr_covar_exact: Σx..Σx⁴ are
-    EXACT associative integer sums (quantity ≤ 50 → Σx⁴ < 4·10¹³ even at
-    10⁹ rows), central moments and the final ratios run on doubles of
-    those sums once per group — bit-identical at any parallelism, unlike
-    the built-in ``skewness``/``kurtosis`` float accumulators."""
+    EXACT associative integer sums — the powers are built by integer
+    multiplication on BOTH engines (DuckDB's ``**`` returns DOUBLE, which
+    would silently cap exactness at 2⁵³; ADVICE r5), so exactness holds
+    until Σx⁴ overflows int64: at quantity ≤ 50, Σx⁴ ≈ 6.25·10¹⁵ per 10⁹
+    rows, i.e. exact past 10¹² rows per group.  Central moments and the
+    final ratios run on doubles of those sums once per group —
+    bit-identical at any parallelism, unlike the built-in
+    ``skewness``/``kurtosis`` float accumulators."""
     x = F.col("l_quantity").cast("long")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",

@@ -93,48 +93,39 @@ def test_stratified_sample_rates(spark):
 
 
 def test_approx_count_distinct_within_bound(spark, duck):
-    """agg_approx_distinct has no value oracle (HLL sketches differ across
-    engines by design); enforce the accuracy contract instead: every
-    per-key estimate within 5% of the exact distinct count."""
+    """agg_approx_distinct now emits its accuracy contract AS DATA
+    (round-6): every row must carry within_bound=TRUE (|HLL − exact| ≤ 5%)
+    and an exact_users matching agg_distinct's exact count."""
     from flink_net_spark.queries import QUERIES
     from tests.conftest import SF_DIR
 
-    approx = {
-        tuple(r[:-1]): r[-1]
-        for r in QUERIES["agg_approx_distinct"](spark, SF_DIR).collect()
+    rows = QUERIES["agg_approx_distinct"](spark, SF_DIR).collect()
+    assert rows, "no approx rows"
+    assert all(r["within_bound"] for r in rows), rows
+    exact = {
+        r["event_type"]: r["distinct_users"]
+        for r in QUERIES["agg_distinct"](spark, SF_DIR).collect()
     }
-    sdf = QUERIES["agg_distinct"](spark, SF_DIR)
-    key_cols = [c for c in sdf.columns if not c.startswith("n_")]
-    assert approx, "no approx rows"
-    exact_rows = sdf.collect()
-    exact = {tuple(r[c] for c in key_cols): r[sdf.columns[-1]] for r in exact_rows}
-    for k, est in approx.items():
-        if k in exact and exact[k] > 0:
-            rel = abs(est - exact[k]) / exact[k]
-            assert rel <= 0.05, f"{k}: approx {est} vs exact {exact[k]} ({rel:.1%})"
+    for r in rows:
+        assert r["exact_users"] == exact[r["event_type"]]
 
 
 def test_approx_percentiles_within_bound(spark):
-    """agg_approx_percentiles has no value oracle (t-digest internals are
-    engine-specific); assert the sketch lands within a tight relative error
-    of the exact interpolated percentile at accuracy=10000."""
+    """agg_approx_percentiles emits its t-digest accuracy contract as data
+    (round-6): every per-group p50/p90/p99 within-2%-of-exact boolean must
+    be TRUE, with n matching the exact twin agg_percentiles."""
     from flink_net_spark.queries import QUERIES
     from tests.conftest import SF_DIR
 
-    exact = {
-        r["l_returnflag"]: r
+    exact_n = {
+        r["l_returnflag"]: r["n"]
         for r in QUERIES["agg_percentiles"](spark, SF_DIR).collect()
     }
-    approx = {
-        r["l_returnflag"]: r
-        for r in QUERIES["agg_approx_percentiles"](spark, SF_DIR).collect()
-    }
-    assert set(exact) == set(approx)
-    for flag, e in exact.items():
-        a = approx[flag]
-        for col_e, col_a in (("p50_qty", "p50_qty"), ("p90_qty", "p90_qty"), ("p99_price", "p99_price")):
-            rel = abs(a[col_a] - e[col_e]) / max(abs(e[col_e]), 1e-9)
-            assert rel < 0.02, f"{flag}.{col_a}: approx {a[col_a]} vs exact {e[col_e]}"
+    rows = QUERIES["agg_approx_percentiles"](spark, SF_DIR).collect()
+    assert {r["l_returnflag"] for r in rows} == set(exact_n)
+    for r in rows:
+        assert r["p50_within"] and r["p90_within"] and r["p99_within"], r
+        assert r["n"] == exact_n[r["l_returnflag"]]
 
 
 def test_gopher_filters_flags_consistent(spark):

@@ -1,0 +1,52 @@
+"""The driver's hard CORRECTNESS gate hash-checks only the first
+``DRIVER_WINDOW`` entries of the registry.  Guard the round-6 interleave:
+the window must span every bench family (round-5 verdict top finding — a
+window of 100% relational/window queries left the engine's LLM-pipeline
+surface without driver-grade evidence), keep the flagship first, and stay
+almost entirely value-oracled.
+"""
+
+from __future__ import annotations
+
+import re
+
+from flink_net_spark.queries import DRIVER_WINDOW, ORACLES, QUERIES
+
+# Mirror of bench.py's family rollup (first match wins).
+FAMILY_PATTERNS = [
+    ("tpch", r"^q\d+_"),
+    ("stream", r"^(stream_|pipeline_)"),
+    ("window", r"^window_"),
+    ("join", r"^join_"),
+    ("dedup", r"^dedup_"),
+    ("ann", r"^(sim_|emb_)"),
+    ("text", r"^(text_|flatmap_|vocab_|tfidf_)"),
+    ("curation", r"^(curation_|sample_)"),
+    ("rel", r"."),
+]
+
+
+def _family(name: str) -> str:
+    for fam, pat in FAMILY_PATTERNS:
+        if re.match(pat, name):
+            return fam
+    return "rel"
+
+
+def test_driver_window_spans_every_family():
+    window = list(QUERIES)[:DRIVER_WINDOW]
+    assert window[0] == "q1_pricing_summary"  # entry() flagship stays first
+    fams = {_family(n) for n in window}
+    assert fams == {f for f, _ in FAMILY_PATTERNS}, sorted(fams)
+
+
+def test_driver_window_is_value_oracled():
+    window = list(QUERIES)[:DRIVER_WINDOW]
+    missing = [n for n in window if n not in ORACLES]
+    assert not missing, missing
+
+
+def test_registry_reorder_is_a_permutation():
+    # The interleave must never drop or duplicate a query or its oracle.
+    assert len(QUERIES) == len(set(QUERIES))
+    assert set(ORACLES) <= set(QUERIES)
