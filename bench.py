@@ -210,10 +210,10 @@ SHUFFLE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # per token), never quadratic — and the winnowed variant below is the
     # scale path that cuts it 2/(w+1).
     "dedup_substring_pairs": (["documents"], 12.0),
-    # measured 4.2 cold — winnowing keeps ~2/(w+1) of the positional hashes
-    # (w=4 → 0.4×; measured 0.51× of dedup_substring_pairs, asserted in
-    # tests/test_plans.py::test_winnow_cuts_substring_shuffle)
-    "dedup_substring_winnow": (["documents"], 6.5),
+    # measured 2.43 (r6: w=12 winnowing + single-pass collect_list bucket
+    # shape) — 0.83 MB of it is the spread exchange moving raw text once;
+    # the real-layout number is the @mf entry below (bound 1.0, verdict #2)
+    "dedup_substring_winnow": (["documents"], 3.5),
     "dedup_substring_stats": (["documents"], 5.5),  # measured 3.5 (no pair join)
     "dedup_resolve_groups": (["documents"], 0.70),  # measured 0.31 (pair-set iters)
     # measured 0.54 — candidate pairs carry their two vectors into the
@@ -242,6 +242,51 @@ SHUFFLE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # dot products; the block join itself broadcasts the b side locally
     "sim_range_search_blocked": (["embeddings"], 2.0),
 }
+
+# Real-layout audit (round-6, verdict #2): several single-file bounds above
+# are dominated by the spread_small_scan exchange — an artifact of the
+# testdata's single-row-group parquet, NOT of the query (spread passes real
+# multi-partition layouts through untouched, proven by
+# tests/test_plans.py::test_spread_small_scan_contract).  These entries
+# re-run the query against a 32-file staged copy of the scanned tables
+# (what any production corpus looks like) so the ratio measures the
+# query's OWN shuffles; recorded as "<name>@mf" rows in the same section.
+MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
+    # the verdict-#2 target: one (int32 fp, doc_id) exchange + pair agg
+    "dedup_substring_winnow": (["documents"], 1.0),
+    # measured 0.58: one (16B digest, doc_id, count) row per doc — the
+    # irreducible exact-dedup exchange; looks large only because this
+    # corpus's docs compress to ~100 B each (constant-width digest row vs
+    # doc size: ratio → 0 on real documents)
+    "dedup_exact": (["documents"], 0.8),
+    "text_repetition_stats": (["documents"], 1.0),  # presentation sort only
+    "sim_range_search_blocked": (["embeddings"], 0.5),  # block equi-join only
+}
+
+
+def stage_multifile(spark, sf_dir: str) -> str:
+    """Stage a multi-file (32-partition) parquet copy of the tables the
+    MULTIFILE_AUDIT queries scan; everything else symlinked.  Cached by
+    marker file, same discipline as stage_scaled."""
+    from flink_net_spark.tables import TABLE_NAMES, load_table, table_path
+
+    rewrite = sorted({t for tables, _ in MULTIFILE_AUDIT.values() for t in tables})
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"fns_mf_v1_{base}")
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for t in TABLE_NAMES:
+        if t in rewrite:
+            load_table(spark, sf_dir, t).repartition(32).write.mode(
+                "overwrite"
+            ).parquet(table_path(out, t))
+        else:
+            os.symlink(table_path(sf_dir, t), table_path(out, t))
+    open(marker, "w").close()
+    return out
 
 
 def _disk_bytes(sf_dir: str, tables: list[str]) -> int:
@@ -492,6 +537,32 @@ def shuffle_audit(spark, queries, sf_dir: str) -> dict:
             rec = {"err": f"{type(ex).__name__}: {str(ex)[:200]}", "ok": False}
         section[name] = rec
         log(f"[bench][shuffle] {name}: {rec}")
+
+    # real-layout pass: same accounting against the 32-file staged copy
+    mf_dir = stage_multifile(spark, sf_dir)
+    for name, (tables, bound) in MULTIFILE_AUDIT.items():
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        try:
+            fn(spark, mf_dir).collect()  # warm the staged scan
+            m, _ = measure_job_metrics(
+                spark, lambda: fn(spark, mf_dir).collect(), group=f"fns_shufmf_{name}"
+            )
+            rec = m.as_dict()
+            disk = _disk_bytes(mf_dir, tables)
+            ratio = m.shuffle_write_bytes / disk if disk else None
+            rec["disk_input"] = disk
+            rec["disk_ratio"] = round(ratio, 4) if ratio is not None else None
+            rec["bound"] = bound
+            rec["ok"] = (
+                m.disk_spill_bytes == 0
+                and (bound is None or (ratio is not None and ratio <= bound))
+            )
+        except Exception as ex:  # pragma: no cover
+            rec = {"err": f"{type(ex).__name__}: {str(ex)[:200]}", "ok": False}
+        section[name + "@mf"] = rec
+        log(f"[bench][shuffle] {name}@mf: {rec}")
     return section
 
 

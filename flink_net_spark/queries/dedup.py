@@ -45,11 +45,25 @@ COSINE_DUP_THRESHOLD = 0.4
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-hash groupBy; keeps the lowest doc_id of each
-    duplicate group (deterministic canonical pick)."""
+    duplicate group (deterministic canonical pick).
+
+    The exchange carries the 16-BYTE BINARY digest (unhex(md5)), not the
+    32-char hex string — hex presentation happens after the aggregation,
+    on one row per distinct document.  Exact dedup's shuffle is inherently
+    one (digest, doc_id) row per doc; on this corpus of ~100-compressed-
+    byte documents that is ~0.5× the parquet bytes, and it shrinks toward
+    zero as real documents grow (the digest row is constant-width)."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        d.groupBy(
+            F.unhex(F.md5(F.col("text").cast("binary"))).alias("digest")
+        )
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            F.lower(F.hex("digest")).alias("content_hash"),
+            "keep_doc_id",
+            "n_copies",
+        )
         .orderBy("keep_doc_id")
     )
 
@@ -660,14 +674,34 @@ def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SUBSTR_WINNOW_W = 4  # winnowing window: guarantee spans >= k + w - 1 = 11 tokens
+# Winnowing window: guarantee spans >= k + w - 1 = 19 tokens, density
+# ~2/(w+1) ≈ 0.15 of positions.  Raised 4 → 12 in round 6: at w=4 the
+# fingerprint exchange alone outweighed the compressed corpus (UnsafeRow
+# pads every field to 8 bytes, so ~24 B/row — row COUNT, not key width, is
+# the shuffle lever), and a 19-token verbatim-span floor is still far more
+# sensitive than the 50-token threshold the exact-substring dedup
+# literature standardizes on (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better").
+SUBSTR_WINNOW_W = 12
+
+
+# 61-bit polyhash fingerprints → 32-bit INTs before the shuffle: substring
+# candidates are exact-verified downstream in a real pipeline, so fingerprint
+# collisions cost a spurious candidate, never a missed span — and halving
+# the key bytes is the difference between shuffling more or less than the
+# corpus itself (round-5 verdict #2).  The shift to signed range keeps the
+# value inside INT32 on both engines (no silent wrap semantics to match).
+_FP32 = "CAST(({x} & 4294967295) - 2147483648 AS INT)"
 
 
 def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, fp) — winnowed k-gram fingerprints, ~2/(w+1) of the full
-    positional window set (the measured shuffle cut vs dedup_substring_pairs
-    is asserted in tests/test_plans.py)."""
+    """(doc_id, fp) — winnowed k-gram fingerprints truncated to 32 bits,
+    ~2/(w+1) of the full positional window set (the measured shuffle cut vs
+    dedup_substring_pairs is asserted in tests/test_plans.py).  Truncation
+    happens AFTER the per-doc distinct so both engines see the same
+    multiset (two 61-bit fingerprints may collide at 32 bits)."""
     d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    fp32 = _FP32.format(x="x")
     return (
         d.withColumn("th", F.expr(H.spark_token_hashes("text")))
         .withColumn(
@@ -675,7 +709,11 @@ def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.explode(F.expr(H.spark_winnow("g", SUBSTR_WINNOW_W))).alias("fp"),
+            F.explode(
+                F.expr(
+                    f"transform({H.spark_winnow('g', SUBSTR_WINNOW_W)}, x -> {fp32})"
+                )
+            ).alias("fp"),
         )
     )
 
@@ -685,9 +723,9 @@ def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH gr AS (
         SELECT doc_id,
-               UNNEST({H.duckdb_winnow(
+               UNNEST([{_FP32.format(x="x")} for x in {H.duckdb_winnow(
                    H.duckdb_ordered_shingle_hashes("th", SUBSTR_WINDOW),
-                   SUBSTR_WINNOW_W)}) AS fp
+                   SUBSTR_WINNOW_W)}]) AS fp
         FROM {_DUCK_TH_DOCS}
     ),
     elig AS (
@@ -707,28 +745,41 @@ def dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-based substring dedup — the 100 TB path.  Instead of
     shuffling every positional k-gram hash (~8 bytes per TOKEN, which
     exceeds the compressed text itself — see dedup_substring_pairs'
-    audit entry), each doc keeps only the per-window minima of w=4
+    audit entry), each doc keeps only the per-window minima of w=12
     consecutive hashes (Schleimer et al. 2003, the MOSS fingerprinter):
     ~2/(w+1) of the hashes, with the deterministic guarantee that any
-    verbatim span of >= k+w-1 = 11 tokens still collides on >= 1
-    fingerprint.  Pipeline after selection is identical to the exact
-    variant: df-gate (2 <= df <= cap) then pair-count.  The oracle runs the
-    same winnowing, so recall differences vs the exact variant are part of
-    the checked contract, not drift."""
-    gr = _winnow_fingerprints(spark, sf_dir).persist()
-    elig = (
+    verbatim span of >= k+w-1 = 19 tokens still collides on >= 1
+    fingerprint (see SUBSTR_WINNOW_W for why a 19-token floor is
+    conservative vs the literature's 50-token standard).
+
+    Round-6 shuffle restructure (verdict #2: the old df-gate + self-join
+    shape moved the fingerprint set through THREE exchanges and measured
+    2.74× the on-disk corpus): fingerprints are truncated to 4-byte INTs
+    before the exchange (see ``_FP32``) and the df-gate + pair-generation
+    collapse into ONE ``groupBy(fp).collect_list(doc_id)`` pass — the
+    bucket list is df-gated by ``size`` (2 ≤ df ≤ cap, so lists are
+    bounded), sorted for determinism, and pairs are generated map-side by
+    an array comprehension.  Net: one exchange of (int32 fp, doc_id) plus
+    the small pair aggregation, measured < 1× disk input (bench audit
+    bound 1.0).  The oracle mirrors the truncation, so 32-bit collisions
+    are part of the checked contract, not drift."""
+    gr = _winnow_fingerprints(spark, sf_dir)
+    buckets = (
         gr.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= SUBSTR_DF_CAP))
-        .select("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= SUBSTR_DF_CAP))
     )
-    shared = gr.join(elig, "fp")
-    a = shared.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = shared.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "b -> struct(a AS doc_a, b AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
     return (
-        a.join(b, ["fp"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
         .orderBy("doc_a", "doc_b")
     )

@@ -295,18 +295,20 @@ def test_spread_small_scan_contract(spark):
 
 def test_winnow_cuts_substring_shuffle(spark):
     """Winnowing IS the substring-dedup scale story: the exact variant
-    shuffles one 8-byte hash per token (stride-1 k-gram windows), the
-    winnowed variant keeps only per-window minima (~2/(w+1) of the hashes,
-    measured 0.51x at sf0.1) with a deterministic >= k+w-1-token span
-    guarantee.  Assert the measured cut, not just the theory — both queries
-    executed fresh in this session, same accounting as bench's audit."""
+    shuffles one 8-byte hash per token (stride-1 k-gram windows) through a
+    df-gate + self-join; the winnowed variant keeps only per-window minima
+    (~2/(w+1) of the hashes, w=12 since round 6) and pushes them through a
+    SINGLE collect_list bucket pass (measured 0.36x of the exact variant
+    at sf0.1), with a deterministic >= k+w-1 = 19-token span guarantee.
+    Assert the measured cut, not just the theory — both queries executed
+    fresh in this session, same accounting as bench's audit."""
     from flink_net_spark.metrics import measure_job_metrics
 
     qs = entry.queries()
     full, _ = measure_job_metrics(spark, lambda: qs["dedup_substring_pairs"](spark, SF_DIR).collect())
     win, _ = measure_job_metrics(spark, lambda: qs["dedup_substring_winnow"](spark, SF_DIR).collect())
     assert full.disk_spill_bytes == 0 and win.disk_spill_bytes == 0
-    assert win.shuffle_write_bytes < 0.75 * full.shuffle_write_bytes, (
+    assert win.shuffle_write_bytes < 0.5 * full.shuffle_write_bytes, (
         win.as_dict(),
         full.as_dict(),
     )
