@@ -51,7 +51,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out")
-STAGING_VERSION = "v3"  # v3: affine-permutation document replicas, factor-generic
+STAGING_VERSION = "v4"  # v4: + hot-label embeddings replicas (range-search skew)
 
 # Headline set: the flagship TPC-H shapes, the windowing/eventing surface,
 # and one representative per LLM-pipeline family.  Queries machine-tagged
@@ -165,6 +165,9 @@ SCALE_SMOKE = [
     # interval, so runtime scales with OUTPUT pairs (~10x) — still one
     # equi-join shuffle, no quadratic blowup:
     "join_range_bucketed",
+    # embeddings ×10 with a 30%-hot label: the sub-split cap must keep the
+    # hot block at n·cap pairs (linear), not n² (quadratic):
+    "sim_range_search_blocked",
 ]
 
 # One more decade for the five most expensive shapes (opt-in:
@@ -435,8 +438,26 @@ def stage_scaled(spark, sf_dir: str, factor: int) -> str:
         os.path.join(out, "documents.parquet")
     )
 
+    # embeddings ×factor with ~30% of rows forced onto ONE hot label — the
+    # skewed-IVF-cell case sim_range_search_blocked's sub-split exists for
+    # (round-6 verdict #3).  Replica vectors are identical, which is the
+    # adversarial case: every within-sub pair of a hot replica group clears
+    # the cosine threshold.
+    emb = load_table(spark, sf_dir, "embeddings").select("*", rep)
+    emb = (
+        emb.withColumn("vec_id", F.col("vec_id") * factor + F.col("rep") - 1)
+        .withColumn(
+            "label",
+            F.when(F.col("vec_id") % 10 < 3, F.lit(1)).otherwise(F.col("label")),
+        )
+        .drop("rep")
+    )
+    emb.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+
     for t in TABLE_NAMES:
-        if t in ("events", "lineitem", "documents"):
+        if t in ("events", "lineitem", "documents", "embeddings"):
             continue
         os.symlink(table_path(sf_dir, t), table_path(out, t))
     open(marker, "w").close()

@@ -326,7 +326,14 @@ def test_range_bucketed_join_is_equi_not_nested_loop(spark):
 
 
 def test_range_search_blocked_is_equi_on_label(spark):
-    """sim_range_search_blocked joins equi on the block id (label); the
-    cosine threshold is a post-join filter, not a join strategy."""
+    """sim_range_search_blocked joins equi on (block id, sub-block id); the
+    cosine threshold is a post-join filter, not a join strategy.  Positive
+    assertion too (ADVICE r5): a hash/sort-merge equi-join must actually be
+    present, and the secondary sub-block key must be among the join keys —
+    that's what bounds within-hot-block work to n·cap instead of n²."""
     p = plan_of(entry.queries()["sim_range_search_blocked"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert any(
+        j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), p
+    assert "sub#" in p, p  # sub-split key participates in the equi-join
