@@ -440,12 +440,38 @@ def compact_parquet(
     output file count is ``ceil(disk_bytes / target)`` — one coalesce-style
     round-robin repartition, no key shuffle.  For partitioned layouts pass
     ``partition_cols`` to preserve the directory structure (files compact
-    *within* partitions via a repartition on the partition key).  Writes to
-    a staging dir then atomically renames, so a crash mid-compaction never
-    corrupts the source.  Returns the new file count."""
+    *within* partitions via a repartition on the partition key).
+
+    Crash-safety contract (precise wording per ADVICE r5): the source is
+    NEVER partially overwritten — at every instant a complete copy of the
+    data exists on disk, either at ``path`` or parked at
+    ``path._precompact`` between the two swap renames.  A crash in that
+    window is healed on the next call (the backup is renamed back before
+    compacting; proven by the kill-between-renames test).  A leftover
+    backup NEXT TO a live ``path`` (crash after the swap, before cleanup)
+    raises instead of silently discarding either copy — the operator
+    verifies ``path`` and removes the backup.  The swap uses ``os.rename``
+    of sibling directories, so staging/backup live on ``path``'s
+    filesystem; a ``path`` that is itself a mount point would fail the
+    rename (EXDEV) before anything is touched.  Returns the new file
+    count."""
     import math
     import os
     import shutil
+
+    staging = path.rstrip("/") + "._compacting"
+    backup = path.rstrip("/") + "._precompact"
+    if os.path.exists(backup):
+        if os.path.exists(path):
+            raise RuntimeError(
+                f"both {path} and {backup} exist — a previous compaction "
+                "crashed after its swap but before cleanup; verify the data "
+                f"at {path} and delete the backup before re-running"
+            )
+        # crash landed between the two swap renames: the dataset is intact
+        # at the backup location — restore it and proceed
+        os.rename(backup, path)
+    shutil.rmtree(staging, ignore_errors=True)
 
     disk = sum(
         os.path.getsize(os.path.join(root, f))
@@ -455,8 +481,6 @@ def compact_parquet(
     )
     n_files = max(1, math.ceil(disk / target_file_bytes))
     df = spark.read.parquet(path)
-    staging = path.rstrip("/") + "._compacting"
-    shutil.rmtree(staging, ignore_errors=True)
     if partition_cols:
         (
             df.repartition(n_files, *partition_cols)
@@ -466,8 +490,6 @@ def compact_parquet(
         )
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(staging)
-    backup = path.rstrip("/") + "._precompact"
-    shutil.rmtree(backup, ignore_errors=True)
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)

@@ -94,3 +94,56 @@ def test_compact_parquet_flat_and_partitioned(spark, tmp_path):
     assert any(d.startswith("event_type=") for d in os.listdir(part)), os.listdir(part)
     back2 = spark.read.parquet(part)
     assert back2.count() == n_rows
+
+
+def test_compact_parquet_crash_recovery(spark, tmp_path):
+    """The crash-safety envelope, point by point (round-6; ADVICE r5):
+    (a) crash BEFORE the swap (staging written, path untouched) — rerun
+    compacts normally; (b) crash BETWEEN the two swap renames (data parked
+    at ._precompact, nothing at path) — rerun restores the backup first,
+    then compacts; (c) crash AFTER the swap but before cleanup (new data
+    at path AND backup present) — rerun raises instead of silently
+    deleting either copy."""
+    import os
+    import shutil
+
+    from flink_net_spark.sinks import compact_parquet
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "event_type")
+    n_rows = ev.count()
+
+    def fresh(name: str) -> str:
+        p = str(tmp_path / name)
+        ev.repartition(8).write.parquet(p)
+        return p
+
+    # (a) staging leftover, source intact
+    p = fresh("a")
+    ev.repartition(2).write.parquet(p + "._compacting")
+    assert compact_parquet(spark, p, target_file_bytes=1 << 30) == 1
+    assert spark.read.parquet(p).count() == n_rows
+    assert not os.path.exists(p + "._compacting") or not os.listdir(
+        p + "._compacting"
+    )
+
+    # (b) the non-atomic window: path renamed away, staging ready — a crash
+    # right between os.rename(path, backup) and os.rename(staging, path)
+    p = fresh("b")
+    ev.repartition(1).write.parquet(p + "._compacting")
+    os.rename(p, p + "._precompact")
+    assert not os.path.exists(p)
+    assert compact_parquet(spark, p, target_file_bytes=1 << 30) == 1
+    assert spark.read.parquet(p).count() == n_rows
+    assert not os.path.exists(p + "._precompact")
+
+    # (c) both live: post-swap, pre-cleanup crash — must refuse
+    p = fresh("c")
+    shutil.copytree(p, p + "._precompact")
+    try:
+        compact_parquet(spark, p, target_file_bytes=1 << 30)
+        raise AssertionError("expected RuntimeError on leftover backup")
+    except RuntimeError as ex:
+        assert "._precompact" in str(ex) or "precompact" in str(ex), ex
+    # both copies untouched by the refusal
+    assert spark.read.parquet(p).count() == n_rows
+    assert spark.read.parquet(p + "._precompact").count() == n_rows
