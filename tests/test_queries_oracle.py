@@ -1,8 +1,11 @@
 """Every registered query with an oracle must hash-match DuckDB — this
 mirrors the driver's CORRECTNESS gate (one parametrized test per query).
 
-Queries without an oracle (sketches, stateful streaming) get a smoke run:
-they must execute and return a stable schema.
+Queries without an oracle get a smoke run: they must execute and return a
+stable schema.  As of round 6 that set is EMPTY (the approx sketches now
+emit their accuracy contract as data, so all 139 queries are
+value-oracled) — the parametrization skips; it self-reactivates if a
+future no-oracle query registers.
 """
 
 from __future__ import annotations
