@@ -957,3 +957,137 @@ def sim_range_search_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): cluster the corpus, then
+# drop every document whose embedding sits within a cosine threshold of an
+# earlier-kept member of the SAME cluster.  Pairwise work is confined to
+# clusters (and hot clusters sub-split by the RANGE_BLOCK_CAP discipline),
+# so the 100 TB cost is n·cap dot products, never n².
+SEMDEDUP_COS_THRESHOLD = 0.40
+
+
+@query(
+    "sim_semdedup",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+        FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {KMEANS_K}
+    ),
+    asg AS (
+        SELECT vec_id, cid AS cluster_id, v, nrm FROM (
+            SELECT e.vec_id, c.cid, e.v, e.nrm,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+                                          for i in range(1, {DIM + 1})]), c.cid
+                   ) AS rn
+            FROM e CROSS JOIN c
+        ) WHERE rn = 1
+    ),
+    sz AS (
+        SELECT cluster_id,
+               CAST(CEIL(COUNT(*) / {RANGE_BLOCK_CAP}.0) AS BIGINT) AS n_sub
+        FROM asg GROUP BY cluster_id
+    ),
+    es AS (
+        SELECT asg.*, ((vec_id * 2654435761) % 4294967296) % n_sub AS sub
+        FROM asg JOIN sz USING (cluster_id)
+    ),
+    nn AS (
+        SELECT a.vec_id, MAX(list_sum([a.v[i] * b.v[i] for i in range(1, {DIM + 1})])
+                             / (a.nrm * b.nrm)) AS max_sim
+        FROM es a JOIN es b
+          ON a.cluster_id = b.cluster_id AND a.sub = b.sub AND b.vec_id < a.vec_id
+        WHERE list_sum([a.v[i] * b.v[i] for i in range(1, {DIM + 1})])
+              / (a.nrm * b.nrm) >= {SEMDEDUP_COS_THRESHOLD}
+        GROUP BY a.vec_id
+    )
+    SELECT asg.vec_id AS vec_id, asg.cluster_id AS cluster_id,
+           nn.vec_id IS NULL AS keep,
+           ROUND(nn.max_sim, 4) AS max_sim_to_earlier
+    FROM asg LEFT JOIN nn ON asg.vec_id = nn.vec_id
+    ORDER BY vec_id
+    """,
+)
+def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication: assign each embedding to its
+    nearest seed centroid (the emb_kmeans_assign step), then inside each
+    cluster drop every vector having cosine >= threshold with a LOWER-id
+    member — the deterministic "keep the earliest of each semantic
+    neighborhood" rule; ``max_sim_to_earlier`` records why a row was
+    dropped (NULL for kept rows).
+
+    Scale: the K centroids broadcast; the per-vector argmin is a window
+    over K rows; within-cluster pairs ride a (cluster, sub) EQUI-join with
+    hot clusters sub-split by RANGE_BLOCK_CAP exactly like
+    sim_range_search_blocked (at sf0.1 the ~250-member clusters already
+    straddle the cap, so the sub-split is exercised — and mirrored in the
+    oracle — at base scale).  Cosine folds in identical order on both
+    engines (bit-stable, cf. sim_cosine_topk)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        F.expr(
+            "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            "0.0D, (acc, x) -> acc + x))"
+        ).alias("nrm"),
+    )
+    c = e.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    asg = (
+        spread_small_scan(e)
+        .crossJoin(F.broadcast(c))
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster_id"), "v", "nrm")
+    )
+    sizes = asg.groupBy("cluster_id").agg(
+        F.expr(f"CAST(CEIL(COUNT(*) / {RANGE_BLOCK_CAP}.0) AS BIGINT)").alias("n_sub")
+    )
+    es = asg.join(F.broadcast(sizes), "cluster_id").withColumn(
+        "sub", F.expr("((vec_id * 2654435761) % 4294967296) % n_sub")
+    )
+    a = es.select(
+        "cluster_id", "sub", "vec_id",
+        F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+    )
+    b = es.select(
+        F.col("cluster_id").alias("cl"), F.col("sub").alias("sb"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("nv"), F.col("nrm").alias("nn"),
+    )
+    nn = (
+        a.join(
+            b,
+            (F.col("cluster_id") == F.col("cl"))
+            & (F.col("sub") == F.col("sb"))
+            & (F.col("vec_b") < F.col("vec_id")),
+        )
+        .withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
+        .filter(F.col("cosine") >= SEMDEDUP_COS_THRESHOLD)
+        .groupBy("vec_id")
+        .agg(F.max("cosine").alias("max_sim"))
+    )
+    return (
+        asg.select("vec_id", "cluster_id")
+        .join(nn, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("max_sim").isNull().alias("keep"),
+            F.round("max_sim", 4).alias("max_sim_to_earlier"),
+        )
+        .orderBy("vec_id")
+    )

@@ -142,3 +142,31 @@ def test_gopher_filters_flags_consistent(spark):
         assert r.keep == (r.pass_words and r.pass_mwl and r.pass_stop and r.pass_rep)
     kept = sum(1 for r in rows if r.keep)
     assert 0 < kept < len(rows), f"gate does not discriminate: {kept}/{len(rows)}"
+
+
+def test_semdedup_contract(spark):
+    """sim_semdedup: keep must be exactly (max_sim_to_earlier IS NULL), the
+    gate must discriminate on the corpus (some kept, some dropped), every
+    cluster must retain at least one member, and the lowest-id member of
+    every cluster is always kept (it has no earlier neighbor)."""
+    import pyspark.sql.functions as F
+
+    from flink_net_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    df = QUERIES["sim_semdedup"](spark, SF_DIR)
+    rows = df.collect()
+    assert all((r["max_sim_to_earlier"] is None) == r["keep"] for r in rows)
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows), f"gate does not discriminate: {kept}/{len(rows)}"
+    per_cluster = (
+        df.groupBy("cluster_id")
+        .agg(
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
+            F.min("vec_id").alias("min_vec"),
+        )
+        .collect()
+    )
+    assert all(r["n_kept"] >= 1 for r in per_cluster)
+    first_by_cluster = {r["min_vec"] for r in per_cluster}
+    assert all(r["keep"] for r in rows if r["vec_id"] in first_by_cluster)
