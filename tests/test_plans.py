@@ -46,10 +46,12 @@ NESTED_LOOP_ALLOWED = {
     "q15_top_supplier",
     "sim_ann_ivf",
     "funnel_conversion",
-    # emb_kmeans_assign / _iterate — crossJoin against the K=8 centroid set
-    # (broadcast; N×K scoring is the canonical distributed k-means step).
+    # emb_kmeans_assign / _iterate / sim_semdedup — crossJoin against the
+    # K=8 centroid set (broadcast; N×K scoring is the canonical distributed
+    # k-means step; semdedup's pair join itself is equi on (cluster, sub)).
     "emb_kmeans_assign",
     "emb_kmeans_iterate",
+    "sim_semdedup",
     # text_bm25_topk / emb_quantize_int8 / text_unigram_nll — crossJoin/join
     # against a 1-row (n_docs, avgdl / corpus-total) scalar aggregate resp.
     # DIM-row quantizer fit.
