@@ -562,3 +562,95 @@ def text_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .orderBy("doc_id", "feature")
     )
+
+
+@query(
+    "text_bigram_nll",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+        FROM toks, UNNEST([{'w1': t[i], 'w2': t[i + 1]}
+                           for i in range(1, len(t))]) AS u(p)
+    ),
+    c2 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1
+    ),
+    tok AS (
+        SELECT bg.doc_id,
+               CAST(ROUND((ln(c1.c) - ln(c2.c)) * 1000000) AS BIGINT) AS nll_e6
+        FROM bg
+        JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+        JOIN c1 ON c1.w1 = bg.w1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)    AS n_bigrams,
+           CAST(SUM(nll_e6) AS BIGINT) AS sum_nll_e6,
+           SUM(nll_e6) // COUNT(*)     AS avg_nll_e6
+    FROM tok GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM negative log-likelihood per document — the next rung above
+    ``text_unigram_nll`` on the CCNet quality-signal ladder (CCNet proper
+    uses a KenLM 5-gram; the bigram MLE is the largest order whose counts
+    both engines can materialize exactly): each transition contributes
+    ``ln(c(w1·)) − ln(c(w1,w2))`` — the MLE conditional ``−ln P(w2|w1)``
+    with context counts taken over bigram starts, so probabilities sum to
+    one per context with no end-of-doc mismatch.
+
+    Float discipline: two transcendentals on exact integer counts,
+    quantized to integer micro-nats BEFORE the per-document sum (the
+    text_unigram_nll discipline) — order-independent at any parallelism.
+
+    Scale: two (w1[,w2])-keyed partial aggregations bounded by bigram-type
+    cardinality, one equi-join of the transition stream back onto the LM
+    tables, one doc-keyed agg.  A production variant would join on a
+    64-bit pair-hash instead of the string pair (collision-tolerable for a
+    quality score); the string join keeps the oracle exact.  Docs with
+    fewer than two tokens have no transitions and drop out, mirrored by
+    the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("t")
+    )
+    bg = (
+        toks.select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i - 1] AS w1, t[i] AS w2)) "
+                "ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"
+            ).alias("bgs"),
+        )
+        .select("doc_id", F.explode("bgs").alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    tok = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            F.round((F.log("c1") - F.log("c2")) * 1_000_000, 0)
+            .cast("long")
+            .alias("nll_e6"),
+        )
+    )
+    return (
+        tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll_e6").alias("sum_nll_e6"),
+        )
+        .withColumn("avg_nll_e6", F.expr("sum_nll_e6 div n_bigrams"))
+        .orderBy("doc_id")
+    )
