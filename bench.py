@@ -115,6 +115,7 @@ HEADLINE = [
     "window_range_frame_trailing",
     "stream_window_sliding",
     "sim_semdedup",
+    "text_bigram_nll",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
