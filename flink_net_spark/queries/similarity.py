@@ -1045,6 +1045,9 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
     )
     w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    # persist: the assignment feeds FOUR branches (sizes, both join sides,
+    # the final keep/drop join-back) — without it each branch replays the
+    # centroid scoring and its argmin window shuffle
     asg = (
         spread_small_scan(e)
         .crossJoin(F.broadcast(c))
@@ -1052,6 +1055,7 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("cid").alias("cluster_id"), "v", "nrm")
+        .persist()
     )
     sizes = asg.groupBy("cluster_id").agg(
         F.expr(f"CAST(CEIL(COUNT(*) / {RANGE_BLOCK_CAP}.0) AS BIGINT)").alias("n_sub")

@@ -364,3 +364,20 @@ def test_range_search_blocked_is_equi_on_label(spark):
         j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     ), p
     assert "sub#" in p, p  # sub-split key participates in the equi-join
+
+
+def test_semdedup_pair_join_is_equi_on_cluster_and_sub(spark):
+    """sim_semdedup's within-cluster pair search must ride a hash/sort-merge
+    EQUI-join carrying the sub-split key (the n·cap hot-cluster bound); the
+    only nested-loop in the plan is the bounded K=8 centroid broadcast of
+    the assignment step."""
+    p = plan_of(entry.queries()["sim_semdedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in p, p
+    assert any(
+        j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), p
+    assert "sub#" in p, p
+    # every nested-loop in the plan is the deliberate bounded centroid
+    # broadcast (its build side is the K=8 LocalTableScan-backed frame);
+    # the guard that no SF-scaled frame is broadcast lives in
+    # test_no_sf_scaled_broadcast_hints
