@@ -609,17 +609,24 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized to integer micro-nats BEFORE the per-document sum (the
     text_unigram_nll discipline) — order-independent at any parallelism.
 
-    Scale: two (w1[,w2])-keyed partial aggregations bounded by bigram-type
-    cardinality, one equi-join of the transition stream back onto the LM
-    tables, one doc-keyed agg.  A production variant would join on a
-    64-bit pair-hash instead of the string pair (collision-tolerable for a
-    quality score); the string join keeps the oracle exact.  Docs with
-    fewer than two tokens have no transitions and drop out, mirrored by
-    the oracle."""
-    d = load_table(spark, sf_dir, "documents")
+    Scale: ONE (w1,w2)-keyed aggregation builds the bigram LM; the context
+    counts come from re-aggregating that (much smaller) count table — NOT a
+    second pass over the transition stream — and the two LM tables merge
+    small-side before the single equi-join back onto the transitions, so
+    the big stream is shuffled once, not three times.  The tokenized
+    transition stream is persisted: it feeds both the LM build and the
+    join-back, and replaying the explode is the dominant cost.  A
+    production variant would join on a 64-bit pair-hash instead of the
+    string pair (collision-tolerable for a quality score); the string join
+    keeps the oracle exact.  Docs with fewer than two tokens have no
+    transitions and drop out, mirrored by the oracle."""
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("t")
     )
+    # persist: the transition stream feeds the LM build AND the join-back;
+    # without it the tokenize+explode (the CPU-dominant stage) replays per
+    # consumer
     bg = (
         toks.select(
             "doc_id",
@@ -632,19 +639,20 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.explode("bgs").alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .persist()
     )
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    tok = (
-        bg.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
-        .select(
-            "doc_id",
-            F.round((F.log("c1") - F.log("c2")) * 1_000_000, 0)
-            .cast("long")
-            .alias("nll_e6"),
-        )
+    # context counts = sum of bigram counts sharing w1 — exact, and an agg
+    # over the bounded LM table instead of a second full-stream shuffle
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    lm = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.round((F.log("c1") - F.log("c2")) * 1_000_000, 0)
+        .cast("long")
+        .alias("nll_e6"),
     )
+    tok = bg.join(lm, ["w1", "w2"]).select("doc_id", "nll_e6")
     return (
         tok.groupBy("doc_id")
         .agg(
