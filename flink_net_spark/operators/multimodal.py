@@ -83,6 +83,7 @@ def decode_image(
     ship_package_to_executors(df.sparkSession)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
         import io
 
         try:
@@ -90,7 +91,7 @@ def decode_image(
         except ImportError:
             _Image = None
         for pdf in batches:
-            ids, widths, heights, sums, sizes, codecs = [], [], [], [], [], []
+            ids, widths, heights, sums, md5s, sizes, codecs = [], [], [], [], [], [], []
             for i, raw in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(raw)
                 ids.append(int(i))
@@ -102,6 +103,7 @@ def decode_image(
                         widths.append(int(img.size[0]))
                         heights.append(int(img.size[1]))
                         sums.append(int(sum(px) % 1_000_000_007))
+                        md5s.append(hashlib.md5(px).hexdigest())
                         sizes.append(len(px))
                         codecs.append("pil:" + (img.format or "unknown").lower())
                         continue
@@ -112,6 +114,7 @@ def decode_image(
                 heights.append(int(b[8:12]) if ok else -1)
                 body = b[HEADER_LEN:] if ok else b
                 sums.append(int(sum(body) % 1_000_000_007))
+                md5s.append(hashlib.md5(body).hexdigest())
                 sizes.append(len(body))
                 codecs.append("fns" if ok else "raw")
             yield pd.DataFrame(
@@ -120,6 +123,7 @@ def decode_image(
                     "width": widths,
                     "height": heights,
                     "body_checksum": sums,
+                    "body_md5": md5s,
                     "body_bytes": sizes,
                     "codec": codecs,
                 }
@@ -128,21 +132,30 @@ def decode_image(
     return df.mapInPandas(
         decode,
         "doc_id BIGINT, width INT, height INT, body_checksum BIGINT, "
-        "body_bytes INT, codec STRING",
+        "body_md5 STRING, body_bytes INT, codec STRING",
     )
 
 
 def fake_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic 'decode': parse the fake header + body checksum via
     mapInPandas.  Identical plumbing to a real decoder: binary in, struct
-    of decoded properties out, Arrow-batched, payload dropped after."""
+    of decoded properties out, Arrow-batched, payload dropped after.
+
+    ``body_md5`` is the representation-independent body digest: md5 over
+    the raw body OCTETS, which equals DuckDB's ``md5(text)`` (VARCHAR md5
+    hashes UTF-8 bytes) by construction — exact agreement for empty bodies
+    and multi-byte characters alike.  ``body_checksum`` (byte sum mod 1e9+7)
+    stays for cheap in-repo assertions but is NOT oracle-portable: a
+    code-point sum differs from a UTF-8 byte sum on any non-ASCII body."""
     from flink_net_spark.session import ship_package_to_executors
 
     ship_package_to_executors(df.sparkSession)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for pdf in batches:
-            ids, widths, heights, sums, sizes = [], [], [], [], []
+            ids, widths, heights, sums, md5s, sizes = [], [], [], [], [], []
             for i, raw in zip(pdf[id_col], pdf["payload"]):
                 b = bytes(raw)
                 ok = b[:4] == PAYLOAD_MAGIC
@@ -151,6 +164,7 @@ def fake_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 heights.append(int(b[8:12]) if ok else -1)
                 body = b[HEADER_LEN:] if ok else b
                 sums.append(int(sum(body) % 1_000_000_007))
+                md5s.append(hashlib.md5(body).hexdigest())
                 sizes.append(len(body))
             yield pd.DataFrame(
                 {
@@ -158,12 +172,15 @@ def fake_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "width": widths,
                     "height": heights,
                     "body_checksum": sums,
+                    "body_md5": md5s,
                     "body_bytes": sizes,
                 }
             )
 
     return df.mapInPandas(
-        decode, "doc_id BIGINT, width INT, height INT, body_checksum BIGINT, body_bytes INT"
+        decode,
+        "doc_id BIGINT, width INT, height INT, body_checksum BIGINT, "
+        "body_md5 STRING, body_bytes INT",
     )
 
 

@@ -72,20 +72,30 @@ def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(doc_id % 640 + 16 AS INT) AS width,
            CAST(doc_id % 480 + 16 AS INT) AS height,
-           list_sum([ascii(text[i:i]) for i in range(1, length(text) + 1)])
-               % 1000000007 AS body_checksum,
-           CAST(length(text) AS INT) AS body_bytes
+           md5(text) AS body_md5,
+           CAST(octet_length(encode(text)) AS INT) AS body_bytes
     FROM documents
     ORDER BY doc_id
     """,
 )
 def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInPandas 'decode' path under the oracle: parse the container
-    header, checksum the body bytes executor-side in Arrow batches.  A real
+    header, digest the body bytes executor-side in Arrow batches.  A real
     image decoder swaps into exactly this plumbing (see
-    operators/multimodal.py decode_image for the codec-gated stub)."""
+    operators/multimodal.py decode_image for the codec-gated stub).
+
+    Contract is representation-independent by construction: Spark md5's the
+    body OCTETS (= UTF-8 bytes of text), DuckDB's md5(VARCHAR) hashes the
+    same UTF-8 bytes; body_bytes is octet_length on both sides.  The old
+    character-code-point-sum oracle (`ascii(text[i:i])` list_sum) diverged
+    on non-ASCII text and on empty bodies (list_sum([]) → NULL) — edge
+    cases pinned in tests/test_multimodal.py::test_decode_stats_edge_bodies."""
     d = spread_small_scan(load_table(spark, sf_dir, "documents"))
-    return fake_decode_stats(attach_payloads(d)).orderBy("doc_id")
+    return (
+        fake_decode_stats(attach_payloads(d))
+        .select("doc_id", "width", "height", "body_md5", "body_bytes")
+        .orderBy("doc_id")
+    )
 
 
 @query(

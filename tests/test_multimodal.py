@@ -91,10 +91,11 @@ def test_decode_image_fallback_matches_fake(spark):
     assert real.keys() == fake.keys()
     for i, r in real.items():
         f = fake[i]
-        assert (r.width, r.height, r.body_checksum, r.body_bytes) == (
+        assert (r.width, r.height, r.body_checksum, r.body_md5, r.body_bytes) == (
             f.width,
             f.height,
             f.body_checksum,
+            f.body_md5,
             f.body_bytes,
         )
         # FNSB payloads are not decodable images, so even with PIL installed
@@ -127,18 +128,109 @@ def test_resize_image_targets_requested_dims(spark):
             assert bytes(r.payload)[:12] == b"FNSB00320024"
 
 
-def test_decode_image_real_pil_path(spark):
-    """Real codec path — runs wherever PIL is installed, skips here."""
+def _minimal_png(width: int = 8, height: int = 6, rgb=(1, 2, 3)) -> bytes:
+    """Hand-craft a minimal valid 8-bit RGB PNG with the stdlib only (no PIL
+    needed to BUILD the fixture — only the decode side is codec-gated).
+    Spec: PNG signature + IHDR + IDAT (zlib of filter-byte-prefixed
+    scanlines) + IEND, each chunk CRC32'd."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit, RGB
+    raw = b"".join(b"\x00" + bytes(rgb) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_minimal_png_is_valid_where_pil_exists():
+    """The byte-literal PNG itself must be decodable by any conformant
+    codec — checked wherever PIL is installed (skips in this sandbox;
+    boundary documented in README like Kafka)."""
     PIL_Image = pytest.importorskip("PIL.Image")
     import io
 
-    buf = io.BytesIO()
-    PIL_Image.new("RGB", (8, 6), color=(1, 2, 3)).save(buf, format="PNG")
-    png = buf.getvalue()
+    img = PIL_Image.open(io.BytesIO(_minimal_png()))
+    img.load()
+    assert img.size == (8, 6) and img.tobytes() == bytes((1, 2, 3)) * 48
+
+
+def test_decode_image_real_pil_path(spark):
+    """Real codec path — runs wherever PIL is installed, skips here.  The
+    PNG is hand-crafted (stdlib zlib/struct), so only decode_image's PIL
+    branch — the code under test — needs the codec."""
+    pytest.importorskip("PIL.Image")
+    import hashlib
+
+    png = _minimal_png()
     df = spark.createDataFrame([(1, bytearray(png))], "doc_id BIGINT, payload BINARY")
     row = decode_image(df).collect()[0]
     assert (row.width, row.height, row.codec) == (8, 6, "pil:png")
     assert row.body_bytes == 8 * 6 * 3
+    assert row.body_md5 == hashlib.md5(bytes((1, 2, 3)) * 48).hexdigest()
+
+
+def test_decode_stats_edge_bodies(spark, tmp_path):
+    """Pin the representation-independent contract on exactly the inputs
+    that broke the old oracle: empty text (list_sum([]) → NULL in DuckDB)
+    and non-ASCII text (UTF-8 byte sum ≠ code-point sum, octet_length ≠
+    char length).  Runs the REGISTERED mm_decode_stats query against its
+    REGISTERED DuckDB oracle on the adversarial fixture — the exact pair
+    the driver gate executes."""
+    import duckdb
+    import pandas as pd
+
+    from flink_net_spark.queries import ORACLES, QUERIES
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": ["", "a", "héllo wörld", "汉字テキスト🚀", "plain ascii text"],
+            "lang": ["en"] * 5,
+            "source": ["edge"] * 5,
+            "n_chars": [0, 1, 11, 7, 16],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    sdf = QUERIES["mm_decode_stats"](spark, str(tmp_path))
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    res = con.execute(ORACLES["mm_decode_stats"])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols)
+    sorder = sorted(range(len(scols)), key=lambda i: scols[i])
+    dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    s = sorted(tuple(r[i] for i in sorder) for r in srows)
+    d = sorted(tuple(r[i] for i in dorder) for r in drows)
+    assert s == d
+
+    # spot-check the two edge semantics explicitly
+    import hashlib
+
+    by_id = {r.doc_id: r for r in sdf.collect()}
+    assert by_id[0].body_md5 == hashlib.md5(b"").hexdigest() and by_id[0].body_bytes == 0
+    multi = "汉字テキスト🚀".encode("utf-8")
+    assert by_id[3].body_md5 == hashlib.md5(multi).hexdigest()
+    assert by_id[3].body_bytes == len(multi)  # octets, not code points
 
 
 def test_fake_resize_halves_dims_and_body(spark):
