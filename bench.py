@@ -38,6 +38,7 @@ asserted against per-query bounds, disk spill asserted zero.
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
 import re
@@ -282,7 +283,14 @@ def stage_multifile(spark, sf_dir: str) -> str:
 
     rewrite = sorted({t for tables, _ in MULTIFILE_AUDIT.values() for t in tables})
     base = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"fns_mf_v1_{base}")
+    # Cache key covers the RESOLVED corpus path and the rewritten-table
+    # set (ADVICE r6): two corpora sharing a leaf name (/a/sf0.1 vs
+    # /b/sf0.1) must not reuse each other's staged copy, and growing
+    # MULTIFILE_AUDIT must invalidate the stage.
+    key = hashlib.md5(
+        (os.path.realpath(sf_dir) + "|" + ",".join(rewrite)).encode()
+    ).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"fns_mf_v2_{base}_{key}")
     marker = os.path.join(out, "_STAGED")
     if os.path.exists(marker):
         return out
@@ -333,6 +341,29 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr)
 
 
+def calibration_probe(spark, reps: int = 5) -> dict:
+    """Fixed synthetic CPU+shuffle micro-benchmark, independent of any query:
+    the RAW times go into the sidecar so a cross-round comparison can
+    separate box/session speed from code changes (round-6 verdict #6 — 40+
+    of 55 shared queries drifted one direction under a 1.099 session factor
+    with no way to prove it was the box).  Two sidecars' probe medians give
+    a query-independent session-factor estimate; tools/bench_null.py gives
+    the same-code null distribution."""
+    probe = (
+        spark.range(0, 20_000_000, 1, 32)
+        .selectExpr("id % 4096 AS k", "id * 2654435761 % 1000003 AS v")
+        .groupBy("k")
+        .agg({"v": "sum"})
+    )
+    probe.collect()  # warm: codegen + shuffle setup
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        probe.collect()
+        runs.append(round(time.perf_counter() - t0, 4))
+    return {"runs": runs, "median": round(_median(runs), 4)}
+
+
 def time_queries(spark, queries, names, sf_dir, reps=REPS, tag=""):
     """Warm once (same collect plan as the timed reps — a count() warm-up
     compiles different codegen and the first rep then pays JIT, q9 lesson),
@@ -357,6 +388,13 @@ def time_queries(spark, queries, names, sf_dir, reps=REPS, tag=""):
             f"[bench]{tag} {name}: median {timings[name]:.3f}s "
             f"(spread {spread[name][0]:.3f}-{spread[name][1]:.3f}, {n} rows)"
         )
+        # Drop this query's persisted intermediates before the next query:
+        # the cache manager dedupes identical plans (so warm-up + reps share
+        # ONE cache entry — rep-level reuse is intact), but entries from
+        # EARLIER queries are garbage that squeezes the storage pool until
+        # a later query's persist thrashes on eviction (observed: the
+        # text_bigram_nll 1.1s→8.2s bimodality in the null A/B's session B).
+        spark.catalog.clearCache()
     return timings, spread, rowcounts
 
 
@@ -490,23 +528,27 @@ def scale_smoke(spark, queries, base_timings: dict[str, float], sf_dir: str,
             continue
         rec: dict = {}
         try:
-            def nl_shapes(d: str) -> set[str]:
+            def nl_shapes(d: str) -> dict[str, int]:
                 df = fn(spark, d)
                 buf = io.StringIO()
                 with contextlib.redirect_stdout(buf):
                     df.explain("formatted")
                 plan = buf.getvalue()
                 return {
-                    s
+                    s: plan.count(s)
                     for s in ("BroadcastNestedLoopJoin", "CartesianProduct")
-                    if s in plan
                 }
 
-            # a "flip" is a nested-loop/cartesian shape that appears AT SCALE
+            # a "flip" is a nested-loop/cartesian join that appears AT SCALE
             # but not in the base plan — a deliberate bounded broadcast NL
             # (e.g. the K=8 k-means centroids) is present at every SF and is
-            # not a flip
-            rec["plan_flip"] = bool(nl_shapes(staged) - nl_shapes(sf_dir))
+            # not a flip.  Counted PER SHAPE (ADVICE r6): a query that
+            # legitimately carries one BroadcastNestedLoopJoin at every
+            # scale still flags when a SECOND join flips to that same shape.
+            base_nl, staged_nl = nl_shapes(sf_dir), nl_shapes(staged)
+            rec["plan_flip"] = any(
+                staged_nl[s] > base_nl[s] for s in staged_nl
+            )
             t0 = time.perf_counter()
             rec["rows"] = len(fn(spark, staged).collect())
             rec["sec"] = round(time.perf_counter() - t0, 4)
@@ -529,6 +571,7 @@ def scale_smoke(spark, queries, base_timings: dict[str, float], sf_dir: str,
             rec["err"] = f"{type(ex).__name__}: {str(ex)[:200]}"
         section[name] = rec
         log(f"[bench][sf1x{factor}] {name}: {rec}")
+        spark.catalog.clearCache()  # same pool hygiene as time_queries
     return section
 
 
@@ -574,6 +617,7 @@ def shuffle_audit(spark, queries, sf_dir: str) -> dict:
             rec = {"err": f"{type(ex).__name__}: {str(ex)[:200]}", "ok": False}
         section[name] = rec
         log(f"[bench][shuffle] {name}: {rec}")
+        spark.catalog.clearCache()  # same pool hygiene as time_queries
 
     # real-layout pass: same accounting against the 32-file staged copy
     mf_dir = stage_multifile(spark, sf_dir)
@@ -600,6 +644,7 @@ def shuffle_audit(spark, queries, sf_dir: str) -> dict:
             rec = {"err": f"{type(ex).__name__}: {str(ex)[:200]}", "ok": False}
         section[name + "@mf"] = rec
         log(f"[bench][shuffle] {name}@mf: {rec}")
+        spark.catalog.clearCache()  # same pool hygiene as time_queries
     return section
 
 
@@ -775,6 +820,9 @@ def main() -> int:
     stream_rps, stream_dt = probe_1k["rps"], probe_1k["drain_sec"]
     stream_rps_1m = probe_1m["rps"]
 
+    calib = calibration_probe(spark)
+    log(f"[bench] calibration probe: median {calib['median']}s raw {calib['runs']}")
+
     headline = [n for n in HEADLINE if META.get(n, {}).get("scale_safe", True)]
     timings, spread, rowcounts = time_queries(spark, queries, headline, SF_DIR)
 
@@ -797,6 +845,7 @@ def main() -> int:
         "queries": timings,
         "queries_spread": spread,
         "query_rows": rowcounts,
+        "calibration_probe": calib,
         "reps_per_query": REPS,
         "sf": _sf_from_dir(SF_DIR),
         "rows_per_sec": rows_per_sec,

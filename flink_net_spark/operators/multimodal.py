@@ -185,10 +185,13 @@ def fake_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def payload_features(df: DataFrame, dim: int = 16, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic feature extraction: fold payload bytes into a fixed-dim
-    float vector (per-dim byte-stride sums) — the mapInPandas shape of a
-    real embedding model (bytes → fixed-length array<float>), minus the
-    model.  Output drops the payload (shuffle hygiene)."""
+    """Deterministic feature extraction: fold the payload's CODE POINTS into
+    a fixed-dim float vector (per-dim stride sums) — the mapInPandas shape
+    of a real embedding model (payload → fixed-length array<float>), minus
+    the model.  Code points (via :func:`_frame_units`), not bytes, so the
+    maths match a character-indexed SQL oracle on multi-byte text; latin-1
+    fallback keeps arbitrary binary deterministic.  Output drops the
+    payload (shuffle hygiene)."""
     from flink_net_spark.session import ship_package_to_executors
 
     ship_package_to_executors(df.sparkSession)
@@ -197,10 +200,10 @@ def payload_features(df: DataFrame, dim: int = 16, id_col: str = "doc_id") -> Da
         for pdf in batches:
             ids, vecs = [], []
             for i, raw in zip(pdf[id_col], pdf["payload"]):
-                b = bytes(raw)
+                s = _frame_units(bytes(raw))
                 acc = [0] * dim
-                for pos, byte in enumerate(b):
-                    acc[pos % dim] = (acc[pos % dim] + byte) % 4096
+                for pos, ch in enumerate(s):
+                    acc[pos % dim] = (acc[pos % dim] + ord(ch)) % 4096
                 ids.append(int(i))
                 vecs.append([float(x) / 4096.0 for x in acc])
             yield pd.DataFrame({"doc_id": ids, "features": vecs})
@@ -245,12 +248,12 @@ def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "doc_id") -> Da
                         continue
                     except Exception:
                         pass  # not a real video — deterministic container path
-                body = b[HEADER_LEN:] if b[:4] == PAYLOAD_MAGIC else b
+                body = _frame_units(b[HEADER_LEN:] if b[:4] == PAYLOAD_MAGIC else b)
                 for k in range(0, len(body) // FRAME_BYTES, every_n):
-                    frame_b = body[k * FRAME_BYTES : (k + 1) * FRAME_BYTES]
+                    frame_s = body[k * FRAME_BYTES : (k + 1) * FRAME_BYTES]
                     ids.append(int(i))
                     idxs.append(k)
-                    sums.append(int(sum(frame_b)))
+                    sums.append(sum(ord(c) for c in frame_s))
                     codecs.append("fns")
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_index": idxs, "checksum": sums, "codec": codecs}
@@ -261,19 +264,33 @@ def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "doc_id") -> Da
     )
 
 
-FRAME_BYTES = 32  # fake codec: the body is a sequence of 32-byte "frames"
+FRAME_BYTES = 32  # fake codec: the body is a sequence of 32-CODE-POINT "frames"
+
+
+def _frame_units(body: bytes) -> str:
+    """Decode the body into the unit stream the fake framing runs over:
+    CODE POINTS, not bytes.  UTF-8 when the body decodes (so the maths are
+    representation-independent and match a character-indexed SQL oracle on
+    multi-byte text — the round-7 edge-fixture lesson: byte-framing drifted
+    from the oracle's ``substring``/``ascii`` char maths on CJK/emoji);
+    latin-1 otherwise (bijective byte↔code-point, so arbitrary binary still
+    frames deterministically)."""
+    try:
+        return body.decode("utf-8")
+    except UnicodeDecodeError:
+        return body.decode("latin-1")
 
 
 def fake_frame_sample(
     df: DataFrame, every_n: int = 4, id_col: str = "doc_id"
 ) -> DataFrame:
     """Deterministic frame sampling: treat the payload body as concatenated
-    ``FRAME_BYTES``-sized frames, keep every ``every_n``-th COMPLETE frame,
-    emit one row per kept frame with its byte checksum.  This is the 1→N
-    explode shape of real video sampling (one clip row → many frame rows),
-    Arrow-batched, payload dropped from the output.
+    ``FRAME_BYTES``-code-point frames, keep every ``every_n``-th COMPLETE
+    frame, emit one row per kept frame with its code-point checksum.  This
+    is the 1→N explode shape of real video sampling (one clip row → many
+    frame rows), Arrow-batched, payload dropped from the output.
 
-    Scale: output rows ≈ input_bytes / (FRAME_BYTES · every_n) — the UDF is
+    Scale: output rows ≈ input_units / (FRAME_BYTES · every_n) — the UDF is
     the hot path, so it stays vectorizable per batch and never shuffles the
     payload; downstream ops see only (doc_id, frame_index, checksum)."""
     from flink_net_spark.session import ship_package_to_executors
@@ -285,12 +302,12 @@ def fake_frame_sample(
             ids, idxs, sums = [], [], []
             for i, raw in zip(pdf[id_col], pdf["payload"]):
                 b = bytes(raw)
-                body = b[HEADER_LEN:] if b[:4] == PAYLOAD_MAGIC else b
+                body = _frame_units(b[HEADER_LEN:] if b[:4] == PAYLOAD_MAGIC else b)
                 for k in range(0, len(body) // FRAME_BYTES, every_n):
                     frame = body[k * FRAME_BYTES : (k + 1) * FRAME_BYTES]
                     ids.append(int(i))
                     idxs.append(k)
-                    sums.append(int(sum(frame)))
+                    sums.append(sum(ord(c) for c in frame))
             yield pd.DataFrame({"doc_id": ids, "frame_index": idxs, "checksum": sums})
 
     return df.mapInPandas(sample, "doc_id BIGINT, frame_index INT, checksum BIGINT")

@@ -74,7 +74,8 @@ DRIVER_WINDOW = 50
 
 # Bumped to the head of their module's queue so the driver window is
 # guaranteed to contain one canonical representative per family even as
-# modules grow (the round-5 verdict's named picks).
+# modules grow (the round-5 verdict's named picks).  With rotation (below)
+# these only decide order WITHIN the already-driver-checked remainder.
 _WINDOW_PRIORITY = [
     "stream_keyed_exact_count",
     "dedup_minhash_lsh",
@@ -87,25 +88,86 @@ _WINDOW_PRIORITY = [
 ]
 
 
+def _driver_checked() -> set[str]:
+    """Names that already have at least one driver-grade CORRECTNESS row —
+    the union of the committed CORRECTNESS_r*.json files at the repo root.
+    The window rotates toward never-driver-checked queries each round
+    (round-6 verdict #4) so driver evidence ACCUMULATES across rounds
+    instead of re-proving the same 50.  Absent files (fresh clone) → empty
+    set → the original priority interleave."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    seen: set[str] = set()
+    for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                seen |= set(_json.load(f))
+        except Exception:  # pragma: no cover - a malformed artifact never breaks import
+            pass
+    return seen
+
+
 def _interleave_families() -> None:
     by_mod: dict[str, list[str]] = {}
     for nm, fn in QUERIES.items():
         by_mod.setdefault(fn.__module__, []).append(nm)
     prio = {nm: i for i, nm in enumerate(_WINDOW_PRIORITY)}
+    checked = _driver_checked()
+    # Per-module queue: never-driver-checked first (rotation), then the
+    # canonical priority picks, then original registration order.  The
+    # round-robin across modules below preserves family spread either way.
     queues = [
-        sorted(names, key=lambda nm: (prio.get(nm, len(prio)), names.index(nm)))
+        sorted(
+            names,
+            key=lambda nm: (nm in checked, prio.get(nm, len(prio)), names.index(nm)),
+        )
         for names in by_mod.values()
     ]
     order = ["q1_pricing_summary"]
-    seen = set(order)
-    while any(queues):
+    taken = set(order)
+
+    def take(q: list[str], want_unchecked: bool) -> str | None:
+        for idx, nm in enumerate(q):
+            if nm in taken:
+                continue
+            if want_unchecked and nm in checked:
+                continue
+            q.pop(idx)
+            return nm
+        return None
+
+    # Phase 1 — family coverage: one pick per module (heads are
+    # never-checked-first, so these rotate too where the module has any).
+    for q in queues:
+        nm = take(q, want_unchecked=False)
+        if nm is not None:
+            order.append(nm)
+            taken.add(nm)
+    # Phase 2 — rotation: ALL remaining never-driver-checked queries,
+    # round-robin across modules, so the window fills with fresh evidence
+    # rather than re-proving last round's 50.
+    progressed = True
+    while progressed:
+        progressed = False
         for q in queues:
-            while q:
-                nm = q.pop(0)
-                if nm not in seen:
-                    order.append(nm)
-                    seen.add(nm)
-                    break
+            nm = take(q, want_unchecked=True)
+            if nm is not None:
+                order.append(nm)
+                taken.add(nm)
+                progressed = True
+    # Phase 3 — the already-checked remainder, round-robin.
+    progressed = True
+    while progressed:
+        progressed = False
+        for q in queues:
+            nm = take(q, want_unchecked=False)
+            if nm is not None:
+                order.append(nm)
+                taken.add(nm)
+                progressed = True
     assert len(order) == len(QUERIES)
     for d in (QUERIES, ORACLES, META):
         reordered = {nm: d[nm] for nm in order if nm in d}

@@ -266,8 +266,10 @@ _NGRAM_BLOCK_CAP = 1000
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH h0 AS (
-        SELECT doc_id, lang, n_chars // 50 AS len_bucket, {_DUCK_SHINGLES} AS sh
-        FROM {_DUCK_TH_DOCS}
+        SELECT * FROM (
+            SELECT doc_id, lang, n_chars // 50 AS len_bucket, {_DUCK_SHINGLES} AS sh
+            FROM {_DUCK_TH_DOCS}
+        ) WHERE len(sh) > 0
     ),
     h AS (
         SELECT * FROM (
@@ -308,6 +310,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") / 50).cast("long").alias("len_bucket"),
             F.expr(H.spark_hashed_shingles("th")).alias("sh"),
         )
+        # shingle-less docs (too short / punctuation-only) have no Jaccard:
+        # excluded BEFORE the block cap on both engines (union would be 0)
+        .filter(F.size("sh") > 0)
         .withColumn("rn", F.row_number().over(w_block))
         .filter(F.col("rn") <= _NGRAM_BLOCK_CAP)
         .drop("rn")
@@ -466,6 +471,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
                sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
         FROM embeddings
+        WHERE list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]) > 0
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_sum([a.v[i] * b.v[i] for i in range(1, 65)]) / (a.nrm * b.nrm), 4)
@@ -487,7 +493,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
             "0.0D, (acc, x) -> acc + x))"
         ).alias("nrm"),
-    )
+    ).filter(F.col("nrm") > 0)  # zero-norm vectors have no cosine: excluded on BOTH engines
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
@@ -755,29 +761,45 @@ def dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round-6 shuffle restructure (verdict #2: the old df-gate + self-join
     shape moved the fingerprint set through THREE exchanges and measured
     2.74× the on-disk corpus): fingerprints are truncated to 4-byte INTs
-    before the exchange (see ``_FP32``) and the df-gate + pair-generation
-    collapse into ONE ``groupBy(fp).collect_list(doc_id)`` pass — the
-    bucket list is df-gated by ``size`` (2 ≤ df ≤ cap, so lists are
-    bounded), sorted for determinism, and pairs are generated map-side by
-    an array comprehension.  Net: one exchange of (int32 fp, doc_id) plus
-    the small pair aggregation, measured < 1× disk input (bench audit
-    bound 1.0).  The oracle mirrors the truncation, so 32-bit collisions
-    are part of the checked contract, not drift."""
+    before the exchange (see ``_FP32``), and the df-gate + pair-generation
+    ride ONE exchange on ``fp``.  Round-7 OOM hardening (ADVICE): the
+    df-gate is a WINDOW count over the fp partitioning, applied BEFORE
+    ``collect_list`` — a hot fingerprint (boilerplate 8-gram shared by
+    millions of docs) is dropped while its rows sit in the window sorter,
+    which SPILLS to disk, instead of materializing a multi-million-entry
+    list in one aggregation buffer.  The groupBy that follows reuses the
+    window's hash partitioning (no second exchange — asserted by the bench
+    shuffle audit staying ≤ 1× disk input).  Lists that reach collection
+    are ≤ SUBSTR_DF_CAP by construction; pairs are generated map-side by
+    an array comprehension, with a strict ``doc_a < doc_b`` filter because
+    _FP32 truncation can duplicate a doc_id WITHIN one bucket (two 61-bit
+    fingerprints of the same doc colliding at 32 bits) and the oracle's
+    ``a.doc_id < b.doc_id`` join never emits that self-pair.  The oracle
+    mirrors the truncation, so CROSS-doc 32-bit collisions remain part of
+    the checked contract, not drift."""
+    from pyspark.sql.window import Window
+
     gr = _winnow_fingerprints(spark, sf_dir)
+    w_fp = Window.partitionBy("fp")
     buckets = (
-        gr.groupBy("fp")
+        gr.withColumn("df", F.count(F.lit(1)).over(w_fp))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SUBSTR_DF_CAP))
+        .groupBy("fp")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= SUBSTR_DF_CAP))
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (a, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), "
-                "b -> struct(a AS doc_a, b AS doc_b))))"
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
     return (
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))

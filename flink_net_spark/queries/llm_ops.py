@@ -125,11 +125,14 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_payload_features",
-    # The per-dim fold is pure byte maths (running (acc+byte) % 4096 ==
+    # The per-dim fold is pure code-point maths (running (acc+cp) % 4096 ==
     # total % 4096), so the whole feature vector is SQL-expressible: dim d
-    # sums payload bytes at 0-based positions ≡ d (mod 16).  Every acc/4096
-    # is a 12-bit dyadic rational — exact in float32 AND double — so the
-    # 4-dp round matches bit-for-bit across engines.
+    # sums payload CODE POINTS at 0-based char positions ≡ d (mod 16) —
+    # char-indexed substring/ascii on both engines, so multi-byte text
+    # can't drift (round-7 edge-fixture lesson; substring() rather than
+    # [i:i] slicing, whose semantics proved driver-env-sensitive).  Every
+    # acc/4096 is a 12-bit dyadic rational — exact in float32 AND double —
+    # so the 4-dp round matches bit-for-bit across engines.
     oracle="""
     WITH p AS (
         SELECT doc_id,
@@ -141,7 +144,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(16 AS INT) AS dim,
            ROUND(list_sum([
-               (COALESCE(list_sum([ascii(payload[i:i])
+               (COALESCE(list_sum([ascii(substring(payload, i, 1))
                                    for i in range(d + 1, length(payload) + 1, 16)]), 0)
                 % 4096) / 4096.0
                for d in range(0, 16)]), 4) AS feat_sum

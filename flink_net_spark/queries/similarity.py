@@ -34,7 +34,7 @@ def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
             "0.0D, (acc, x) -> acc + x))"
         ).alias("nrm"),
-    )
+    ).filter(F.col("nrm") > 0)  # zero-norm vectors have no cosine: excluded on BOTH engines
 
 
 _DOT = "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
@@ -48,6 +48,7 @@ _DOT = "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
                sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
         FROM embeddings
+        WHERE list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]) > 0
     ),
     scored AS (
         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -128,6 +129,7 @@ def _duckdb_bucket_expr() -> str:
         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
                sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
         FROM embeddings
+        WHERE list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]) > 0
     ),
     bucketed AS (
         SELECT vec_id, v, nrm, {_duckdb_bucket_expr()} AS bucket FROM e
@@ -262,6 +264,7 @@ def _mp_tb_cte() -> str:
         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
                sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
         FROM embeddings
+        WHERE list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]) > 0
     ),
     {_mp_tb_cte()},
     probes AS (  -- query side probes its bucket + every Hamming-1 neighbor
@@ -356,6 +359,7 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
                sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
         FROM embeddings
+        WHERE list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]) > 0
     ),
     {_mp_tb_cte()},
     cand AS (
@@ -417,6 +421,7 @@ NPROBE = 4
         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
                sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
         FROM embeddings
+        WHERE list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]) > 0
     ),
     cent AS (
         SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
@@ -873,6 +878,7 @@ _SUB_HASH = "((vec_id * 2654435761) % 4294967296) % n_sub"
         SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v,
                sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
         FROM embeddings
+        WHERE list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]) > 0
     ),
     sz AS (
         SELECT label, CAST(CEIL(COUNT(*) / {RANGE_BLOCK_CAP}.0) AS BIGINT) AS n_sub
@@ -918,7 +924,7 @@ def sim_range_search_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
             "0.0D, (acc, x) -> acc + x))"
         ).alias("nrm"),
-    )
+    ).filter(F.col("nrm") > 0)  # zero-norm vectors have no cosine: excluded on BOTH engines
     # Block sizes aggregate to N_LABELS rows and broadcast back — the
     # vector stream itself is never shuffled for the sub-split assignment.
     sizes = (
@@ -961,8 +967,10 @@ def sim_range_search_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
 # web-scale through semantic deduplication"): cluster the corpus, then
-# drop every document whose embedding sits within a cosine threshold of an
-# earlier-kept member of the SAME cluster.  Pairwise work is confined to
+# drop every document whose embedding sits within a cosine threshold of
+# ANY lower-id member of the SAME cluster (kept or not — a deterministic
+# one-pass variant of the paper's keep-order rule; both engines implement
+# this same lower-id contract).  Pairwise work is confined to
 # clusters (and hot clusters sub-split by the RANGE_BLOCK_CAP discipline),
 # so the 100 TB cost is n·cap dot products, never n².
 SEMDEDUP_COS_THRESHOLD = 0.40
@@ -975,6 +983,7 @@ SEMDEDUP_COS_THRESHOLD = 0.40
         SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
                sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
         FROM embeddings
+        WHERE list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]) > 0
     ),
     c AS (
         SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {KMEANS_K}
@@ -1037,7 +1046,7 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
             "0.0D, (acc, x) -> acc + x))"
         ).alias("nrm"),
-    )
+    ).filter(F.col("nrm") > 0)  # zero-norm vectors have no cosine: excluded on BOTH engines
     c = e.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )

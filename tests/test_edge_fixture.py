@@ -1,0 +1,80 @@
+"""Adversarial edge-corpus oracle replay (round-7 VERDICT #3, made durable).
+
+The friendly testdata SFs (non-empty ASCII prose, healthy-norm embeddings)
+let a whole family of oracle-contract bugs pass silently: DuckDB
+``list_sum([]) → NULL`` on empty input, UTF-8-byte vs code-point maths on
+multi-byte text, and cosine divide-by-zero on zero-norm vectors.  The
+round-7 sweep over `tools/make_edge_fixture.py`'s corpus caught 8 such bugs
+(see DRIVERSIM_edge.json).  This test pins those exact queries against
+their REGISTERED oracles on the edge corpus so the class can never
+reappear silently — the full-inventory replay stays a per-round tool run;
+this is the fast in-suite guard over the queries that actually broke.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from flink_net_spark.queries import ORACLES, QUERIES
+from flink_net_spark.tables import TABLE_NAMES, table_path
+
+# The 8 queries the round-7 edge sweep turned red, plus the two whose
+# contract was rewritten for representation-independence that round.
+EDGE_QUERIES = [
+    "mm_decode_stats",
+    "mm_frame_sample",
+    "mm_payload_features",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    "sim_ann_ivf",
+    "sim_range_search_blocked",
+    "sim_semdedup",
+    "mm_payload_stats",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    import tools.make_edge_fixture as mk
+
+    out = tmp_path_factory.mktemp("sf_edge")
+    orig = mk.OUT
+    mk.OUT = out
+    try:
+        mk.main()
+    finally:
+        mk.OUT = orig
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def edge_duck(edge_dir):
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{table_path(edge_dir, name)}')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EDGE_QUERIES)
+def test_edge_corpus_matches_oracle(spark, edge_dir, edge_duck, name):
+    from tests.conftest import _canon_rows
+
+    sdf = QUERIES[name](spark, edge_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = edge_duck.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), (name, scols, dcols)
+    assert len(srows) == len(drows), (name, len(srows), len(drows))
+    s, d = _canon_rows(srows, scols), _canon_rows(drows, dcols)
+    mismatches = [(a, b) for a, b in zip(s, d) if a != b]
+    assert not mismatches, (name, mismatches[:3])

@@ -50,3 +50,24 @@ def test_registry_reorder_is_a_permutation():
     # The interleave must never drop or duplicate a query or its oracle.
     assert len(QUERIES) == len(set(QUERIES))
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_window_rotates_toward_unchecked_queries():
+    """Round-7 rotation (verdict #4): the window must fill with queries
+    that have no prior driver-grade CORRECTNESS row, so evidence
+    accumulates across rounds — while test_driver_window_spans_every_family
+    above still holds (rotation must not collapse the family spread)."""
+    from flink_net_spark.queries import _driver_checked
+
+    checked = _driver_checked()
+    if not checked:  # fresh clone: no artifacts, nothing to rotate against
+        return
+    window = list(QUERIES)[:DRIVER_WINDOW]
+    unchecked_total = len([n for n in QUERIES if n not in checked])
+    fresh_in_window = len([n for n in window if n not in checked])
+    # q1 stays pinned and up to one already-checked pick per module may be
+    # needed for family coverage — everything else must be fresh.
+    assert fresh_in_window >= min(unchecked_total, DRIVER_WINDOW) - 15, (
+        fresh_in_window,
+        unchecked_total,
+    )

@@ -177,6 +177,35 @@ def compare(old: dict, new: dict, old_label: str = "old", new_label: str = "new"
     }
 
 
+def _null_spread_note() -> str:
+    """Cite the committed same-code two-session null distribution
+    (tools/bench_null.py → bench_out/NULL_SPREAD.json) when present — the
+    measured envelope any cross-round drift must exceed to mean anything."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench_out",
+        "NULL_SPREAD.json",
+    )
+    try:
+        with open(path) as f:
+            ns = json.load(f)
+        return (
+            f" Null distribution (same-code two-session A/B, n={ns['n']}): "
+            f"session factor {ns['session_factor_AB']}× (probe "
+            f"{ns['probe_factor_AB']}×), normalized ratios p50 "
+            f"{ns['norm_ratio_p50']} / p90 {ns['norm_ratio_p90']} / max "
+            f"{ns['norm_ratio_max']}, one-direction fraction "
+            f"{ns['one_direction_frac']} — bench_out/NULL_SPREAD.json."
+        )
+    except Exception:
+        return (
+            " Calibration: same-code between-session normalized ratios on "
+            "this box reach 1.32×."
+        )
+
+
 def to_markdown(result: dict) -> str:
     old_l, new_l = result["old_label"], result["new_label"]
     v = result["verdict"]
@@ -190,8 +219,7 @@ def to_markdown(result: dict) -> str:
         f"session-factor-normalized ratio exceeds {NORM_THRESHOLD}× AND the "
         f"absolute move exceeds {ABS_FLOOR_SEC}s ({MICRO_ABS_FLOOR_SEC}s for "
         f"queries under {MICRO_MEDIAN_SEC}s, whose JIT/cache jitter reaches "
-        f"~0.25s on this box — see module docstring). Calibration: same-code "
-        f"between-session normalized ratios on this box reach 1.32×.",
+        f"~0.25s on this box — see module docstring)." + _null_spread_note(),
         "",
         f"| query | {old_l} med (spread) | {new_l} med (spread) | ratio | norm | status |",
         "|---|---|---|---|---|---|",

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Build the adversarial edge-fixture corpus (round-7 VERDICT #3).
+
+The sandbox SFs are friendly: every document is non-empty ASCII prose, every
+embedding has a healthy norm.  Any oracle in the `list_sum(empty) → NULL` /
+code-point-vs-byte family therefore passes at sf0.01 while silently diverging
+on real-corpus inputs.  This script clones sf0.001 and injects exactly the
+inputs that break that family:
+
+documents (+8 rows past max doc_id):
+  - empty text
+  - whitespace-only text
+  - one single-char doc, one 1-token doc
+  - multi-byte UTF-8: accents, CJK, emoji (byte length != char length)
+  - punctuation-only text (tokenizers yield zero word tokens)
+  - one exact duplicate of an existing document's text (dedup paths)
+embeddings (+4 rows past max vec_id):
+  - the all-zero vector (norm 0 — divide-by-zero guard in every cosine)
+  - an exact duplicate of an existing vector
+  - a one-hot vector and its negation (cosine -1 pair)
+
+n_chars stays = length(text) (both engines derive from the same parquet, so
+any n_chars-based oracle still agrees).  Every other table is copied verbatim.
+
+Usage: python tools/make_edge_fixture.py [out_dir]   # default /tmp/sf_edge
+Then:  python tools/driver_sim.py /tmp/sf_edge       # -> DRIVERSIM_edge.json
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+SRC = Path("/root/testdata/sf0.001")
+OUT = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_edge")
+
+COPY_VERBATIM = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+]
+
+
+def main() -> None:
+    OUT.mkdir(parents=True, exist_ok=True)
+    for t in COPY_VERBATIM:
+        shutil.copyfile(SRC / f"{t}.parquet", OUT / f"{t}.parquet")
+
+    con = duckdb.connect()
+    docs = con.execute(f"SELECT * FROM read_parquet('{SRC}/documents.parquet')").df()
+    base = int(docs["doc_id"].max()) + 1
+    dup_text = str(docs.loc[docs["doc_id"] == 0, "text"].iloc[0])
+    edge_texts = [
+        "",                                   # empty body
+        "   \t  ",                            # whitespace-only
+        "x",                                  # single char
+        "token",                              # single token
+        "héllo wörld café naïve",             # latin-1-ish multi-byte
+        "汉字テキスト 机器学习 データ",          # CJK, byte len >> char len
+        "rocket 🚀 launch 🌕 emoji",           # astral-plane code points
+        "!!! ??? ... ;;; ---",                # punctuation only, zero word tokens
+        dup_text,                             # exact duplicate of doc 0
+    ]
+    extra = pd.DataFrame(
+        {
+            "doc_id": [base + i for i in range(len(edge_texts))],
+            "text": edge_texts,
+            "lang": ["en", "de", "fr", "es", "fr", "zh", "en", "es", "en"],
+            "source": ["src_edge"] * (len(edge_texts) - 1) + ["src0"],
+            "n_chars": [len(t) for t in edge_texts],
+        }
+    )
+    out_docs = pd.concat([docs, extra], ignore_index=True)
+    out_docs.to_parquet(OUT / "documents.parquet", index=False)
+
+    emb = con.execute(f"SELECT * FROM read_parquet('{SRC}/embeddings.parquet')").df()
+    vbase = int(emb["vec_id"].max()) + 1
+    dim = len(emb["embedding"].iloc[0])
+    dup_vec = [float(x) for x in emb.loc[emb["vec_id"] == 0, "embedding"].iloc[0]]
+    one_hot = [0.0] * dim
+    one_hot[0] = 1.0
+    extra_emb = pd.DataFrame(
+        {
+            "vec_id": [vbase, vbase + 1, vbase + 2, vbase + 3],
+            "embedding": [
+                [0.0] * dim,                 # zero norm
+                dup_vec,                     # exact duplicate of vec 0
+                one_hot,                     # cosine -1 pair...
+                [-x for x in one_hot],       # ...with this one
+            ],
+            "label": [0, int(emb.loc[emb["vec_id"] == 0, "label"].iloc[0]), 1, 1],
+        }
+    )
+    out_emb = pd.concat([emb, extra_emb], ignore_index=True)
+    # match source dtypes (label is int32, embedding list<float>)
+    out_emb["label"] = out_emb["label"].astype("int32")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(SRC / "embeddings.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(out_emb, schema=pa.schema([schema.field(i) for i in range(len(schema.names))]), preserve_index=False),
+        OUT / "embeddings.parquet",
+    )
+    print(f"edge fixture at {OUT}: documents +{len(edge_texts)}, embeddings +4 (dim={dim})")
+
+
+if __name__ == "__main__":
+    main()
