@@ -212,8 +212,15 @@ SHUFFLE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # measured 0.66 — the spread exchange moves the corpus once; the dedup
     # shuffle itself is the (doc_id, content_hash) groupBy on top
     "dedup_exact": (["documents"], 1.0),
-    "dedup_minhash_lsh": (["documents"], 0.30),  # measured 0.10
-    "dedup_simhash_pairs": (["documents"], 0.20),  # measured 0.05
+    # Round-7 re-baseline for the three persist()-ing dedup queries: the
+    # audit now runs against a CLEAN cache (bench clears leaked caches
+    # between queries), so the measured ratio includes populating the
+    # persisted shingle stream — i.e. the spread exchange moving raw text
+    # once on this single-file layout (r6's 0.10/0.05/0.31 were flattered
+    # by the timing pass's still-cached sh).  The honest 100 TB numbers are
+    # the @mf rows below, where spread is a no-op.
+    "dedup_minhash_lsh": (["documents"], 2.2),  # measured 1.53 cold (see @mf)
+    "dedup_simhash_pairs": (["documents"], 2.2),  # measured 1.48 cold (see @mf)
     # Substring dedup shuffles one 8-byte hash per TOKEN (positional k-gram
     # windows, stride 1) — inherently ~2-3× the RAW text and more vs
     # parquet's columnar compression; this corpus's 594 kB parquet holds
@@ -225,8 +232,8 @@ SHUFFLE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # shape) — 0.83 MB of it is the spread exchange moving raw text once;
     # the real-layout number is the @mf entry below (bound 1.0, verdict #2)
     "dedup_substring_winnow": (["documents"], 3.5),
-    "dedup_substring_stats": (["documents"], 5.5),  # measured 3.5 (no pair join)
-    "dedup_resolve_groups": (["documents"], 0.70),  # measured 0.31 (pair-set iters)
+    "dedup_substring_stats": (["documents"], 7.0),  # measured 4.9 cold
+    "dedup_resolve_groups": (["documents"], 2.5),  # measured 1.75 cold (see @mf)
     # measured 0.54 — candidate pairs carry their two vectors into the
     # exact-cosine verify join; candidates only, never all-pairs
     "dedup_embedding_ann": (["embeddings"], 0.90),
@@ -265,6 +272,13 @@ SHUFFLE_AUDIT: dict[str, tuple[list[str], float | None]] = {
 MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # the verdict-#2 target: one (int32 fp, doc_id) exchange + pair agg
     "dedup_substring_winnow": (["documents"], 1.0),
+    # round-7 additions: their single-file ratios are spread-dominated once
+    # the audit runs cache-clean (see SHUFFLE_AUDIT note) — the claim that
+    # the shuffle carries (doc_id, band/signature) pairs, never text, is
+    # asserted HERE on the real layout
+    "dedup_minhash_lsh": (["documents"], 0.2),  # measured 0.089
+    "dedup_simhash_pairs": (["documents"], 0.1),  # measured 0.043
+    "dedup_resolve_groups": (["documents"], 0.5),  # measured 0.276
     # measured 0.58: one (16B digest, doc_id, count) row per doc — the
     # irreducible exact-dedup exchange; looks large only because this
     # corpus's docs compress to ~100 B each (constant-width digest row vs

@@ -43,6 +43,20 @@ _READ_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
+    # InferFiltersFromGenerate turns every explode(<array expr>) into a
+    # pushed-down `size(<expr>) > 0 AND isnotnull(<expr>)` filter with the
+    # FULL array expression inlined (twice).  For this engine's corpus
+    # queries the exploded arrays are always computed by large HOF chains
+    # (token hashes → shingles → winnow/minhash): the inlined filter lands
+    # below the spread repartition in the single-split parquet scan stage,
+    # exceeds the codegen method limit, and is then interpreted WITHOUT
+    # common-subexpression elimination — measured 0.6s → 107s on
+    # curation_decontaminate at sf0.1 (round-7 diagnosis).  The rule's only
+    # upside (not shuffling rows with empty arrays) is irrelevant here: our
+    # explodes sit directly on the projection that computes the array.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
