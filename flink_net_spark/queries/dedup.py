@@ -266,17 +266,15 @@ _NGRAM_BLOCK_CAP = 1000
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH h0 AS (
-        SELECT * FROM (
-            SELECT doc_id, lang, n_chars // 50 AS len_bucket, {_DUCK_SHINGLES} AS sh
-            FROM {_DUCK_TH_DOCS}
-        ) WHERE len(sh) > 0
+        SELECT doc_id, lang, n_chars // 50 AS len_bucket, {_DUCK_SHINGLES} AS sh
+        FROM {_DUCK_TH_DOCS}
     ),
     h AS (
         SELECT * FROM (
             SELECT h0.*, ROW_NUMBER() OVER (PARTITION BY lang, len_bucket
                                             ORDER BY doc_id) AS rn
             FROM h0
-        ) WHERE rn <= {_NGRAM_BLOCK_CAP}
+        ) WHERE rn <= {_NGRAM_BLOCK_CAP} AND len(sh) > 0
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
@@ -310,11 +308,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") / 50).cast("long").alias("len_bucket"),
             F.expr(H.spark_hashed_shingles("th")).alias("sh"),
         )
-        # shingle-less docs (too short / punctuation-only) have no Jaccard:
-        # excluded BEFORE the block cap on both engines (union would be 0)
-        .filter(F.size("sh") > 0)
         .withColumn("rn", F.row_number().over(w_block))
-        .filter(F.col("rn") <= _NGRAM_BLOCK_CAP)
+        # Shingle-less docs (too short / punctuation-only) have no Jaccard
+        # (union would be 0): excluded on both engines AFTER the block-cap
+        # window — deliberately, because a filter on the computed `sh`
+        # column placed before the window gets predicate-pushed below the
+        # spread repartition with the whole shingle HOF chain inlined into
+        # the single-split scan stage (the decontaminate cliff, see
+        # tables.py _READ_CONFS — an EXPLICIT filter isn't covered by the
+        # InferFiltersFromGenerate exclusion; measured 12.8s → 68.7s at
+        # sf0.1 before this placement).  Above the window it evaluates on
+        # the materialized post-shuffle column: size() on an array, free.
+        .filter((F.col("rn") <= _NGRAM_BLOCK_CAP) & (F.size("sh") > 0))
         .drop("rn")
     )
     a = sh.alias("a")
