@@ -525,6 +525,115 @@ def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Temperature sampling: corpus-statistics-driven mixture reweighting.
+# --------------------------------------------------------------------------
+# Keep ~TEMP_TARGET_E4/1e4 of the corpus overall, reallocated across sources
+# by exponential smoothing p_s ∝ n_s^T with T = 0.5 (the multilingual
+# up/down-sampling of mBERT / XLM-R): hot sources are downsampled harder,
+# tail sources kept nearly whole.  T = 0.5 is deliberate — sqrt is an IEEE
+# CORRECTLY-ROUNDED operation, so (unlike pow(n, 0.7)) both engines compute
+# bit-identical weights with no last-ulp drift risk.
+TEMP_TARGET_E4 = 5000
+
+# Per-source hash threshold in 16-bit space, as ONE shared arithmetic string
+# evaluated by both engines on exact integers (sqrt_e6 = floor(sqrt(n)·1e6)
+# and the sums are exact; the one double division is correctly rounded on
+# identically-valued operands; ×65536 is an exact exponent shift):
+#   rate_s  = target · n_total · sqrt(n_s) / (Σ sqrt · n_s)
+#   thr16_s = floor(rate_s · 65536)
+_TEMP_THR16 = (
+    f"CAST(FLOOR(65536.0 * ((CAST({TEMP_TARGET_E4} AS BIGINT) * n_total * sqrt_e6)"
+    f" / (10000.0 * tot_e6 * n))) AS BIGINT)"
+)
+
+
+@query(
+    "curation_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ),
+    c2 AS (
+        SELECT source, n,
+               CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS sqrt_e6
+        FROM counts
+    ),
+    tot AS (
+        SELECT CAST(SUM(sqrt_e6) AS BIGINT) AS tot_e6,
+               CAST(SUM(n) AS BIGINT) AS n_total
+        FROM c2
+    ),
+    thr AS (
+        SELECT source, n, {_TEMP_THR16} AS thr16 FROM c2, tot
+    ),
+    kept AS (
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM documents d JOIN thr t ON d.source = t.source
+        WHERE t.thr16 >= 65536
+           OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+              < lpad(lower(hex(t.thr16)), 4, '0')
+        GROUP BY d.source
+    )
+    SELECT t.source, t.n AS n_in, t.thr16,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM thr t LEFT JOIN kept k USING (source)
+    ORDER BY source
+    """,
+)
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (T = 0.5, XLM-R-style): compute
+    per-source keep rates FROM corpus statistics — p_s ∝ sqrt(n_s), scaled
+    so ~half the corpus survives — then keep each doc by the md5-hex-prefix
+    idiom of ``sample_stratified_hash`` against the source's 16-bit
+    threshold.  Complements ``curation_domain_mix`` (whose weights are
+    FIXED inputs): this is the op that turns raw source histograms into a
+    smoothed training mixture without a human in the loop.
+
+    Scale: one tiny groupBy(source) histogram (S rows) + a 1-row total,
+    broadcast back; the corpus itself is touched by a single map-side
+    filter — no shuffle of document rows at any size.  All arithmetic is
+    exact-integer except one correctly-rounded sqrt and one division (see
+    _TEMP_THR16), so the keep-set is bit-reproducible across engines,
+    reruns, and cluster sizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn(
+            "sqrt_e6",
+            F.expr("CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("sqrt_e6").cast("bigint").alias("tot_e6"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    thr = counts.crossJoin(F.broadcast(tot)).withColumn("thr16", F.expr(_TEMP_THR16))
+    kept_cond = (F.col("thr16") >= 65536) | (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+        < F.expr("lpad(lower(hex(thr16)), 4, '0')")
+    )
+    kept = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(thr.select("source", "thr16")), "source")
+        .filter(kept_cond)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    return (
+        thr.select("source", F.col("n").alias("n_in"), "thr16")
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            "n_in",
+            "thr16",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
 # End-to-end curation: filter -> dedup -> pack, one composed plan.
 # --------------------------------------------------------------------------
 @query(
