@@ -564,6 +564,77 @@ def text_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Model-based quality scoring: hashed linear classifier (fasttext-shaped).
+# --------------------------------------------------------------------------
+_LOGIT_DIM = 64
+_LOGIT_BIAS = -150_000  # classify ~"above-average weight density" docs as keep
+
+
+def _logit_weight(d: int) -> int:
+    """Deterministic signed integer weight per hashed feature — the same
+    Knuth-multiplicative constant family as the LSH planes; computed in
+    Python, emitted as literals into BOTH engines' expressions."""
+    return ((d + 1) * 2654435761) % 1000003 - 500001
+
+
+_LOGIT_WS = [_logit_weight(d) for d in range(_LOGIT_DIM)]
+
+
+@query(
+    "text_quality_logit",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id, unnest({H.duckdb_token_hashes("text")}) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(([{",".join(str(w) for w in _LOGIT_WS)}])[CAST(h % {_LOGIT_DIM} AS INT) + 1])
+                + {_LOGIT_BIAS} AS BIGINT) AS logit,
+           (SUM(([{",".join(str(w) for w in _LOGIT_WS)}])[CAST(h % {_LOGIT_DIM} AS INT) + 1])
+                + {_LOGIT_BIAS}) > 0 AS keep
+    FROM th GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a hashed linear classifier (the
+    fasttext-classifier SHAPE used by CCNet/LLaMA-style quality filtering —
+    tokens → hashing-trick features → w·x + b → keep/drop), one rung above
+    the heuristic ``text_quality_score``.  The weights here are
+    deterministic integer literals standing in for trained parameters: the
+    Spark-side plumbing (map-side token hashing, feature lookup from a
+    64-element broadcast-literal array, exact integer dot product, per-doc
+    aggregation) is exactly what a trained model uses — swap the literal
+    array for real weights and nothing else changes.
+
+    The LOGIT is emitted instead of sigmoid(logit): every arithmetic step
+    is exact BIGINT (no transcendentals), so the score — and the keep/drop
+    decision — is bit-reproducible across engines and cluster sizes; a
+    monotone sigmoid adds no information to a threshold decision anyway.
+
+    Scale: token hashing + weight lookup are map-side column work; the only
+    shuffle is the doc_id-keyed partial-aggregated sum.  Token-less docs
+    have no logit and drop out, mirrored by the oracle (edge corpus
+    covers them)."""
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    warr = "array(" + ",".join(f"{w}L" for w in _LOGIT_WS) + ")"
+    wsum = F.sum(
+        F.expr(f"element_at({warr}, CAST(h % {_LOGIT_DIM} AS INT) + 1)")
+    )
+    return (
+        d.select("doc_id", F.explode(F.expr(H.spark_token_hashes("text"))).alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (wsum + F.lit(_LOGIT_BIAS)).cast("bigint").alias("logit"),
+        )
+        .withColumn("keep", F.col("logit") > 0)
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "text_bigram_nll",
     oracle="""
