@@ -117,6 +117,8 @@ HEADLINE = [
     "stream_window_sliding",
     "sim_semdedup",
     "text_bigram_nll",
+    "curation_temperature_mix",
+    "text_quality_logit",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
