@@ -51,6 +51,10 @@ NESTED_LOOP_ALLOWED = {
     # k-means step; semdedup's pair join itself is equi on (cluster, sub)).
     "emb_kmeans_assign",
     "emb_kmeans_iterate",
+    # curation_temperature_mix — crossJoin against the ONE-row broadcast
+    # (tot_e6, n_total) scalar: S×1 work on the S-row source histogram,
+    # the corpus itself only meets a broadcast-hash equi-join on source.
+    "curation_temperature_mix",
     "sim_semdedup",
     # text_bm25_topk / emb_quantize_int8 / text_unigram_nll — crossJoin/join
     # against a 1-row (n_docs, avgdl / corpus-total) scalar aggregate resp.
