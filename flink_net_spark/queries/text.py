@@ -733,3 +733,145 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("avg_nll_e6", F.expr("sum_nll_e6 div n_bigrams"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Stupid-backoff LM scoring on HELD-OUT documents (train/test split).
+# --------------------------------------------------------------------------
+# -ln(0.4) computed ONCE in Python and injected as the identical double
+# literal into both engines: a runtime log(0.4) is a transcendental whose
+# last ulp libm implementations may disagree on; a shared literal cannot.
+_BACKOFF_NEG_LN_04 = "0.916290731874155"
+
+
+@query(
+    "text_backoff_nll",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    train_bg AS (
+        SELECT p.w1 AS w1, p.w2 AS w2
+        FROM toks, UNNEST([{{'w1': t[i], 'w2': t[i + 1]}}
+                           for i in range(1, len(t))]) AS u(p)
+        WHERE doc_id % 10 <> 0
+    ),
+    c2 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM train_bg GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+    ),
+    uni AS (
+        SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS u
+        FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % 10 <> 0)
+        GROUP BY tok
+    ),
+    tot AS (
+        SELECT CAST(SUM(u) AS BIGINT) AS big_u FROM uni
+    ),
+    test_bg AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+        FROM toks, UNNEST([{{'w1': t[i], 'w2': t[i + 1]}}
+                           for i in range(1, len(t))]) AS u(p)
+        WHERE doc_id % 10 = 0
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               CASE WHEN c2.c2 IS NOT NULL THEN 0 ELSE 1 END AS backoff,
+               CAST(ROUND(1000000 * CASE
+                   WHEN c2.c2 IS NOT NULL THEN ln(c1.c1) - ln(c2.c2)
+                   ELSE {_BACKOFF_NEG_LN_04} + ln(tot.big_u)
+                        - ln(GREATEST(COALESCE(uni.u, 0), 1))
+               END) AS BIGINT) AS nll_e6
+        FROM test_bg b
+        LEFT JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        LEFT JOIN c1 ON c1.w1 = b.w1
+        LEFT JOIN uni ON uni.w = b.w2
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)     AS n_transitions,
+           CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+           CAST(SUM(nll_e6) AS BIGINT)  AS sum_nll_e6
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff LM scoring of HELD-OUT documents (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — the non-normalized
+    backoff score that replaced Kneser-Ney at web scale precisely because
+    it needs only exact counts).  The LM is built on the 90% train split
+    (doc_id % 10 ≠ 0) and scores the 10% test split: transitions SEEN in
+    train cost the bigram MLE ``ln c(w1·) − ln c(w1,w2)``; unseen
+    transitions back off to ``−ln(0.4 · u(w2)/U)`` over train unigrams,
+    with unseen w2 floored at count 1.  This is the methodological step
+    ``text_bigram_nll`` (self-scoring, every transition seen) cannot take:
+    real perplexity filtering scores NEW documents, so OOV handling is the
+    point, and ``n_backoff`` is emitted as its own checked column.
+
+    Float discipline: runtime ``ln`` only over exact integer counts (the
+    proven unigram/bigram discipline); the one constant transcendental,
+    −ln 0.4, is a shared Python-computed literal so no engine evaluates it
+    (see _BACKOFF_NEG_LN_04); per-transition micro-nat quantization before
+    the integer per-doc sum keeps the result order-independent.  All CASE
+    values are positive, so HALF_UP and half-away rounding agree.
+
+    Scale: one (w1,w2) shuffle builds c2 from the train stream; c1 and the
+    unigram table re-aggregate from count tables, not the stream; the test
+    stream (10% of the corpus) equi-joins the LM tables on their keys.  The
+    scalar U rides a 1-row broadcast cross join."""
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("t")
+    ).persist()
+    bg_all = (
+        toks.select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i - 1] AS w1, t[i] AS w2)) "
+                "ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"
+            ).alias("bgs"),
+        )
+        .select("doc_id", F.explode("bgs").alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    train_bg = bg_all.filter(F.col("doc_id") % 10 != 0)
+    test_bg = bg_all.filter(F.col("doc_id") % 10 == 0)
+    c2 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    uni = (
+        toks.filter(F.col("doc_id") % 10 != 0)
+        .select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("u"))
+    )
+    tot = uni.agg(F.sum("u").cast("bigint").alias("big_u"))
+    scored = (
+        test_bg.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(uni.withColumnRenamed("w", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr("CASE WHEN c2 IS NOT NULL THEN 0 ELSE 1 END").alias("backoff"),
+            F.expr(
+                f"CAST(ROUND(1000000 * CASE "
+                f"WHEN c2 IS NOT NULL THEN ln(c1) - ln(c2) "
+                f"ELSE {_BACKOFF_NEG_LN_04} + ln(big_u) "
+                f"     - ln(GREATEST(COALESCE(u, 0), 1)) END) AS BIGINT)"
+            ).alias("nll_e6"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.sum("backoff").cast("bigint").alias("n_backoff"),
+            F.sum("nll_e6").cast("bigint").alias("sum_nll_e6"),
+        )
+        .orderBy("doc_id")
+    )
