@@ -119,6 +119,7 @@ HEADLINE = [
     "text_bigram_nll",
     "curation_temperature_mix",
     "text_quality_logit",
+    "text_backoff_nll",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
