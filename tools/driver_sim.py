@@ -46,9 +46,19 @@ def canon_rows(rows, cols):
 
 
 def main():
+    # Session shape is overridable so the gate can be replayed at DIFFERENT
+    # parallelism (SPARK_SIM_MASTER / SPARK_SIM_PARTS): any query whose
+    # result depends on partition count (an unquantized float sum folding
+    # in shuffle order) hash-diverges from DuckDB at some shape — the
+    # partition-sensitivity sweep is evidence the float discipline holds
+    # on ANY cluster size, not just this harness's default.
+    import os
+
+    master = os.environ.get("SPARK_SIM_MASTER", "local[16]")
+    parts = os.environ.get("SPARK_SIM_PARTS", "16")
     spark = (
-        SparkSession.builder.master("local[16]")
-        .config("spark.sql.shuffle.partitions", "16")
+        SparkSession.builder.master(master)
+        .config("spark.sql.shuffle.partitions", parts)
         .config("spark.driver.memory", "24g")
         .appName("driver-sim")
         .getOrCreate()
