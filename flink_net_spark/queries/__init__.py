@@ -89,11 +89,14 @@ _WINDOW_PRIORITY = [
 
 
 def _driver_checked() -> set[str]:
-    """Names that already have at least one driver-grade CORRECTNESS row —
-    the union of the committed CORRECTNESS_r*.json files at the repo root.
-    The window rotates toward never-driver-checked queries each round
-    (round-6 verdict #4) so driver evidence ACCUMULATES across rounds
-    instead of re-proving the same 50.  Absent files (fresh clone) → empty
+    """Names that already have at least one ALL-GREEN driver-grade
+    CORRECTNESS row — rows_match, schema_match, hash_match all true and
+    ``err`` null — across the committed CORRECTNESS_r*.json files at the
+    repo root.  The window rotates toward queries without green driver
+    evidence each round (round-6 verdict #4, tightened per round-8 verdict
+    #2: rotate on GREEN, not on SEEN) so a failed or errored row — e.g. a
+    hash mismatch, or a pre-oracle ``err: no_oracle`` row — re-enters the
+    window until it actually passes.  Absent files (fresh clone) → empty
     set → the original priority interleave."""
     import glob as _glob
     import json as _json
@@ -104,7 +107,21 @@ def _driver_checked() -> set[str]:
     for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                seen |= set(_json.load(f))
+                rows = _json.load(f)
+            for nm, row in rows.items():
+                if not isinstance(row, dict):
+                    continue
+                if (
+                    row.get("rows_match") is True
+                    and row.get("schema_match") is True
+                    # Oracle-less queries record hash_match null with a
+                    # rows-only check; treat a clean rows+schema row with no
+                    # error as green for them, but require hash_match True
+                    # whenever the driver computed one.
+                    and row.get("hash_match") in (True, None)
+                    and row.get("err") is None
+                ):
+                    seen.add(nm)
         except Exception:  # pragma: no cover - a malformed artifact never breaks import
             pass
     return seen

@@ -535,15 +535,32 @@ def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-identical weights with no last-ulp drift risk.
 TEMP_TARGET_E4 = 5000
 
-# Per-source hash threshold in 16-bit space, as ONE shared arithmetic string
-# evaluated by both engines on exact integers (sqrt_e6 = floor(sqrt(n)·1e6)
-# and the sums are exact; the one double division is correctly rounded on
-# identically-valued operands; ×65536 is an exact exponent shift):
+# Per-source hash threshold in 16-bit space:
 #   rate_s  = target · n_total · sqrt(n_s) / (Σ sqrt · n_s)
 #   thr16_s = floor(rate_s · 65536)
-_TEMP_THR16 = (
-    f"CAST(FLOOR(65536.0 * ((CAST({TEMP_TARGET_E4} AS BIGINT) * n_total * sqrt_e6)"
-    f" / (10000.0 * tot_e6 * n))) AS BIGINT)"
+#           = (65536 · target · n_total · sqrt_e6) DIV (10000 · tot_e6 · n_s)
+# computed as EXACT INTEGER floor-division in wide types (round-9 fix of the
+# r08 verdict's overflow finding: the old BIGINT product
+# ``5000 · n_total · sqrt_e6`` wrapped past 2^63 once a source held ~2M docs
+# — Spark, non-ANSI, wrapped SILENTLY to a negative thr16 and dropped the
+# whole source, while DuckDB raised).  Spark carries the products in
+# DECIMAL(38,0) with integral ``div``; DuckDB in HUGEINT with ``//`` — all
+# operands positive, so both are floor division and the mathematics is
+# identical with NO floating point at all (the one sqrt stays upstream in
+# sqrt_e6).  Headroom: at a 10^13-doc corpus (≫100 TB) the numerator is
+# ~65536·5000·10^13·3.2·10^12 ≈ 10^34, inside both DECIMAL(38,0) and int128.
+_TEMP_NUM = 65536 * TEMP_TARGET_E4  # 327,680,000 — fits BIGINT before widening
+_TEMP_THR16_SPARK = (
+    f"CAST((CAST({_TEMP_NUM} AS DECIMAL(38,0)) * CAST(n_total AS DECIMAL(38,0))"
+    f" * CAST(sqrt_e6 AS DECIMAL(38,0)))"
+    f" div (CAST(10000 AS DECIMAL(38,0)) * CAST(tot_e6 AS DECIMAL(38,0))"
+    f" * CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+)
+_TEMP_THR16_DUCKDB = (
+    f"CAST((CAST({_TEMP_NUM} AS HUGEINT) * CAST(n_total AS HUGEINT)"
+    f" * CAST(sqrt_e6 AS HUGEINT))"
+    f" // (CAST(10000 AS HUGEINT) * CAST(tot_e6 AS HUGEINT)"
+    f" * CAST(n AS HUGEINT)) AS BIGINT)"
 )
 
 
@@ -564,7 +581,7 @@ _TEMP_THR16 = (
         FROM c2
     ),
     thr AS (
-        SELECT source, n, {_TEMP_THR16} AS thr16 FROM c2, tot
+        SELECT source, n, {_TEMP_THR16_DUCKDB} AS thr16 FROM c2, tot
     ),
     kept AS (
         SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
@@ -592,9 +609,10 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one tiny groupBy(source) histogram (S rows) + a 1-row total,
     broadcast back; the corpus itself is touched by a single map-side
     filter — no shuffle of document rows at any size.  All arithmetic is
-    exact-integer except one correctly-rounded sqrt and one division (see
-    _TEMP_THR16), so the keep-set is bit-reproducible across engines,
-    reruns, and cluster sizes."""
+    exact integer math in wide types except one correctly-rounded sqrt
+    (see _TEMP_THR16_SPARK/_TEMP_THR16_DUCKDB — overflow-free past 10^13
+    docs), so the keep-set is bit-reproducible across engines, reruns, and
+    cluster sizes."""
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.groupBy("source")
@@ -608,7 +626,9 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sqrt_e6").cast("bigint").alias("tot_e6"),
         F.sum("n").cast("bigint").alias("n_total"),
     )
-    thr = counts.crossJoin(F.broadcast(tot)).withColumn("thr16", F.expr(_TEMP_THR16))
+    thr = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "thr16", F.expr(_TEMP_THR16_SPARK)
+    )
     kept_cond = (F.col("thr16") >= 65536) | (
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
         < F.expr("lpad(lower(hex(thr16)), 4, '0')")

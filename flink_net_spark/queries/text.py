@@ -14,6 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from flink_net_spark.functions import detmath as DM
 from flink_net_spark.functions import hashing as H
 from flink_net_spark.queries import query
 from flink_net_spark.tables import load_table, spread_small_scan
@@ -295,6 +296,19 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 
+# One shared scoring expression, valid verbatim in BOTH engines: every
+# constant is an injected double literal and every operation is
+# correctly-rounded IEEE double arithmetic in an explicit order, so the
+# score is bit-identical given bit-identical inputs.  The idf is rewritten
+# ln(1 + (N - df + 0.5)/(df + 0.5)) = ln((N+1)/(df+0.5))
+#                                   = det_ln(2N + 2) - det_ln(2df + 1),
+# turning the one libm transcendental into two deterministic integer logs.
+_BM25_SCORE_EXPR = (
+    f"((bn_ln - bd_ln) * ((CAST(tf AS DOUBLE) * {DM.dlit(_BM25_K1 + 1)}) / "
+    f"(CAST(tf AS DOUBLE) + {DM.dlit(_BM25_K1)} * ({DM.dlit(1 - _BM25_B)} + "
+    f"{DM.dlit(_BM25_B)} * (CAST(dl AS DOUBLE) / avgdl)))))"
+)
+
 
 @query(
     "text_bm25_topk",
@@ -308,21 +322,27 @@ _BM25_B = 0.75
     ),
     dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
     df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    df2 AS (SELECT term, 2 * df + 1 AS dfx FROM df),
+    df_ln AS (SELECT term, {DM.duckdb_det_ln_select("dfx", "bd")} FROM df2),
     st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                  SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
-    scored AS (
-        SELECT tf.doc_id, tf.term, tf.tf, df.df,
-               ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
-                 * (tf.tf * ({_BM25_K1} + 1))
-                 / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / st.avgdl))
-                 AS bm25
+                  CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           FROM dl),
+    st2 AS (SELECT avgdl, 2 * n_docs + 2 AS ndx FROM st),
+    st_ln AS (SELECT avgdl, {DM.duckdb_det_ln_select("ndx", "bn")} FROM st2),
+    jb AS (
+        SELECT tf.doc_id AS doc_id, tf.term AS term, tf.tf AS tf,
+               dl.dl AS dl, df_ln.bd_ln AS bd_ln
         FROM tf
         JOIN dl ON dl.doc_id = tf.doc_id
-        JOIN df ON df.term = tf.term
-        CROSS JOIN st
+        JOIN df_ln ON df_ln.term = tf.term
         WHERE tf.doc_id % 20 = 0
+    ),
+    scored AS (
+        SELECT doc_id, term, {_BM25_SCORE_EXPR} AS bm25
+        FROM jb CROSS JOIN st_ln
     )
-    SELECT doc_id, term, rank, ROUND(bm25, 4) AS bm25
+    SELECT doc_id, term, rank,
+           CAST(ROUND(bm25 * 10000) AS BIGINT) AS bm25_e4
     FROM (
         SELECT doc_id, term, bm25,
                ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -339,16 +359,20 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval-retrieval pipeline reaches for once plain tf-idf saturates on long
     documents.
 
-    Float discipline: document lengths and term counts are exact integers,
-    and integer sums stay EXACT (hence order-independent) in IEEE doubles
-    below 2^53, so ``avgdl`` and every score input is bit-identical across
-    engines; the only transcendental is one ``ln`` per term, identically
-    rounded on both engines for this deterministic corpus (checked by the
-    hash gate, not assumed).
+    Float discipline (round-9: this query carried the same latent
+    fragile-``ln`` class that failed its NLL siblings on the r07 driver):
+    the idf is now two DETERMINISTIC integer logs (functions/detmath.py)
+    and the full score is ONE shared expression string evaluated by both
+    engines with identical literals and op order — bit-identical by
+    construction.  The score is emitted quantized to integer 1e-4 units
+    (``bm25_e4``): scale-0 ROUND on a shared double is tie-safe across
+    engines, unlike ROUND(x, 4) whose internal 1e4 scaling the engines
+    implement differently.
 
     Scale: tf shuffles once on (doc_id, term) with map-side combine; dl and
-    df are tiny rollups of tf (doc- and vocab-bounded); (n_docs, avgdl) is a
-    1-row scalar aggregate broadcast to the scoring join; the top-k window
+    df are tiny rollups of tf (doc- and vocab-bounded); the ~40-flop
+    det-ln runs on the vocab-sized df table and the 1-row (n_docs, avgdl)
+    scalar, which broadcasts to the scoring join; the top-k window
     partitions by doc_id — same shuffle shape as tfidf_doc_terms."""
     from pyspark.sql.window import Window
 
@@ -360,25 +384,31 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df_ln = DM.spark_with_det_ln(
+        df.withColumn("dfx", F.expr("2 * df + 1")), "dfx", "bd"
+    ).select("term", "bd_ln")
     st = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)").alias("avgdl"),
     )
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf_part = (F.col("tf") * (_BM25_K1 + 1)) / (
-        F.col("tf")
-        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-    )
+    st_ln = DM.spark_with_det_ln(
+        st.withColumn("ndx", F.expr("2 * n_docs + 2")), "ndx", "bn"
+    ).select("avgdl", "bn_ln")
     w = Window.partitionBy("doc_id").orderBy(F.col("bm25").desc(), F.col("term"))
     return (
         tf.filter(F.col("doc_id") % 20 == 0)
         .join(dl, "doc_id")
-        .join(df, "term")
-        .crossJoin(F.broadcast(st))
-        .withColumn("bm25", idf * tf_part)
+        .join(df_ln, "term")
+        .crossJoin(F.broadcast(st_ln))
+        .withColumn("bm25", F.expr(_BM25_SCORE_EXPR))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
-        .select("doc_id", "term", "rank", F.round("bm25", 4).alias("bm25"))
+        .select(
+            "doc_id",
+            "term",
+            "rank",
+            F.expr("CAST(ROUND(bm25 * 10000) AS BIGINT)").alias("bm25_e4"),
+        )
         .orderBy("doc_id", "rank")
     )
 
@@ -458,7 +488,7 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_unigram_nll",
-    oracle="""
+    oracle=f"""
     WITH terms AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
     ),
@@ -466,11 +496,13 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT term, CAST(COUNT(*) AS BIGINT) AS c
         FROM terms WHERE term <> '' GROUP BY term
     ),
+    cnt_ln AS (SELECT term, {DM.duckdb_det_ln_select("c", "uc")} FROM cnt),
     tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+    tot_ln AS (SELECT {DM.duckdb_det_ln_select("n", "un")} FROM tot),
     tok AS (
         SELECT t.doc_id,
-               CAST(ROUND((ln(tot.n) - ln(cnt.c)) * 1000000) AS BIGINT) AS nll_e6
-        FROM terms t JOIN cnt ON cnt.term = t.term CROSS JOIN tot
+               CAST(ROUND((un_ln - uc_ln) * 1000000) AS BIGINT) AS nll_e6
+        FROM terms t JOIN cnt_ln ON cnt_ln.term = t.term CROSS JOIN tot_ln
         WHERE t.term <> ''
     )
     SELECT doc_id,
@@ -486,14 +518,20 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus' own unigram LM are outliers: boilerplate, noise, wrong
     language), computed without any external model.
 
-    Float discipline: each token contributes ``ln(N) − ln(count)`` — two
-    transcendentals on exact integer inputs, identical on both engines —
-    quantized to integer micro-nats BEFORE the per-document sum, so the
-    aggregation is order-independent integer math at any parallelism.
+    Float discipline (round-9 fix of the r07 driver red): each token
+    contributes ``ln(N) − ln(count)`` over exact integer counts, but libm
+    ``ln`` is not correctly rounded, so the two engines could disagree by
+    1 ulp and flip the micro-nat quantization.  Both engines now evaluate
+    the DETERMINISTIC ln expression (functions/detmath.py: exact exponent
+    split + atanh Horner series, injected literal constants, identical op
+    order) — bit-identical by construction.  Quantization to integer
+    micro-nats happens BEFORE the per-document sum, so the aggregation is
+    order-independent integer math at any parallelism.
 
     Scale: two term-keyed partial aggregations (term cardinality, not
     corpus size, bounds the reduce side), one join back on the term, one
-    doc-keyed agg.  The corpus total rides along as a broadcast 1-row
+    doc-keyed agg; the ~40-flop det-ln runs on the count TABLES, not the
+    token stream.  The corpus total rides along as a broadcast 1-row
     scalar.  At 100 TB the term dictionary shuffles once and the token
     stream shuffles twice — no all-pairs anywhere."""
     d = load_table(spark, sf_dir, "documents")
@@ -501,15 +539,17 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
     cnt = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    cnt_ln = DM.spark_with_det_ln(cnt, "c", "uc").select("term", "uc_ln")
     tot = cnt.agg(F.sum("c").alias("n"))
+    tot_ln = DM.spark_with_det_ln(tot, "n", "un").select("un_ln")
     tok = (
-        terms.join(cnt, "term")
-        .crossJoin(F.broadcast(tot))
+        terms.join(cnt_ln, "term")
+        .crossJoin(F.broadcast(tot_ln))
         .select(
             "doc_id",
-            F.round((F.log("n") - F.log("c")) * 1_000_000, 0)
-            .cast("long")
-            .alias("nll_e6"),
+            F.expr("CAST(ROUND((un_ln - uc_ln) * 1000000) AS BIGINT)").alias(
+                "nll_e6"
+            ),
         )
     )
     return (
@@ -637,28 +677,36 @@ def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_bigram_nll",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
         FROM documents
     ),
     bg AS (
         SELECT doc_id, p.w1 AS w1, p.w2 AS w2
-        FROM toks, UNNEST([{'w1': t[i], 'w2': t[i + 1]}
+        FROM toks, UNNEST([{{'w1': t[i], 'w2': t[i + 1]}}
                            for i in range(1, len(t))]) AS u(p)
     ),
     c2 AS (
-        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
     ),
     c1 AS (
-        SELECT w1, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1
+        SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+    ),
+    j AS (
+        SELECT c2.w1 AS w1, c2.w2 AS w2, c1.c1 AS c1, c2.c2 AS c2
+        FROM c2 JOIN c1 ON c1.w1 = c2.w1
+    ),
+    lm AS (
+        SELECT w1, w2,
+               {DM.duckdb_det_ln_select("c1", "ba")},
+               {DM.duckdb_det_ln_select("c2", "bb")},
+               CAST(ROUND((ba_ln - bb_ln) * 1000000) AS BIGINT) AS nll_e6
+        FROM j
     ),
     tok AS (
-        SELECT bg.doc_id,
-               CAST(ROUND((ln(c1.c) - ln(c2.c)) * 1000000) AS BIGINT) AS nll_e6
-        FROM bg
-        JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
-        JOIN c1 ON c1.w1 = bg.w1
+        SELECT bg.doc_id, lm.nll_e6
+        FROM bg JOIN lm ON lm.w1 = bg.w1 AND lm.w2 = bg.w2
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT)    AS n_bigrams,
@@ -676,9 +724,13 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     with context counts taken over bigram starts, so probabilities sum to
     one per context with no end-of-doc mismatch.
 
-    Float discipline: two transcendentals on exact integer counts,
-    quantized to integer micro-nats BEFORE the per-document sum (the
-    text_unigram_nll discipline) — order-independent at any parallelism.
+    Float discipline (round-9 fix of the r07 driver red): the two logs on
+    exact integer counts are the DETERMINISTIC ln expression
+    (functions/detmath.py — identical IEEE op order + injected literals on
+    both engines, so bit-identical by construction instead of by libm
+    luck), quantized to integer micro-nats BEFORE the per-document sum
+    (the text_unigram_nll discipline) — order-independent at any
+    parallelism.
 
     Scale: ONE (w1,w2)-keyed aggregation builds the bigram LM; the context
     counts come from re-aggregating that (much smaller) count table — NOT a
@@ -716,12 +768,12 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # context counts = sum of bigram counts sharing w1 — exact, and an agg
     # over the bounded LM table instead of a second full-stream shuffle
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    lm = c2.join(c1, "w1").select(
+    lm = DM.spark_with_det_ln(
+        DM.spark_with_det_ln(c2.join(c1, "w1"), "c1", "ba"), "c2", "bb"
+    ).select(
         "w1",
         "w2",
-        F.round((F.log("c1") - F.log("c2")) * 1_000_000, 0)
-        .cast("long")
-        .alias("nll_e6"),
+        F.expr("CAST(ROUND((ba_ln - bb_ln) * 1000000) AS BIGINT)").alias("nll_e6"),
     )
     tok = bg.join(lm, ["w1", "w2"]).select("doc_id", "nll_e6")
     return (
@@ -771,25 +823,32 @@ _BACKOFF_NEG_LN_04 = "0.916290731874155"
     tot AS (
         SELECT CAST(SUM(u) AS BIGINT) AS big_u FROM uni
     ),
+    tot_ln AS (SELECT {DM.duckdb_det_ln_select("big_u", "bt")} FROM tot),
     test_bg AS (
         SELECT doc_id, p.w1 AS w1, p.w2 AS w2
         FROM toks, UNNEST([{{'w1': t[i], 'w2': t[i + 1]}}
                            for i in range(1, len(t))]) AS u(p)
         WHERE doc_id % 10 = 0
     ),
-    scored AS (
-        SELECT b.doc_id,
-               CASE WHEN c2.c2 IS NOT NULL THEN 0 ELSE 1 END AS backoff,
-               CAST(ROUND(1000000 * CASE
-                   WHEN c2.c2 IS NOT NULL THEN ln(c1.c1) - ln(c2.c2)
-                   ELSE {_BACKOFF_NEG_LN_04} + ln(tot.big_u)
-                        - ln(GREATEST(COALESCE(uni.u, 0), 1))
-               END) AS BIGINT) AS nll_e6
+    j AS (
+        SELECT b.doc_id, c2.c2 AS c2, c1.c1 AS c1,
+               GREATEST(COALESCE(uni.u, 0), 1) AS ue
         FROM test_bg b
         LEFT JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
         LEFT JOIN c1 ON c1.w1 = b.w1
         LEFT JOIN uni ON uni.w = b.w2
-        CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT doc_id,
+               CASE WHEN c2 IS NOT NULL THEN 0 ELSE 1 END AS backoff,
+               {DM.duckdb_det_ln_select("c1", "ba")},
+               {DM.duckdb_det_ln_select("c2", "bb")},
+               {DM.duckdb_det_ln_select("ue", "bu")},
+               CAST(ROUND(1000000 * CASE
+                   WHEN c2 IS NOT NULL THEN (ba_ln - bb_ln)
+                   ELSE (({_BACKOFF_NEG_LN_04} + bt_ln) - bu_ln)
+               END) AS BIGINT) AS nll_e6
+        FROM j CROSS JOIN tot_ln
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT)     AS n_transitions,
@@ -811,12 +870,14 @@ def text_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     real perplexity filtering scores NEW documents, so OOV handling is the
     point, and ``n_backoff`` is emitted as its own checked column.
 
-    Float discipline: runtime ``ln`` only over exact integer counts (the
-    proven unigram/bigram discipline); the one constant transcendental,
-    −ln 0.4, is a shared Python-computed literal so no engine evaluates it
-    (see _BACKOFF_NEG_LN_04); per-transition micro-nat quantization before
-    the integer per-doc sum keeps the result order-independent.  All CASE
-    values are positive, so HALF_UP and half-away rounding agree.
+    Float discipline (round-9: same fix as the NLL siblings): every ``ln``
+    over integer counts is the DETERMINISTIC expression from
+    functions/detmath.py (bit-identical across engines by construction);
+    the one constant transcendental, −ln 0.4, stays a shared
+    Python-computed literal (_BACKOFF_NEG_LN_04); per-transition micro-nat
+    quantization before the integer per-doc sum keeps the result
+    order-independent.  All CASE values are positive, so HALF_UP and
+    half-away rounding agree.
 
     Scale: one (w1,w2) shuffle builds c2 from the train stream; c1 and the
     unigram table re-aggregate from count tables, not the stream; the test
@@ -850,21 +911,34 @@ def text_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("u"))
     )
     tot = uni.agg(F.sum("u").cast("bigint").alias("big_u"))
-    scored = (
+    tot_ln = DM.spark_with_det_ln(tot, "big_u", "bt").select("bt_ln")
+    j = (
         test_bg.join(c2, ["w1", "w2"], "left")
         .join(c1, "w1", "left")
         .join(uni.withColumnRenamed("w", "w2"), "w2", "left")
-        .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
-            F.expr("CASE WHEN c2 IS NOT NULL THEN 0 ELSE 1 END").alias("backoff"),
-            F.expr(
-                f"CAST(ROUND(1000000 * CASE "
-                f"WHEN c2 IS NOT NULL THEN ln(c1) - ln(c2) "
-                f"ELSE {_BACKOFF_NEG_LN_04} + ln(big_u) "
-                f"     - ln(GREATEST(COALESCE(u, 0), 1)) END) AS BIGINT)"
-            ).alias("nll_e6"),
+            "c2",
+            "c1",
+            F.expr("GREATEST(COALESCE(u, 0), 1)").alias("ue"),
         )
+    )
+    scored = DM.spark_with_det_ln(
+        DM.spark_with_det_ln(
+            DM.spark_with_det_ln(j.crossJoin(F.broadcast(tot_ln)), "c1", "ba"),
+            "c2",
+            "bb",
+        ),
+        "ue",
+        "bu",
+    ).select(
+        "doc_id",
+        F.expr("CASE WHEN c2 IS NOT NULL THEN 0 ELSE 1 END").alias("backoff"),
+        F.expr(
+            f"CAST(ROUND(1000000 * CASE "
+            f"WHEN c2 IS NOT NULL THEN (ba_ln - bb_ln) "
+            f"ELSE (({_BACKOFF_NEG_LN_04} + bt_ln) - bu_ln) END) AS BIGINT)"
+        ).alias("nll_e6"),
     )
     return (
         scored.groupBy("doc_id")

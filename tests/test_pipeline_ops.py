@@ -170,3 +170,62 @@ def test_semdedup_contract(spark):
     assert all(r["n_kept"] >= 1 for r in per_cluster)
     first_by_cluster = {r["min_vec"] for r in per_cluster}
     assert all(r["keep"] for r in rows if r["vec_id"] in first_by_cluster)
+
+
+def test_temperature_thr16_exact_and_overflow_free_near_100tb(spark):
+    """Round-8 verdict #3: the old ``5000 * n_total * sqrt_e6`` BIGINT
+    product wrapped past 2^63 once ``n_total * sqrt(n_s)`` exceeded ~1.8e9
+    (a single-source corpus of ~2M docs), silently dropping the source on
+    Spark while DuckDB raised.  The round-9 contract is exact integer
+    floor-division in DECIMAL(38,0)/HUGEINT: both engines must equal plain
+    Python bignum math from 2 docs up to a 10^13-doc corpus — at, just
+    below, and far beyond the old wrap point."""
+    from flink_net_spark.queries.pipeline_ops import (
+        TEMP_TARGET_E4,
+        _TEMP_THR16_DUCKDB,
+        _TEMP_THR16_SPARK,
+    )
+    import math as m
+
+    # (per-source n values) scenarios; sqrt_e6/tot_e6/n_total derived below
+    scenarios = [
+        [1, 1],                      # minimal corpus
+        [1_000, 999_999],            # mixed small
+        [2_000_000],                 # the old single-source wrap point
+        [2_000_000, 5],              # wrap point + tail source
+        [10**9],                     # 1B docs, one source
+        [10**9, 10**6, 10**3],       # skewed web-scale mix
+        [4 * 10**12, 6 * 10**12],    # ~10^13 docs ≈ 100 TB-class corpus
+    ]
+    rows = []
+    expected = {}
+    for i, ns in enumerate(scenarios):
+        sqrt_e6s = [m.isqrt(n * 10**12) for n in ns]  # floor(sqrt(n)*1e6) exact
+        tot_e6, n_total = sum(sqrt_e6s), sum(ns)
+        for j, (n, s6) in enumerate(zip(ns, sqrt_e6s)):
+            src = f"s{i}_{j}"
+            rows.append((src, n, s6, tot_e6, n_total))
+            expected[src] = (65536 * TEMP_TARGET_E4 * n_total * s6) // (
+                10000 * tot_e6 * n
+            )
+
+    sdf = spark.createDataFrame(
+        rows, "source string, n bigint, sqrt_e6 bigint, tot_e6 bigint, n_total bigint"
+    ).withColumn("thr16", F.expr(_TEMP_THR16_SPARK))
+    got_spark = {r["source"]: r["thr16"] for r in sdf.collect()}
+
+    con = duckdb.connect()
+    vals = ",".join(f"('{r[0]}',{r[1]},{r[2]},{r[3]},{r[4]})" for r in rows)
+    got_duck = dict(
+        con.sql(
+            f"SELECT source, {_TEMP_THR16_DUCKDB} AS thr16 FROM (VALUES {vals})"
+            " v(source, n, sqrt_e6, tot_e6, n_total)"
+        ).fetchall()
+    )
+
+    assert got_spark == expected
+    assert got_duck == expected
+    # confirm the scenarios genuinely cross the old wrap point: the retired
+    # BIGINT numerator (target · n_total · sqrt_e6) overflows int64 here
+    wrap = TEMP_TARGET_E4 * 2_000_000 * m.isqrt(2_000_000 * 10**12)
+    assert wrap > 2**63

@@ -71,3 +71,60 @@ def test_window_rotates_toward_unchecked_queries():
         fresh_in_window,
         unchecked_total,
     )
+
+
+def test_rotation_keys_on_green_not_seen():
+    """Round-8 verdict #2: a driver row that FAILED (hash mismatch) or
+    ERRORED (e.g. the pre-oracle ``err: no_oracle`` rows) must NOT count as
+    driver-checked — otherwise a red query rotates out of the window and is
+    never rechecked (exactly how the r07 NLL reds got buried in r08).
+    Verified against the committed artifacts: every name _driver_checked()
+    returns has at least one all-three-green row, and the known failure
+    modes (r07 NLL hash-fails, r02–r05 no_oracle rows) are re-admitted."""
+    import glob
+    import json
+    import os
+
+    from flink_net_spark.queries import _driver_checked
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rows_by_name: dict[str, list[dict]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            for nm, row in json.load(f).items():
+                rows_by_name.setdefault(nm, []).append(row)
+    if not rows_by_name:  # fresh clone
+        return
+
+    def green(row: dict) -> bool:
+        return (
+            row.get("rows_match") is True
+            and row.get("schema_match") is True
+            and row.get("hash_match") in (True, None)
+            and row.get("err") is None
+        )
+
+    checked = _driver_checked()
+    for nm in checked:
+        assert any(green(r) for r in rows_by_name.get(nm, [])), nm
+    # names with only red/err rows must be OUT of `checked` (→ re-enter)
+    never_green = {
+        nm for nm, rows in rows_by_name.items() if not any(green(r) for r in rows)
+    }
+    assert not (never_green & checked), never_green & checked
+
+
+def test_no_libm_transcendental_in_any_oracle():
+    """Round-8 verdict #1: libm ``ln``/``log``/``exp`` are not correctly
+    rounded, so an oracle contract whose hashed value flows through them
+    can flip a quantization boundary between engines.  Every log in the
+    tree must be the deterministic expression from functions/detmath.py
+    (injected literals + IEEE-exact ops).  ``sqrt`` and division stay
+    allowed — IEEE requires them correctly rounded."""
+    import re
+
+    from flink_net_spark.queries import ORACLES
+
+    pat = re.compile(r"\b(ln|log|log2|log10|log1p|exp|expm1|pow|power)\s*\(", re.I)
+    offenders = {nm: pat.findall(sql) for nm, sql in ORACLES.items() if pat.search(sql)}
+    assert not offenders, offenders
