@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_net_spark.functions import hashing as H
 from flink_net_spark.queries import query
-from flink_net_spark.tables import load_table, spread_small_scan
+from flink_net_spark.tables import load_table, scoped_persist, spread_small_scan
 
 MINHASH_K = 16
 LSH_BANDS = 8  # 2 rows per band
@@ -147,12 +147,16 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    out = (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
         .withColumn("jaccard", inter * F.lit(1.0) / union)
         .filter(F.col("jaccard") >= JACCARD_VERIFY_THRESHOLD)
     )
+    # consumers must pass this to scoped_persist with their FINAL result so
+    # the shingle cache is released when the result handle is dropped
+    out._fns_cached = [sh]  # type: ignore[attr-defined]
+    return out
 
 
 @query(
@@ -171,10 +175,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fully deterministic (fixed hash coefficients), so the oracle replicates
     the *pipeline*, not just the ground truth."""
-    return (
-        _minhash_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    pairs = _minhash_pairs(spark, sf_dir)
+    return scoped_persist(
+        pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b"),
+        *pairs._fns_cached,
     )
 
 
@@ -218,17 +223,21 @@ def dedup_resolve_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     un-truncated loop compiles a 1000+-join plan and recomputes from
     scratch on any cache eviction).  The oracle walks the same components
     with a recursive CTE."""
-    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .localCheckpoint()
+    from flink_net_spark.tables import checkpoint_tracked, release_rdd_ids, release_rdds_with_result
+
+    mp = _minhash_pairs(spark, sf_dir)
+    pairs = mp.select("doc_a", "doc_b")
+    edge_ids: list[int] = []
+    edges = checkpoint_tracked(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        ),
+        edge_ids,
     )
-    labels = (
-        edges.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
+    label_ids: list[int] = []
+    labels = checkpoint_tracked(
+        edges.select(F.col("u").alias("id")).distinct().withColumn("label", F.col("id")),
+        label_ids,
     )
     for _ in range(50):  # bound: diameter of the largest component
         nbr = (
@@ -236,7 +245,8 @@ def dedup_resolve_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        new_ids: list[int] = []
+        new_labels = checkpoint_tracked(  # eager: materializes + truncates lineage
             labels.withColumnRenamed("label", "old_label")
             .join(nbr.withColumnRenamed("u", "id"), "id", "left")
             .select(
@@ -245,18 +255,33 @@ def dedup_resolve_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("old_label"), F.coalesce(F.col("nbr_min"), F.col("old_label"))
                 ).alias("label"),
                 "old_label",
-            )
-            .localCheckpoint()  # eager: materializes + truncates lineage
+            ),
+            new_ids,
         )
         changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        # the new checkpoint is materialized: its parent round's cache is
+        # superseded — release it now instead of leaking one per iteration
+        release_rdd_ids(spark, label_ids)
+        label_ids = new_ids
         labels = new_labels.select("id", "label")
         if changed == 0:
             break
-    return labels.select(
-        F.col("id").alias("doc_id"),
-        F.col("label").alias("group_id"),
-        (F.col("label") == F.col("id")).alias("keep"),
-    ).orderBy("doc_id")
+    # the loop ran eagerly off the localCheckpoints; the shingle cache
+    # behind the pair generation and the edge checkpoint are no longer
+    # referenced — release them now.  The FINAL label checkpoint backs the
+    # returned plan, so it rides the result handle's lifetime.
+    for cached in mp._fns_cached:
+        cached.unpersist()
+    release_rdd_ids(spark, edge_ids)
+    return release_rdds_with_result(
+        labels.select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("group_id"),
+            (F.col("label") == F.col("id")).alias("keep"),
+        ).orderBy("doc_id"),
+        spark,
+        label_ids,
+    )
 
 
 _NGRAM_BLOCK_CAP = 1000
@@ -460,11 +485,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return (
+    return scoped_persist(
         cand.withColumn("hamming", F.expr("CAST(bit_count(sa ^ sb) AS INT)"))
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b"),
+        sh,
     )
 
 
@@ -610,7 +636,7 @@ def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wa = nw.select(F.col("doc_id").alias("doc_a"), F.col("n_windows").alias("nw_a"))
     wb = nw.select(F.col("doc_id").alias("doc_b"), F.col("n_windows").alias("nw_b"))
-    return (
+    return scoped_persist(
         pairs.join(wa, "doc_a")
         .join(wb, "doc_b")
         .select(
@@ -621,7 +647,8 @@ def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_shared_windows") * F.lit(1.0) / F.least("nw_a", "nw_b"), 4
             ).alias("overlap"),
         )
-        .orderBy("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b"),
+        gr,
     )
 
 
@@ -667,7 +694,7 @@ def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     n_windows = F.coalesce("n_windows", F.lit(0).cast("long"))
     n_dup = F.coalesce("n_dup", F.lit(0).cast("long"))
-    return (
+    return scoped_persist(
         d.join(nw, "doc_id", "left")
         .join(nd, "doc_id", "left")
         .select(
@@ -681,7 +708,8 @@ def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("dup_ratio"),
         )
-        .orderBy("doc_id")
+        .orderBy("doc_id"),
+        gr,
     )
 
 

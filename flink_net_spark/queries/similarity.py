@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
 from flink_net_spark.queries import query
-from flink_net_spark.tables import load_table, spread_small_scan
+from flink_net_spark.tables import load_table, scoped_persist, spread_small_scan
 
 TOPK = 10
 N_QUERIES = 5  # vec_id 0..4 serve as the query set
@@ -1093,7 +1093,7 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.max("cosine").alias("max_sim"))
     )
-    return (
+    return scoped_persist(
         asg.select("vec_id", "cluster_id")
         .join(nn, "vec_id", "left")
         .select(
@@ -1102,5 +1102,6 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_sim").isNull().alias("keep"),
             F.round("max_sim", 4).alias("max_sim_to_earlier"),
         )
-        .orderBy("vec_id")
+        .orderBy("vec_id"),
+        asg,
     )

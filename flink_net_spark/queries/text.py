@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_net_spark.functions import detmath as DM
 from flink_net_spark.functions import hashing as H
 from flink_net_spark.queries import query
-from flink_net_spark.tables import load_table, spread_small_scan
+from flink_net_spark.tables import load_table, scoped_persist, spread_small_scan
 
 STOPWORDS = ("the", "a")  # present in the synthetic vocabulary
 
@@ -776,14 +776,15 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND((ba_ln - bb_ln) * 1000000) AS BIGINT)").alias("nll_e6"),
     )
     tok = bg.join(lm, ["w1", "w2"]).select("doc_id", "nll_e6")
-    return (
+    return scoped_persist(
         tok.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum("nll_e6").alias("sum_nll_e6"),
         )
         .withColumn("avg_nll_e6", F.expr("sum_nll_e6 div n_bigrams"))
-        .orderBy("doc_id")
+        .orderBy("doc_id"),
+        bg,
     )
 
 
@@ -940,12 +941,13 @@ def text_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ELSE (({_BACKOFF_NEG_LN_04} + bt_ln) - bu_ln) END) AS BIGINT)"
         ).alias("nll_e6"),
     )
-    return (
+    return scoped_persist(
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
             F.sum("backoff").cast("bigint").alias("n_backoff"),
             F.sum("nll_e6").cast("bigint").alias("sum_nll_e6"),
         )
-        .orderBy("doc_id")
+        .orderBy("doc_id"),
+        toks,
     )

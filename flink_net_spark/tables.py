@@ -113,3 +113,72 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def scoped_persist(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Tie persisted intermediates' cache lifetime to the RESULT handle.
+
+    Query builders persist a shared intermediate (e.g. a tokenized
+    transition stream feeding both an LM build and a join-back) and return
+    a lazy DataFrame; there is no post-action hook to unpersist, so the
+    cache used to live for the whole session (r8 ADVICE minor).  Instead,
+    register a weakref finalizer on the returned DataFrame: when the
+    consumer drops its result handle (after collect/write), the persisted
+    inputs are unpersisted.  Non-blocking and exception-safe — if the
+    session is already gone there is nothing left to free."""
+    import weakref
+
+    def _release(refs=list(cached)) -> None:
+        for df in refs:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+    weakref.finalize(result, _release)
+    return result
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    ids: set[int] = set()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def checkpoint_tracked(df: DataFrame, ids_out: list[int]) -> DataFrame:
+    """``df.localCheckpoint()`` (eager), recording the id(s) of the cached
+    RDD(s) it creates into ``ids_out`` so they can be released later with
+    ``release_rdd_ids`` — localCheckpoint caches live at the RDD layer,
+    invisible to DataFrame.unpersist, and used to leak for the session
+    (iterative queries like connected components checkpoint per round)."""
+    spark = df.sparkSession
+    before = _persistent_rdd_ids(spark)
+    lc = df.localCheckpoint()
+    ids_out.extend(_persistent_rdd_ids(spark) - before)
+    return lc
+
+
+def release_rdd_ids(spark: SparkSession, ids: list[int]) -> None:
+    """Unpersist the RDD-layer caches with the given ids (non-blocking;
+    ids already evicted or a stopped session are fine)."""
+    try:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            t = it.next()
+            if t._1() in ids:
+                t._2().unpersist(False)
+    except Exception:
+        pass
+
+
+def release_rdds_with_result(result: DataFrame, spark: SparkSession, ids: list[int]) -> DataFrame:
+    """Release the tracked checkpoint caches when the RESULT handle is
+    dropped (the checkpointed RDDs back the result's plan, so they must
+    outlive it — same lifetime contract as ``scoped_persist``)."""
+    import weakref
+
+    sc_ref = spark
+    weakref.finalize(result, release_rdd_ids, sc_ref, list(ids))
+    return result

@@ -70,3 +70,64 @@ def test_spark_and_duckdb_render_identical_op_order():
         assert sp[k] == dk[k], k
     assert sp["p_m"].startswith("(CAST(c AS DOUBLE) / ")
     assert dk["p_m"].startswith("(CAST(c AS DOUBLE) / ")
+
+
+# Integer pairs (a, b) whose EXACT (ln a − ln b)·1e6 lies within 1 ulp of a
+# .5 quantization boundary — found by continued-fraction convergents of
+# exp((X + 0.5)/1e6) (round-8 verdict #5).  At these inputs the retired
+# libm contract provably flips: the two doubles adjacent to the true value
+# round to DIFFERENT integers, so any 1-ulp cross-libm disagreement changes
+# the hashed result.  (No such pair exists with both members under ~1e5 —
+# rational-approximation bounds put the closest achievable boundary
+# proximity for a small corpus at ~1/(2·N) — which is why the corpus-level
+# edge fixture carries the closest constructible docs while THIS test
+# carries the exact-boundary proof.)
+BOUNDARY_PAIRS = [
+    (291737963, 14574647, 2996572),
+    (121014538, 1210145, 4605170),
+    (3520948172, 3438427, 6931471),
+    (21601367, 5400341, 1386294),
+    (4293318573, 450187, 9162907),
+    (515776447, 171925446, 1098612),
+    (145611107, 65968669, 791759),
+    (263079785, 150331349, 559615),
+    (400485623, 40048546, 2302585),
+    (591526780, 19717557, 3401197),
+]
+
+
+def _half_away(x: float) -> int:
+    # SQL ROUND semantics for positive values (Spark HALF_UP / DuckDB
+    # round-half-away) — python round() is half-EVEN and must not be used
+    return math.floor(x + 0.5)
+
+
+def test_boundary_pairs_straddle_and_det_ln_is_immune():
+    from decimal import Decimal, getcontext
+
+    getcontext().prec = 60
+    con = duckdb.connect()
+    for a, b, X in BOUNDARY_PAIRS:
+        # 1. the pair really is a boundary pair: exact value within 1 ulp
+        v_exact = (Decimal(a).ln() - Decimal(b).ln()) * 10**6
+        boundary = Decimal(X) + Decimal("0.5")
+        assert abs(v_exact - boundary) <= Decimal(math.ulp(float(v_exact)))
+        # 2. the OLD contract flips here: adjacent doubles round differently
+        v0 = float(v_exact)
+        lo, hi = math.nextafter(v0, -math.inf), math.nextafter(v0, math.inf)
+        assert _half_away(lo) != _half_away(hi), (a, b)
+        # 3. the NEW contract cannot: DuckDB's det-ln double equals the
+        # Python mirror's BITWISE (Spark equality is enforced by the
+        # oracle-hash gate over the same expressions), so both engines
+        # round the same double — whichever side of the boundary it's on.
+        row = con.sql(
+            f"SELECT CAST(ROUND((a_ln - b_ln) * 1000000) AS BIGINT) AS nll, a_ln, b_ln "
+            f"FROM (SELECT {DM.duckdb_det_ln_select('a', 'a')}, "
+            f"             {DM.duckdb_det_ln_select('b', 'b')} "
+            f"      FROM (SELECT CAST({a} AS BIGINT) AS a, CAST({b} AS BIGINT) AS b))"
+        ).fetchone()
+        nll_duck, a_ln, b_ln = row
+        assert _bits(a_ln) == _bits(DM.py_det_ln(a))
+        assert _bits(b_ln) == _bits(DM.py_det_ln(b))
+        py_v = (DM.py_det_ln(a) - DM.py_det_ln(b)) * 1000000
+        assert nll_duck == _half_away(py_v) and nll_duck in (X, X + 1)

@@ -185,9 +185,11 @@ def test_no_sf_scaled_broadcast_hints():
             # centroids, st = DIM-row quantizer fit / 1-row bm25 corpus stats, eval_sh = held-out
             # eval-set shingles (benchmarks are KBs; corpus-size-independent),
             # tot = 1-row corpus token total (text_unigram_nll),
+            # tot_ln/st_ln = the same 1-row scalars carrying their det-ln
+            # columns (round-9 deterministic-ln contracts),
             # sizes = one row per block label (bounded by the IVF cell
             # count, not the corpus — sim_range_search_blocked sub-split)
-            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "sizes"}:
+            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes"}:
                 offenders.append(f"{path.name}: F.broadcast({target}")
     assert not offenders, offenders
 

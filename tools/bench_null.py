@@ -19,6 +19,7 @@ Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_NULL_QUERIES
 from __future__ import annotations
 
 import json
+import math
 import os
 import statistics
 import subprocess
@@ -83,7 +84,10 @@ def main() -> int:
     norm = sorted((r / factor) for r in ratios.values())
 
     def pct(p: float) -> float:
-        return round(norm[min(len(norm) - 1, int(p * len(norm)))], 3)
+        # nearest-rank percentile: ceil(p·n)-th smallest (0-indexed ⇒ −1);
+        # the old int(p·n) index sat one rank high (r8 ADVICE minor)
+        idx = max(0, math.ceil(p * len(norm)) - 1)
+        return round(norm[min(len(norm) - 1, idx)], 3)
 
     result = {
         "n": len(shared),

@@ -79,7 +79,62 @@ def main() -> None:
             "n_chars": [len(t) for t in edge_texts],
         }
     )
-    out_docs = pd.concat([docs, extra], ignore_index=True)
+    # --- quantization-boundary docs (round-8 VERDICT #5) -----------------
+    # Engineer the corpus so one token's unigram-NLL value
+    # 1e6·(ln N − ln c) lands as close to a .5 rounding boundary as this
+    # corpus size permits.  Knobs: m docs of the marker token 'zqb'
+    # repeated 50× (c = 50m) plus f unique filler tokens (N = N0+50m+f).
+    # Rational-approximation bounds cap the achievable proximity at
+    # ~1/(2·#combinations) ≈ 1e-7 — thousands of ulps, but 100× tighter
+    # than anything the natural corpus produces; the true ≤1-ulp straddle
+    # (impossible to build into a small corpus) is proven pair-wise in
+    # tests/test_detmath.py::test_boundary_pairs_straddle_and_det_ln_is_immune.
+    # The retired libm-ln contracts are maximally fragile exactly here; the
+    # det-ln contracts must stay green (checked by every edge replay).
+    import numpy as np
+    from decimal import Decimal, getcontext
+
+    tok_df = pd.concat([docs, extra], ignore_index=True)
+    n0 = int(
+        duckdb.sql(
+            "SELECT SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))"
+            " FROM tok_df"
+        ).fetchone()[0]
+    )
+    ms = np.arange(1, 41)
+    fs = np.arange(0, 50001)
+    best = (1.0, None)
+    for m in ms:
+        v = 1e6 * (np.log(n0 + 50 * m + fs) - np.log(50.0 * m))
+        dist = np.abs((v % 1.0) - 0.5)
+        i = int(dist.argmin())
+        if dist[i] < best[0]:
+            best = (float(dist[i]), (int(m), int(fs[i])))
+    getcontext().prec = 50
+    m, f = best[1]
+    v_exact = (Decimal(n0 + 50 * m + f).ln() - Decimal(50 * m).ln()) * 10**6
+    prox = abs(v_exact - (int(v_exact) + Decimal("0.5")))
+    assert prox < Decimal("1e-5"), prox
+    print(f"boundary docs: m={m} f={f} N={n0 + 50 * m + f} c={50 * m} "
+          f"|v-boundary|={float(prox):.3e}")
+
+    bbase = base + len(edge_texts)
+    btexts = [" ".join(["zqb"] * 50) for _ in range(m)]
+    btexts += [
+        " ".join(f"zf{j}" for j in range(i, min(i + 50, f)))
+        for i in range(0, f, 50)
+    ]
+    boundary = pd.DataFrame(
+        {
+            "doc_id": [bbase + i for i in range(len(btexts))],
+            "text": btexts,
+            "lang": ["en"] * len(btexts),
+            "source": ["src_boundary"] * len(btexts),
+            "n_chars": [len(t) for t in btexts],
+        }
+    )
+
+    out_docs = pd.concat([docs, extra, boundary], ignore_index=True)
     out_docs.to_parquet(OUT / "documents.parquet", index=False)
 
     emb = con.execute(f"SELECT * FROM read_parquet('{SRC}/embeddings.parquet')").df()
