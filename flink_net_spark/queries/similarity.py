@@ -866,9 +866,23 @@ RANGE_COS_THRESHOLD = 0.30  # ≈ top 1% of within-label pairs on the synthetic 
 # (max 218 at sf0.1), so sub-splitting activates only on genuinely hot
 # blocks (exercised by the skewed-label sf1x10 scale smoke).
 RANGE_BLOCK_CAP = 256
-# Knuth's multiplicative hash; vec_id * MULT stays inside int64 for
-# vec_id < 2^31, and both engines evaluate it in plain BIGINT arithmetic.
-_SUB_HASH = "((vec_id * 2654435761) % 4294967296) % n_sub"
+# Knuth's multiplicative hash, (vec_id · 2654435761) mod 2^32 mod n_sub.
+# Round-9 (the r8-verdict overflow-class sweep): the old plain-BIGINT
+# ``vec_id * 2654435761`` wrapped int64 once vec_id exceeded ~3.47e9 —
+# a 100 TB embedding corpus holds ~4e11 vectors — silently on Spark,
+# raising on DuckDB.  Reduce vec_id mod 2^32 FIRST (a ring homomorphism,
+# so the result is mathematically unchanged — and bit-identical to the old
+# value for every vec_id < 2^31) and carry the one unavoidable wide
+# product in DECIMAL(38,0) / HUGEINT, mirroring the temperature-mix
+# threshold discipline (pipeline_ops._TEMP_THR16_*).
+_SUB_HASH_SPARK = (
+    "(CAST((CAST(vec_id % 4294967296 AS DECIMAL(38,0)) * 2654435761)"
+    " % 4294967296 AS BIGINT) % n_sub)"
+)
+_SUB_HASH_DUCKDB = (
+    "(CAST((CAST(vec_id % 4294967296 AS HUGEINT) * 2654435761)"
+    " % 4294967296 AS BIGINT) % n_sub)"
+)
 
 
 @query(
@@ -885,7 +899,7 @@ _SUB_HASH = "((vec_id * 2654435761) % 4294967296) % n_sub"
         FROM embeddings GROUP BY label
     ),
     es AS (
-        SELECT e.*, {_SUB_HASH} AS sub
+        SELECT e.*, {_SUB_HASH_DUCKDB} AS sub
         FROM e JOIN sz USING (label)
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -936,7 +950,7 @@ def sim_range_search_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    es = e.join(F.broadcast(sizes), "label").withColumn("sub", F.expr(_SUB_HASH))
+    es = e.join(F.broadcast(sizes), "label").withColumn("sub", F.expr(_SUB_HASH_SPARK))
     # Spread the probe side: the join fans each row out ~block-size times
     # into CPU-heavy dot products, and a single-row-group parquet scan
     # would serialize ALL of that on one core (measured 4.3s → sub-second
@@ -1005,7 +1019,7 @@ SEMDEDUP_COS_THRESHOLD = 0.40
         FROM asg GROUP BY cluster_id
     ),
     es AS (
-        SELECT asg.*, ((vec_id * 2654435761) % 4294967296) % n_sub AS sub
+        SELECT asg.*, {_SUB_HASH_DUCKDB} AS sub
         FROM asg JOIN sz USING (cluster_id)
     ),
     nn AS (
@@ -1070,7 +1084,7 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(CEIL(COUNT(*) / {RANGE_BLOCK_CAP}.0) AS BIGINT)").alias("n_sub")
     )
     es = asg.join(F.broadcast(sizes), "cluster_id").withColumn(
-        "sub", F.expr("((vec_id * 2654435761) % 4294967296) % n_sub")
+        "sub", F.expr(_SUB_HASH_SPARK)
     )
     a = es.select(
         "cluster_id", "sub", "vec_id",

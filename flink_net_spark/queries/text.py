@@ -951,3 +951,244 @@ def text_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"),
         toks,
     )
+
+
+# --------------------------------------------------------------------------
+# Trigram stupid backoff — one rung above text_backoff_nll on the LM ladder.
+# --------------------------------------------------------------------------
+# -2·ln(0.4) (the doubled backoff penalty for trigram→unigram) as the same
+# injected-literal discipline; computed from the SAME -ln(0.4) literal so
+# the two penalties stay consistent.
+_BACKOFF_NEG_LN_04_X2 = DM.dlit(2 * float(_BACKOFF_NEG_LN_04))
+
+
+@query(
+    "text_trigram_backoff_nll",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    tg AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3
+        FROM toks, UNNEST([{{'w1': t[i], 'w2': t[i + 1], 'w3': t[i + 2]}}
+                           for i in range(1, len(t) - 1)]) AS u(p)
+    ),
+    bg AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+        FROM toks, UNNEST([{{'w1': t[i], 'w2': t[i + 1]}}
+                           for i in range(1, len(t))]) AS u(p)
+    ),
+    c3 AS (
+        SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+        FROM tg WHERE doc_id % 10 <> 0 GROUP BY w1, w2, w3
+    ),
+    ctx3 AS (
+        SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS cc3 FROM c3 GROUP BY w1, w2
+    ),
+    j3 AS (
+        SELECT c3.w1 AS w1, c3.w2 AS w2, c3.w3 AS w3, ctx3.cc3 AS cc3, c3.c3 AS c3
+        FROM c3 JOIN ctx3 ON ctx3.w1 = c3.w1 AND ctx3.w2 = c3.w2
+    ),
+    lm3 AS (
+        SELECT w1, w2, w3,
+               {{DET_TA}},
+               {{DET_TB}},
+               CAST(ROUND((ta_ln - tb_ln) * 1000000) AS BIGINT) AS nll3_e6
+        FROM j3
+    ),
+    c2b AS (
+        SELECT w1 AS w2, w2 AS w3, CAST(COUNT(*) AS BIGINT) AS c2b
+        FROM bg WHERE doc_id % 10 <> 0 GROUP BY w1, w2
+    ),
+    c1ctx AS (
+        SELECT w2, CAST(SUM(c2b) AS BIGINT) AS cc1 FROM c2b GROUP BY w2
+    ),
+    j2 AS (
+        SELECT c2b.w2 AS w2, c2b.w3 AS w3, c1ctx.cc1 AS cc1, c2b.c2b AS c2b
+        FROM c2b JOIN c1ctx ON c1ctx.w2 = c2b.w2
+    ),
+    lm2 AS (
+        SELECT w2, w3,
+               {{DET_TC}},
+               {{DET_TD}},
+               CAST(ROUND(1000000 * (({_BACKOFF_NEG_LN_04} + tc_ln) - td_ln)) AS BIGINT) AS nll2_e6
+        FROM j2
+    ),
+    uni AS (
+        SELECT tok AS w3, CAST(COUNT(*) AS BIGINT) AS u
+        FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % 10 <> 0)
+        GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(u) AS BIGINT) AS big_u FROM uni),
+    tot_ln AS (
+        SELECT {{DET_TT}},
+               CAST(ROUND(1000000 * ({_BACKOFF_NEG_LN_04_X2} + tt_ln)) AS BIGINT) AS k0_e6
+        FROM tot
+    ),
+    lm1 AS (
+        SELECT w3,
+               {{DET_TU}},
+               CAST(ROUND(1000000 * (({_BACKOFF_NEG_LN_04_X2} + tt_ln) - tu_ln)) AS BIGINT) AS nll1_e6
+        FROM uni CROSS JOIN tot_ln
+    ),
+    scored AS (
+        SELECT g.doc_id,
+               CASE WHEN lm3.nll3_e6 IS NOT NULL THEN 0
+                    WHEN lm2.nll2_e6 IS NOT NULL THEN 1
+                    ELSE 2 END AS bo,
+               COALESCE(lm3.nll3_e6, lm2.nll2_e6, lm1.nll1_e6, tot_ln.k0_e6) AS nll_e6
+        FROM tg g
+        LEFT JOIN lm3 ON lm3.w1 = g.w1 AND lm3.w2 = g.w2 AND lm3.w3 = g.w3
+        LEFT JOIN lm2 ON lm2.w2 = g.w2 AND lm2.w3 = g.w3
+        LEFT JOIN lm1 ON lm1.w3 = g.w3
+        CROSS JOIN tot_ln
+        WHERE g.doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)                       AS n_transitions,
+           CAST(SUM(CASE WHEN bo = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo_bigram,
+           CAST(SUM(CASE WHEN bo = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo_unigram,
+           CAST(SUM(nll_e6) AS BIGINT)                    AS sum_nll_e6
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """.replace("{DET_TA}", DM.duckdb_det_ln_select("cc3", "ta"))
+       .replace("{DET_TB}", DM.duckdb_det_ln_select("c3", "tb"))
+       .replace("{DET_TC}", DM.duckdb_det_ln_select("cc1", "tc"))
+       .replace("{DET_TD}", DM.duckdb_det_ln_select("c2b", "td"))
+       .replace("{DET_TT}", DM.duckdb_det_ln_select("big_u", "tt"))
+       .replace("{DET_TU}", DM.duckdb_det_ln_select("u", "tu")),
+)
+def text_trigram_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff LM scoring of HELD-OUT documents (Brants et
+    al. 2007) — the round-9 rung above ``text_backoff_nll``: transitions
+    SEEN as train trigrams cost the trigram MLE ``ln c(w1w2·) − ln
+    c(w1w2w3)``; unseen trigrams back off to the bigram model with one
+    0.4 penalty; unseen bigrams back off to train unigrams with the
+    doubled penalty, unseen w3 floored at count 1.  ``n_bo_bigram`` /
+    ``n_bo_unigram`` expose the backoff histogram as checked columns —
+    the operational signal (a doc scoring mostly through the unigram
+    floor is out-of-domain for the corpus LM).
+
+    Float discipline: ships representation-independent on day one — every
+    log is the deterministic det-ln expression (functions/detmath.py), the
+    two backoff penalties are injected literals derived from the SAME
+    −ln 0.4 string as the bigram query, and quantization to integer
+    micro-nats happens at the (vocab-bounded) LM tables, BEFORE the
+    per-document integer sum.
+
+    Scale: one (w1,w2,w3) shuffle builds the trigram LM and one (w1,w2)
+    shuffle the bigram LM; every context table re-aggregates from its
+    count table, never the stream; the 10% test stream equi-joins the LM
+    tables on their keys; the corpus total + unigram-floor constant ride a
+    1-row broadcast.  det-ln and quantization run on LM tables whose size
+    is vocabulary-, not corpus-bounded."""
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("t")
+    ).persist()
+    tg_all = (
+        toks.select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN size(t) >= 3 THEN "
+                "transform(sequence(1, size(t) - 2), "
+                "i -> struct(t[i - 1] AS w1, t[i] AS w2, t[i + 1] AS w3)) "
+                "ELSE CAST(array() AS array<struct<w1: string, w2: string, w3: string>>) END"
+            ).alias("tgs"),
+        )
+        .select("doc_id", F.explode("tgs").alias("p"))
+        .select("doc_id", "p.w1", "p.w2", "p.w3")
+    )
+    bg_all = (
+        toks.select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i - 1] AS w1, t[i] AS w2)) "
+                "ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"
+            ).alias("bgs"),
+        )
+        .select("doc_id", F.explode("bgs").alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    c3 = (
+        tg_all.filter(F.col("doc_id") % 10 != 0)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c3"))
+    )
+    ctx3 = c3.groupBy("w1", "w2").agg(F.sum("c3").cast("bigint").alias("cc3"))
+    lm3 = DM.spark_with_det_ln(
+        DM.spark_with_det_ln(c3.join(ctx3, ["w1", "w2"]), "cc3", "ta"), "c3", "tb"
+    ).select(
+        "w1",
+        "w2",
+        "w3",
+        F.expr("CAST(ROUND((ta_ln - tb_ln) * 1000000) AS BIGINT)").alias("nll3_e6"),
+    )
+    c2b = (
+        bg_all.filter(F.col("doc_id") % 10 != 0)
+        .groupBy(F.col("w1").alias("w2"), F.col("w2").alias("w3"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2b"))
+    )
+    c1ctx = c2b.groupBy("w2").agg(F.sum("c2b").cast("bigint").alias("cc1"))
+    lm2 = DM.spark_with_det_ln(
+        DM.spark_with_det_ln(c2b.join(c1ctx, "w2"), "cc1", "tc"), "c2b", "td"
+    ).select(
+        "w2",
+        "w3",
+        F.expr(
+            f"CAST(ROUND(1000000 * (({_BACKOFF_NEG_LN_04} + tc_ln) - td_ln)) AS BIGINT)"
+        ).alias("nll2_e6"),
+    )
+    uni = (
+        toks.filter(F.col("doc_id") % 10 != 0)
+        .select(F.explode("t").alias("w3"))
+        .groupBy("w3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("u"))
+    )
+    tot = uni.agg(F.sum("u").cast("bigint").alias("big_u"))
+    tot_ln = DM.spark_with_det_ln(tot, "big_u", "tt").select(
+        "tt_ln",
+        F.expr(
+            f"CAST(ROUND(1000000 * ({_BACKOFF_NEG_LN_04_X2} + tt_ln)) AS BIGINT)"
+        ).alias("k0_e6"),
+    )
+    lm1 = DM.spark_with_det_ln(
+        uni.crossJoin(F.broadcast(tot_ln)), "u", "tu"
+    ).select(
+        "w3",
+        F.expr(
+            f"CAST(ROUND(1000000 * (({_BACKOFF_NEG_LN_04_X2} + tt_ln) - tu_ln)) AS BIGINT)"
+        ).alias("nll1_e6"),
+    )
+    scored = (
+        tg_all.filter(F.col("doc_id") % 10 == 0)
+        .join(lm3, ["w1", "w2", "w3"], "left")
+        .join(lm2, ["w2", "w3"], "left")
+        .join(lm1, "w3", "left")
+        .crossJoin(F.broadcast(tot_ln.select("k0_e6")))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN nll3_e6 IS NOT NULL THEN 0 "
+                "WHEN nll2_e6 IS NOT NULL THEN 1 ELSE 2 END"
+            ).alias("bo"),
+            F.expr("COALESCE(nll3_e6, nll2_e6, nll1_e6, k0_e6)").alias("nll_e6"),
+        )
+    )
+    return scoped_persist(
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.sum(F.expr("CASE WHEN bo = 1 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_bo_bigram"),
+            F.sum(F.expr("CASE WHEN bo = 2 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_bo_unigram"),
+            F.sum("nll_e6").cast("bigint").alias("sum_nll_e6"),
+        )
+        .orderBy("doc_id"),
+        toks,
+    )

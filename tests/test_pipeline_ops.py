@@ -229,3 +229,35 @@ def test_temperature_thr16_exact_and_overflow_free_near_100tb(spark):
     # BIGINT numerator (target · n_total · sqrt_e6) overflows int64 here
     wrap = TEMP_TARGET_E4 * 2_000_000 * m.isqrt(2_000_000 * 10**12)
     assert wrap > 2**63
+
+
+def test_sub_hash_exact_beyond_int64_wrap(spark):
+    """Round-9 overflow-class sweep: the blocked-search sub-split hash
+    ``(vec_id * 2654435761) % 2^32`` wrapped int64 once vec_id exceeded
+    ~3.47e9 (a 100 TB embedding corpus holds ~4e11 vectors).  The widened
+    contract must equal plain Python bignum math — and the OLD value —
+    for small ids, and plain Python bignum math at and far beyond the old
+    wrap point, identically on both engines."""
+    from flink_net_spark.queries.similarity import _SUB_HASH_DUCKDB, _SUB_HASH_SPARK
+
+    ids = [0, 1, 7, 2**31 - 1, 2**31, 3_470_000_000, 3_500_000_000,
+           4 * 10**11, 2**62 - 1]
+    n_sub = 7
+    expected = {v: ((v * 2654435761) % 4294967296) % n_sub for v in ids}
+
+    sdf = spark.createDataFrame(
+        [(v, n_sub) for v in ids], "vec_id bigint, n_sub bigint"
+    ).selectExpr("vec_id", f"{_SUB_HASH_SPARK} AS sub")
+    got_spark = {r["vec_id"]: r["sub"] for r in sdf.collect()}
+
+    vals = ",".join(f"({v},{n_sub})" for v in ids)
+    got_duck = dict(
+        duckdb.sql(
+            f"SELECT vec_id, {_SUB_HASH_DUCKDB} AS sub"
+            f" FROM (VALUES {vals}) t(vec_id, n_sub)"
+        ).fetchall()
+    )
+    assert got_spark == expected
+    assert got_duck == expected
+    # the old plain-BIGINT product really wraps at the big ids
+    assert any(v * 2654435761 > 2**63 - 1 for v in ids)

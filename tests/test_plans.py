@@ -55,9 +55,11 @@ NESTED_LOOP_ALLOWED = {
     # (tot_e6, n_total) scalar: S×1 work on the S-row source histogram,
     # the corpus itself only meets a broadcast-hash equi-join on source.
     "curation_temperature_mix",
-    # text_backoff_nll — same 1-row scalar broadcast (train-unigram total U)
+    # text_backoff_nll / text_trigram_backoff_nll — same 1-row scalar
+    # broadcast (train-unigram total U + the unigram-floor constant)
     # crossed onto the scored test transitions; every LM join is equi.
     "text_backoff_nll",
+    "text_trigram_backoff_nll",
     "sim_semdedup",
     # text_bm25_topk / emb_quantize_int8 / text_unigram_nll — crossJoin/join
     # against a 1-row (n_docs, avgdl / corpus-total) scalar aggregate resp.

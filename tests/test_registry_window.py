@@ -128,3 +128,19 @@ def test_no_libm_transcendental_in_any_oracle():
     pat = re.compile(r"\b(ln|log|log2|log10|log1p|exp|expm1|pow|power)\s*\(", re.I)
     offenders = {nm: pat.findall(sql) for nm, sql in ORACLES.items() if pat.search(sql)}
     assert not offenders, offenders
+
+
+def test_every_query_has_green_evidence_or_is_in_window():
+    """Round-8 verdict #7 (evidence tail): any registry query still lacking
+    an all-green driver row must be IN the current driver window — i.e.
+    scheduled for checking this round.  With the green-keyed rotation this
+    closes the tail: once CORRECTNESS_r09 lands, every one of the registry
+    queries has ≥1 green row and the set below is empty."""
+    from flink_net_spark.queries import _driver_checked
+
+    checked = _driver_checked()
+    if not checked:  # fresh clone
+        return
+    window = set(list(QUERIES)[:DRIVER_WINDOW])
+    stranded = set(QUERIES) - checked - window
+    assert not stranded, sorted(stranded)
