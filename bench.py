@@ -399,13 +399,25 @@ def time_queries(spark, queries, names, sf_dir, reps=REPS, tag=""):
         if fn is None:
             continue
         # time fn()+collect as one unit: streaming queries and iterative
-        # algorithms execute inside fn(), not at collect time
-        fn(spark, sf_dir).collect()  # warm: codegen of the exact plan, scans
+        # algorithms execute inside fn(), not at collect time.
+        # HOLD each rep's DataFrame handle for the whole measurement:
+        # round-9's scoped_persist ties persisted intermediates to the
+        # result handle, so dropping it between reps would unpersist the
+        # plan-deduped cache entry and turn the reps into cache-rebuild
+        # measurements — the warm-up philosophy here is that reps measure
+        # WARM steady-state execution (the round-9 simhash "regression"
+        # was exactly this accounting flip, not a plan change: shuffle
+        # bytes were byte-identical).
+        handles = [fn(spark, sf_dir)]
+        handles[0].collect()  # warm: codegen of the exact plan, scans
         runs = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            n = len(fn(spark, sf_dir).collect())
+            df = fn(spark, sf_dir)
+            n = len(df.collect())
             runs.append(time.perf_counter() - t0)
+            handles.append(df)
+        del handles
         timings[name] = round(_median(runs), 4)
         spread[name] = [round(min(runs), 4), round(max(runs), 4)]
         rowcounts[name] = n
@@ -651,10 +663,12 @@ def shuffle_audit(spark, queries, sf_dir: str) -> dict:
         if fn is None:
             continue
         try:
-            fn(spark, mf_dir).collect()  # warm the staged scan
+            warm = fn(spark, mf_dir)  # hold the handle: scoped caches stay
+            warm.collect()           # warm through the measured run below
             m, _ = measure_job_metrics(
                 spark, lambda: fn(spark, mf_dir).collect(), group=f"fns_shufmf_{name}"
             )
+            del warm
             rec = m.as_dict()
             disk = _disk_bytes(mf_dir, tables)
             ratio = m.shuffle_write_bytes / disk if disk else None
