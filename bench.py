@@ -121,6 +121,8 @@ HEADLINE = [
     "text_quality_logit",
     "text_backoff_nll",
     "text_trigram_backoff_nll",
+    "curation_bloom_decontaminate",
+    "vocab_topk_cms",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).

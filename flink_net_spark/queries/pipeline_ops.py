@@ -797,3 +797,294 @@ def curation_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination — the broadcast-bitset scale path.
+# --------------------------------------------------------------------------
+# curation_decontaminate broadcasts the eval set's raw shingle SET; once the
+# protected corpus grows past executor memory (multi-benchmark suites,
+# paraphrase banks, licensed-content blocklists), the production pattern is
+# a fixed-size Bloom filter: k deterministic hashes into an m-bit bitset,
+# built distributed (bit_or over 64-bit words), broadcast as m/32 BIGINT
+# words, probed map-side.  k=4, m=65536 bits → 2048 words = 16 KB broadcast
+# REGARDLESS of eval-set size.  False positives are part of the contract:
+# the op emits bloom_hits alongside the exact join's hits, so the FP count
+# is checked DATA (both engines compute the same bitset, the same probes,
+# and the same exact ground truth).
+_BLOOM_K = 4
+_BLOOM_BITS = 65536  # 2048 x 32-bit words (bit 31 max: DuckDB raises on a
+# signed-int64 shift into bit 63, so words hold 32 bits and the mask shift
+# never exceeds 31 — identical two's-complement-free semantics both engines)
+_BLOOM_COEFFS = H.minhash_coeffs(_BLOOM_K)
+_BLOOM_EVAL_MOD = 50  # doc_id % 50 == 0 → the protected eval corpus (~2%)
+
+
+def _bloom_pos_exprs(g: str) -> list[str]:
+    """The k hash positions of gram expr ``g`` — valid in BOTH dialects
+    (plain integer arithmetic; a·g < MOD² ≈ 1e18 stays inside int64)."""
+    return [
+        f"((({a} * {g} + {b}) % {H.MOD}) % {_BLOOM_BITS})"
+        for a, b in _BLOOM_COEFFS
+    ]
+
+
+def _bloom_oracle() -> str:
+    from flink_net_spark.queries.dedup import _DUCK_SHINGLES, _DUCK_TH_DOCS
+
+    pos_structs = ", ".join(
+        f"{{'i': {i}, 'p': {p}}}" for i, p in enumerate(_bloom_pos_exprs("g"))
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM {_DUCK_TH_DOCS}
+    ),
+    ev AS (
+        SELECT DISTINCT UNNEST(sh) AS g FROM sh WHERE doc_id % {_BLOOM_EVAL_MOD} = 0
+    ),
+    bloom_words AS (
+        SELECT p // 32 AS word, bit_or(1::BIGINT << (p % 32)) AS mask
+        FROM (SELECT UNNEST([{', '.join(_bloom_pos_exprs('g'))}]) AS p FROM ev)
+        GROUP BY 1
+    ),
+    tr AS (
+        SELECT DISTINCT doc_id, UNNEST(sh) AS g FROM sh
+        WHERE doc_id % {_BLOOM_EVAL_MOD} <> 0
+    ),
+    trpos AS (
+        SELECT doc_id, g, u.p.p AS p FROM tr, UNNEST([{pos_structs}]) AS u(p)
+    ),
+    hits AS (
+        SELECT t.doc_id, t.g, CAST(COUNT(*) AS BIGINT) AS nbits
+        FROM trpos t JOIN bloom_words w ON w.word = t.p // 32
+        WHERE (w.mask & (1::BIGINT << (t.p % 32))) <> 0
+        GROUP BY 1, 2
+    ),
+    bloom AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS bloom_hits
+        FROM hits WHERE nbits = {_BLOOM_K} GROUP BY doc_id
+    ),
+    exact AS (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS exact_hits
+        FROM tr t JOIN ev e USING (g) GROUP BY t.doc_id
+    ),
+    nw AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows FROM tr GROUP BY doc_id
+    )
+    SELECT nw.doc_id AS doc_id, nw.n_windows,
+           CAST(COALESCE(bloom.bloom_hits, 0) AS BIGINT) AS bloom_hits,
+           CAST(COALESCE(exact.exact_hits, 0) AS BIGINT) AS exact_hits,
+           CAST(COALESCE(bloom.bloom_hits, 0)
+                - COALESCE(exact.exact_hits, 0) AS BIGINT) AS n_false_pos
+    FROM nw
+    LEFT JOIN bloom USING (doc_id)
+    LEFT JOIN exact USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@query("curation_bloom_decontaminate", oracle=_bloom_oracle())
+def curation_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination with exact verification as checked data.
+
+    Build: the protected corpus' (doc_id % 50 == 0) distinct word-3gram
+    shingles hash through k=4 deterministic functions into a 65536-bit
+    Bloom filter, constructed DISTRIBUTED as a bit_or aggregation over
+    2048 32-bit words — the standard way to build a Bloom filter in one
+    shuffle of (word, mask) pairs.  Probe: every training shingle tests
+    its 4 bits against the broadcast 16 KB word table, map-side.
+
+    Emitted per training doc: total distinct windows, Bloom hits, EXACT
+    hits (the ground-truth semi-join curation_decontaminate runs), and the
+    false-positive count — so the filter's precision is part of the
+    oracle-checked contract, not a claim.  All arithmetic is exact BIGINT
+    (a·g < MOD² ≈ 1e18; masks are single bits in int64 words).
+
+    Scale: at 100 TB the exact semi-join needs the eval shingle set
+    resident per executor; the Bloom probe needs 16 KB — constant in eval
+    size (grow m for FP control: 1 GB of words protects ~10⁹ shingles at
+    <1% FP).  One (word, mask) shuffle builds it; the corpus itself is
+    touched by one map-side probe + one doc_id-keyed count."""
+    from flink_net_spark.queries.dedup import _spark_shingle_hash_df
+
+    sh = _spark_shingle_hash_df(spark, sf_dir)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % _BLOOM_EVAL_MOD == 0)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    pos_arr = "array(" + ", ".join(_bloom_pos_exprs("g")) + ")"
+    bloom_words = (
+        eval_sh.select(F.explode(F.expr(pos_arr)).alias("p"))
+        .select(
+            F.expr("p div 32").alias("word"),
+            F.expr("shiftleft(1L, CAST(p % 32 AS INT))").alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+    )
+    tr = (
+        sh.filter(F.col("doc_id") % _BLOOM_EVAL_MOD != 0)
+        .select("doc_id", F.explode("sh").alias("g"))
+        .distinct()
+    )
+    trpos = tr.select("doc_id", "g", F.explode(F.expr(pos_arr)).alias("p"))
+    hits = (
+        trpos.withColumn("word", F.expr("p div 32"))
+        .join(F.broadcast(bloom_words), "word")
+        .filter(F.expr("(mask & shiftleft(1L, CAST(p % 32 AS INT))) <> 0"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+    )
+    bloom = (
+        hits.filter(F.col("nbits") == _BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bloom_hits"))
+    )
+    exact = (
+        tr.join(F.broadcast(eval_sh), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_hits"))
+    )
+    nw = tr.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_windows"))
+    return (
+        nw.join(bloom, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("bloom_hits", F.lit(0)).cast("bigint").alias("bloom_hits"),
+            F.coalesce("exact_hits", F.lit(0)).cast("bigint").alias("exact_hits"),
+            (
+                F.coalesce("bloom_hits", F.lit(0))
+                - F.coalesce("exact_hits", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min-sketch heavy hitters — approximate counting with the accuracy
+# contract emitted as data.
+# --------------------------------------------------------------------------
+_CMS_D = 4      # hash rows
+_CMS_W = 1024   # counters per row
+_CMS_TOPK = 20
+_CMS_COEFFS = H.minhash_coeffs(2 * _CMS_D)[_CMS_D:]  # disjoint from Bloom's
+
+
+def _cms_pos_exprs(h: str) -> list[str]:
+    return [
+        f"((({a} * {h} + {b}) % {H.MOD}) % {_CMS_W})" for a, b in _CMS_COEFFS
+    ]
+
+
+def _cms_oracle() -> str:
+    pos_structs = ", ".join(
+        f"{{'i': {i}, 'pos': {p}}}" for i, p in enumerate(_cms_pos_exprs("h"))
+    )
+    return f"""
+    WITH t AS (
+        SELECT term, {H.duckdb_char_polyhash("term")} AS h
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        WHERE term <> ''
+    ),
+    ntok AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM t),
+    cells AS (
+        SELECT i, pos, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT u.p.i AS i, u.p.pos AS pos
+              FROM t, UNNEST([{pos_structs}]) AS u(p))
+        GROUP BY i, pos
+    ),
+    exact AS (
+        SELECT term, h, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM t GROUP BY term, h
+    ),
+    top AS (
+        SELECT term, h, exact_count,
+               CAST(ROW_NUMBER() OVER (ORDER BY exact_count DESC, term)
+                    AS BIGINT) AS rank
+        FROM exact
+    ),
+    est AS (
+        SELECT top.rank, top.term, top.exact_count,
+               CAST(MIN(cells.c) AS BIGINT) AS cms_count
+        FROM top, UNNEST([{pos_structs}]) AS u(p)
+        JOIN cells ON cells.i = u.p.i AND cells.pos = u.p.pos
+        WHERE top.rank <= {_CMS_TOPK}
+        GROUP BY 1, 2, 3
+    )
+    SELECT rank, term, exact_count, cms_count,
+           CAST(cms_count - exact_count AS BIGINT) AS slack,
+           (cms_count - exact_count) <= n_tokens // 256 AS within_bound
+    FROM est CROSS JOIN ntok
+    ORDER BY rank
+    """
+
+
+@query("vocab_topk_cms", oracle=_cms_oracle())
+def vocab_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch term counting (Cormode & Muthukrishnan 2005)
+    checked against exact counts: tokens hash through d=4 rows of w=1024
+    counters; a term's estimate is the MIN over its 4 cells.  The sketch
+    is 16 KB REGARDLESS of vocabulary size — the structure a 100 TB
+    pipeline uses where the exact term dictionary (vocab_top_terms'
+    shuffle) no longer fits the reduce side.
+
+    The accuracy contract rides the output: for the exact top-20 terms the
+    op emits exact_count, cms_count, their slack (CMS never underestimates,
+    so slack ≥ 0 by construction), and a within_bound flag at 4× the
+    expected N/w collision mass.  Both engines build the identical sketch
+    from identical integer hashes, so every column — including the sketch's
+    own error — hash-matches.
+
+    Scale: the sketch build is ONE (i, pos)-keyed aggregation with 4096
+    distinct groups (perfect partial-agg compression: the map side emits at
+    most 4096 rows per task whatever the corpus size); the top-k lookup
+    joins an 80-row probe set against the 4096-row broadcast sketch."""
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .withColumn("h", F.expr(H.spark_char_polyhash("term")))
+    )
+    ntok = t.agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    pos_structs = "array(" + ", ".join(
+        f"struct({i} AS i, {p} AS pos)" for i, p in enumerate(_cms_pos_exprs("h"))
+    ) + ")"
+    cells = (
+        t.select(F.explode(F.expr(pos_structs)).alias("u"))
+        .select(F.col("u.i").alias("i"), F.col("u.pos").alias("pos"))
+        .groupBy("i", "pos")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    exact = t.groupBy("term", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    w = Window.orderBy(F.col("exact_count").desc(), F.col("term"))
+    top = (
+        exact.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _CMS_TOPK)
+    )
+    est = (
+        top.select("rank", "term", "exact_count", F.explode(F.expr(pos_structs)).alias("u"))
+        .select("rank", "term", "exact_count", F.col("u.i").alias("i"), F.col("u.pos").alias("pos"))
+        .join(F.broadcast(cells), ["i", "pos"])
+        .groupBy("rank", "term", "exact_count")
+        .agg(F.min("c").cast("bigint").alias("cms_count"))
+    )
+    return (
+        est.crossJoin(F.broadcast(ntok))
+        .select(
+            "rank",
+            "term",
+            "exact_count",
+            "cms_count",
+            (F.col("cms_count") - F.col("exact_count")).cast("bigint").alias("slack"),
+            F.expr("(cms_count - exact_count) <= (n_tokens div 256)").alias("within_bound"),
+        )
+        .orderBy("rank")
+    )

@@ -67,6 +67,8 @@ NESTED_LOOP_ALLOWED = {
     "text_bm25_topk",
     "emb_quantize_int8",
     "text_unigram_nll",
+    # vocab_topk_cms — crossJoin against the 1-row broadcast token total.
+    "vocab_topk_cms",
 }
 
 # Queries machine-tagged as deliberate non-scale-safe ground truth (META)
@@ -189,9 +191,12 @@ def test_no_sf_scaled_broadcast_hints():
             # tot = 1-row corpus token total (text_unigram_nll),
             # tot_ln/st_ln = the same 1-row scalars carrying their det-ln
             # columns (round-9 deterministic-ln contracts),
+            # bloom_words = the 2048-row (16 KB) Bloom word table — constant
+            # size by construction; cells = the 4096-row count-min sketch;
+            # ntok = 1-row corpus token total (vocab_topk_cms),
             # sizes = one row per block label (bounded by the IVF cell
             # count, not the corpus — sim_range_search_blocked sub-split)
-            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes"}:
+            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "cells", "ntok"}:
                 offenders.append(f"{path.name}: F.broadcast({target}")
     assert not offenders, offenders
 
