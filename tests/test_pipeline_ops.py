@@ -261,3 +261,37 @@ def test_sub_hash_exact_beyond_int64_wrap(spark):
     assert got_duck == expected
     # the old plain-BIGINT product really wraps at the big ids
     assert any(v * 2654435761 > 2**63 - 1 for v in ids)
+
+
+def test_bloom_decontaminate_contract(spark):
+    """Bloom filters never miss: bloom_hits >= exact_hits on every doc
+    (n_false_pos >= 0), and the filter must discriminate on the corpus
+    (some docs hit, some don't)."""
+    from flink_net_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["curation_bloom_decontaminate"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.bloom_hits >= r.exact_hits, r
+        assert r.n_false_pos == r.bloom_hits - r.exact_hits
+        assert 0 <= r.bloom_hits <= r.n_windows
+    hit = sum(1 for r in rows if r.bloom_hits)
+    assert 0 < hit < len(rows), f"filter does not discriminate: {hit}/{len(rows)}"
+
+
+def test_cms_contract(spark):
+    """Count-min sketch never underestimates: cms_count >= exact_count for
+    every top-k term (slack >= 0), ranks are 1..20 with exact counts
+    non-increasing."""
+    from flink_net_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["vocab_topk_cms"](spark, SF_DIR).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == 20
+    counts = [r.exact_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.cms_count >= r.exact_count, r
+        assert r.slack == r.cms_count - r.exact_count
