@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from flink_net_spark.functions import hashing as H
 from flink_net_spark.queries import query
-from flink_net_spark.tables import load_table
+from flink_net_spark.tables import load_table, spread_small_scan
 
 # --------------------------------------------------------------------------
 # Deterministic stratified sampling.
@@ -1045,7 +1045,9 @@ def vocab_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct groups (perfect partial-agg compression: the map side emits at
     most 4096 rows per task whatever the corpus size); the top-k lookup
     joins an 80-row probe set against the 4096-row broadcast sketch."""
-    d = load_table(spark, sf_dir, "documents")
+    # per-term polyhash is the CPU-heavy map stage: spread the
+    # single-row-group test parquet across cores (no-op on real layouts)
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     t = (
         d.select(F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term") != "")
