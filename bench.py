@@ -239,6 +239,19 @@ SHUFFLE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # the real-layout number is the @mf entry below (bound 1.0, verdict #2)
     "dedup_substring_winnow": (["documents"], 3.5),
     "dedup_substring_stats": (["documents"], 7.0),  # measured 4.9 cold
+    # round-9 LM/curation additions.  Trigram: cold includes the ONE
+    # trigram-stream shuffle that builds the LM (bigram/unigram tables
+    # re-aggregate from it, text.py) — measured 7.49 cold / 2.60 warm;
+    # n-gram keys travel as BIGINTs, never strings (first cut measured 22×).
+    "text_trigram_backoff_nll": (["documents"], 10.0),
+    # bloom: the only corpus-sized exchange is the doc_id-keyed partial
+    # aggs + the spread exchange on this single-file layout; the probe is
+    # map-side against the broadcast dense word array.  measured 2.60.
+    "curation_bloom_decontaminate": (["documents"], 4.0),
+    # cms: the sketch build compresses to ≤4096 partial rows per task; the
+    # measured 1.68 is the spread exchange + the exact-verification term
+    # groupBy (vocab-bounded) — see the 0.25 @mf row for the real layout.
+    "vocab_topk_cms": (["documents"], 2.5),
     "dedup_resolve_groups": (["documents"], 2.5),  # measured 1.75 cold (see @mf)
     # measured 0.54 — candidate pairs carry their two vectors into the
     # exact-cosine verify join; candidates only, never all-pairs
@@ -299,6 +312,12 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # quadratic); the winnowed variant above (bound 1.0) is the 100 TB
     # scale path, cutting the exchange 2/(w+1).
     "dedup_substring_stats": (["documents"], 4.0),
+    # round-9 additions on the real layout (warm, like the other persist
+    # queries: the @mf row measures the query's own joins, the cold
+    # LM-build exchange is the single-file row above)
+    "text_trigram_backoff_nll": (["documents"], 3.5),  # measured 2.27
+    "curation_bloom_decontaminate": (["documents"], 1.5),  # measured 1.01
+    "vocab_topk_cms": (["documents"], 0.4),  # measured 0.25
 }
 
 

@@ -829,12 +829,25 @@ def _bloom_pos_exprs(g: str) -> list[str]:
     ]
 
 
+def _bloom_hit_cond(dialect: str) -> str:
+    """All-k-bits-set test against the dense word array ``marr``, purely
+    map-side (no explode, no join): one AND of k indexed bit tests per
+    gram.  Dialects differ only in array indexing / shift spelling."""
+    conds = []
+    for p in _bloom_pos_exprs("g"):
+        if dialect == "spark":
+            word = f"element_at(marr, CAST({p} div 32 AS INT) + 1)"
+            bit = f"shiftleft(1L, CAST({p} % 32 AS INT))"
+        else:
+            word = f"marr[CAST({p} // 32 AS INT) + 1]"
+            bit = f"(1::BIGINT << ({p} % 32))"
+        conds.append(f"(({word} & {bit}) <> 0)")
+    return " AND ".join(conds)
+
+
 def _bloom_oracle() -> str:
     from flink_net_spark.queries.dedup import _DUCK_SHINGLES, _DUCK_TH_DOCS
 
-    pos_structs = ", ".join(
-        f"{{'i': {i}, 'p': {p}}}" for i, p in enumerate(_bloom_pos_exprs("g"))
-    )
     return f"""
     WITH sh AS (
         SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM {_DUCK_TH_DOCS}
@@ -847,22 +860,20 @@ def _bloom_oracle() -> str:
         FROM (SELECT UNNEST([{', '.join(_bloom_pos_exprs('g'))}]) AS p FROM ev)
         GROUP BY 1
     ),
+    bw AS (
+        SELECT list(COALESCE(w.mask, 0) ORDER BY r.wi) AS marr
+        FROM range(0, {_BLOOM_BITS // 32}) r(wi)
+        LEFT JOIN bloom_words w ON w.word = r.wi
+    ),
     tr AS (
         SELECT DISTINCT doc_id, UNNEST(sh) AS g FROM sh
         WHERE doc_id % {_BLOOM_EVAL_MOD} <> 0
     ),
-    trpos AS (
-        SELECT doc_id, g, u.p.p AS p FROM tr, UNNEST([{pos_structs}]) AS u(p)
-    ),
-    hits AS (
-        SELECT t.doc_id, t.g, CAST(COUNT(*) AS BIGINT) AS nbits
-        FROM trpos t JOIN bloom_words w ON w.word = t.p // 32
-        WHERE (w.mask & (1::BIGINT << (t.p % 32))) <> 0
-        GROUP BY 1, 2
-    ),
     bloom AS (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS bloom_hits
-        FROM hits WHERE nbits = {_BLOOM_K} GROUP BY doc_id
+        FROM tr CROSS JOIN bw
+        WHERE {_bloom_hit_cond("duckdb")}
+        GROUP BY doc_id
     ),
     exact AS (
         SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS exact_hits
@@ -903,8 +914,13 @@ def curation_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: at 100 TB the exact semi-join needs the eval shingle set
     resident per executor; the Bloom probe needs 16 KB — constant in eval
     size (grow m for FP control: 1 GB of words protects ~10⁹ shingles at
-    <1% FP).  One (word, mask) shuffle builds it; the corpus itself is
-    touched by one map-side probe + one doc_id-keyed count."""
+    <1% FP).  One (word, mask) shuffle builds it; the filter then rides a
+    1-row broadcast as a DENSE word array and every gram tests its k bits
+    in ONE map-side conjunction — no explode, no probe-side join, no
+    (doc_id, gram, position) re-shuffle (the first cut exploded k rows per
+    gram into a word join + count and measured 11-19× the corpus in
+    shuffle bytes; this form's only corpus-sized exchange is the distinct
+    (doc_id, gram) dedup)."""
     from flink_net_spark.queries.dedup import _spark_shingle_hash_df
 
     sh = _spark_shingle_hash_df(spark, sf_dir)
@@ -923,21 +939,24 @@ def curation_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.expr("bit_or(m)").alias("mask"))
     )
+    bw = bloom_words.agg(
+        F.expr("map_from_entries(collect_list(struct(word, mask)))").alias("mm")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {_BLOOM_BITS // 32 - 1}), "
+            "wi -> coalesce(element_at(mm, CAST(wi AS BIGINT)), 0L))"
+        ).alias("marr")
+    )
+    # sh is per-doc DISTINCT by construction (H.spark_hashed_shingles), so
+    # (doc_id, g) rows are already unique — the first cut's global
+    # .distinct() here was a full-stream shuffle for nothing
     tr = (
         sh.filter(F.col("doc_id") % _BLOOM_EVAL_MOD != 0)
         .select("doc_id", F.explode("sh").alias("g"))
-        .distinct()
-    )
-    trpos = tr.select("doc_id", "g", F.explode(F.expr(pos_arr)).alias("p"))
-    hits = (
-        trpos.withColumn("word", F.expr("p div 32"))
-        .join(F.broadcast(bloom_words), "word")
-        .filter(F.expr("(mask & shiftleft(1L, CAST(p % 32 AS INT))) <> 0"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("nbits"))
     )
     bloom = (
-        hits.filter(F.col("nbits") == _BLOOM_K)
+        tr.crossJoin(F.broadcast(bw))
+        .filter(F.expr(_bloom_hit_cond("spark")))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("bloom_hits"))
     )

@@ -961,64 +961,92 @@ def text_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the two penalties stay consistent.
 _BACKOFF_NEG_LN_04_X2 = DM.dlit(2 * float(_BACKOFF_NEG_LN_04))
 
+# n-gram keys travel as exact BIGINTs, never strings (the first cut keyed
+# the LM joins on raw word triples and measured 22-37× the corpus in
+# shuffle bytes — ~100 B of UnsafeRow per transition): each token maps to
+# its char-polyhash h < MOD once, map-side; a bigram key is the BIJECTIVE
+# pair encoding h1·MOD + h2 < MOD² ≈ 1.0e18 (inside int64, no collisions
+# beyond the token-hash layer both engines already share), and a trigram
+# key is the (pair_key, h3) column pair.  h1 = k12 div MOD decodes the
+# context exactly — no second pass over the token stream.
+_TRI_MOD = H.MOD
+
+
+def _tri_toks_duckdb() -> str:
+    inner = H.duckdb_char_polyhash("w")
+    return (
+        "SELECT doc_id, "
+        f"[{inner} for w in list_filter(string_split(text, ' '), x -> x <> '')] AS h "
+        "FROM documents"
+    )
+
 
 @query(
     "text_trigram_backoff_nll",
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        FROM documents
+        {_tri_toks_duckdb()}
     ),
     tg AS (
-        SELECT doc_id, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3
-        FROM toks, UNNEST([{{'w1': t[i], 'w2': t[i + 1], 'w3': t[i + 2]}}
-                           for i in range(1, len(t) - 1)]) AS u(p)
-    ),
-    bg AS (
-        SELECT doc_id, p.w1 AS w1, p.w2 AS w2
-        FROM toks, UNNEST([{{'w1': t[i], 'w2': t[i + 1]}}
-                           for i in range(1, len(t))]) AS u(p)
+        SELECT doc_id, p.k12 AS k12, p.h3 AS h3
+        FROM toks, UNNEST([{{'k12': h[i] * {_TRI_MOD} + h[i + 1], 'h3': h[i + 2]}}
+                           for i in range(1, len(h) - 1)]) AS u(p)
     ),
     c3 AS (
-        SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
-        FROM tg WHERE doc_id % 10 <> 0 GROUP BY w1, w2, w3
+        SELECT k12, h3, CAST(COUNT(*) AS BIGINT) AS c3
+        FROM tg WHERE doc_id % 10 <> 0 GROUP BY k12, h3
     ),
     ctx3 AS (
-        SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS cc3 FROM c3 GROUP BY w1, w2
+        SELECT k12, CAST(SUM(c3) AS BIGINT) AS cc3 FROM c3 GROUP BY k12
     ),
     j3 AS (
-        SELECT c3.w1 AS w1, c3.w2 AS w2, c3.w3 AS w3, ctx3.cc3 AS cc3, c3.c3 AS c3
-        FROM c3 JOIN ctx3 ON ctx3.w1 = c3.w1 AND ctx3.w2 = c3.w2
+        SELECT c3.k12 AS k12, c3.h3 AS h3, ctx3.cc3 AS cc3, c3.c3 AS c3
+        FROM c3 JOIN ctx3 ON ctx3.k12 = c3.k12
     ),
     lm3 AS (
-        SELECT w1, w2, w3,
+        SELECT k12, h3,
                {{DET_TA}},
                {{DET_TB}},
                CAST(ROUND((ta_ln - tb_ln) * 1000000) AS BIGINT) AS nll3_e6
         FROM j3
     ),
+    firsts AS (
+        SELECT h[1] * {_TRI_MOD} + h[2] AS k12, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks WHERE len(h) >= 2 AND doc_id % 10 <> 0 GROUP BY 1
+    ),
     c2b AS (
-        SELECT w1 AS w2, w2 AS w3, CAST(COUNT(*) AS BIGINT) AS c2b
-        FROM bg WHERE doc_id % 10 <> 0 GROUP BY w1, w2
+        SELECT k12, CAST(SUM(c) AS BIGINT) AS c2b FROM (
+            SELECT (c3.k12 % {_TRI_MOD}) * {_TRI_MOD} + c3.h3 AS k12, c3.c3 AS c
+            FROM c3
+            UNION ALL
+            SELECT k12, c FROM firsts
+        ) GROUP BY k12
     ),
     c1ctx AS (
-        SELECT w2, CAST(SUM(c2b) AS BIGINT) AS cc1 FROM c2b GROUP BY w2
+        SELECT k12 // {_TRI_MOD} AS h1, CAST(SUM(c2b) AS BIGINT) AS cc1
+        FROM c2b GROUP BY 1
     ),
     j2 AS (
-        SELECT c2b.w2 AS w2, c2b.w3 AS w3, c1ctx.cc1 AS cc1, c2b.c2b AS c2b
-        FROM c2b JOIN c1ctx ON c1ctx.w2 = c2b.w2
+        SELECT c2b.k12 AS k23, c1ctx.cc1 AS cc1, c2b.c2b AS c2b
+        FROM c2b JOIN c1ctx ON c1ctx.h1 = c2b.k12 // {_TRI_MOD}
     ),
     lm2 AS (
-        SELECT w2, w3,
+        SELECT k23,
                {{DET_TC}},
                {{DET_TD}},
                CAST(ROUND(1000000 * (({_BACKOFF_NEG_LN_04} + tc_ln) - td_ln)) AS BIGINT) AS nll2_e6
         FROM j2
     ),
+    lasts AS (
+        SELECT h[len(h)] AS h3, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks WHERE len(h) >= 1 AND doc_id % 10 <> 0 GROUP BY 1
+    ),
     uni AS (
-        SELECT tok AS w3, CAST(COUNT(*) AS BIGINT) AS u
-        FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % 10 <> 0)
-        GROUP BY tok
+        SELECT h3, CAST(SUM(c) AS BIGINT) AS u FROM (
+            SELECT c2b.k12 // {_TRI_MOD} AS h3, c2b.c2b AS c FROM c2b
+            UNION ALL
+            SELECT h3, c FROM lasts
+        ) GROUP BY h3
     ),
     tot AS (SELECT CAST(SUM(u) AS BIGINT) AS big_u FROM uni),
     tot_ln AS (
@@ -1027,7 +1055,7 @@ _BACKOFF_NEG_LN_04_X2 = DM.dlit(2 * float(_BACKOFF_NEG_LN_04))
         FROM tot
     ),
     lm1 AS (
-        SELECT w3,
+        SELECT h3,
                {{DET_TU}},
                CAST(ROUND(1000000 * (({_BACKOFF_NEG_LN_04_X2} + tt_ln) - tu_ln)) AS BIGINT) AS nll1_e6
         FROM uni CROSS JOIN tot_ln
@@ -1038,12 +1066,13 @@ _BACKOFF_NEG_LN_04_X2 = DM.dlit(2 * float(_BACKOFF_NEG_LN_04))
                     WHEN lm2.nll2_e6 IS NOT NULL THEN 1
                     ELSE 2 END AS bo,
                COALESCE(lm3.nll3_e6, lm2.nll2_e6, lm1.nll1_e6, tot_ln.k0_e6) AS nll_e6
-        FROM tg g
-        LEFT JOIN lm3 ON lm3.w1 = g.w1 AND lm3.w2 = g.w2 AND lm3.w3 = g.w3
-        LEFT JOIN lm2 ON lm2.w2 = g.w2 AND lm2.w3 = g.w3
-        LEFT JOIN lm1 ON lm1.w3 = g.w3
+        FROM (SELECT doc_id, k12, h3,
+                     (k12 % {_TRI_MOD}) * {_TRI_MOD} + h3 AS k23
+              FROM tg WHERE doc_id % 10 = 0) g
+        LEFT JOIN lm3 ON lm3.k12 = g.k12 AND lm3.h3 = g.h3
+        LEFT JOIN lm2 ON lm2.k23 = g.k23
+        LEFT JOIN lm1 ON lm1.h3 = g.h3
         CROSS JOIN tot_ln
-        WHERE g.doc_id % 10 = 0
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT)                       AS n_transitions,
@@ -1076,76 +1105,105 @@ def text_trigram_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-nats happens at the (vocab-bounded) LM tables, BEFORE the
     per-document integer sum.
 
-    Scale: one (w1,w2,w3) shuffle builds the trigram LM and one (w1,w2)
-    shuffle the bigram LM; every context table re-aggregates from its
-    count table, never the stream; the 10% test stream equi-joins the LM
-    tables on their keys; the corpus total + unigram-floor constant ride a
-    1-row broadcast.  det-ln and quantization run on LM tables whose size
-    is vocabulary-, not corpus-bounded."""
+    Scale: every n-gram travels as an exact BIGINT key, never a string
+    (see the module comment above — the pair key h1·MOD + h2 is bijective
+    and decodes its context with one integer division, and the string→hash
+    map is computed once, map-side).  ONE (k12, h3) shuffle builds the
+    trigram LM and one k12 shuffle the bigram LM; every context table
+    re-aggregates from its count table, never the stream; the 10% test
+    stream equi-joins the LM tables on 8-16-byte keys; the corpus total +
+    unigram-floor constant ride a 1-row broadcast.  det-ln and
+    quantization run on LM tables whose size is vocabulary-, not
+    corpus-bounded."""
     d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    ph = H.spark_char_polyhash("w")
     toks = d.select(
-        "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("t")
+        "doc_id",
+        F.expr(
+            f"transform(filter(split(text, ' '), x -> x <> ''), w -> {ph})"
+        ).alias("h"),
     ).persist()
     tg_all = (
         toks.select(
             "doc_id",
             F.expr(
-                "CASE WHEN size(t) >= 3 THEN "
-                "transform(sequence(1, size(t) - 2), "
-                "i -> struct(t[i - 1] AS w1, t[i] AS w2, t[i + 1] AS w3)) "
-                "ELSE CAST(array() AS array<struct<w1: string, w2: string, w3: string>>) END"
+                "CASE WHEN size(h) >= 3 THEN "
+                "transform(sequence(1, size(h) - 2), "
+                f"i -> struct(h[i - 1] * {_TRI_MOD}L + h[i] AS k12, h[i + 1] AS h3)) "
+                "ELSE CAST(array() AS array<struct<k12: bigint, h3: bigint>>) END"
             ).alias("tgs"),
         )
         .select("doc_id", F.explode("tgs").alias("p"))
-        .select("doc_id", "p.w1", "p.w2", "p.w3")
+        .select("doc_id", "p.k12", "p.h3")
     )
-    bg_all = (
-        toks.select(
-            "doc_id",
-            F.expr(
-                "CASE WHEN size(t) >= 2 THEN "
-                "transform(sequence(1, size(t) - 1), "
-                "i -> struct(t[i - 1] AS w1, t[i] AS w2)) "
-                "ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"
-            ).alias("bgs"),
-        )
-        .select("doc_id", F.explode("bgs").alias("p"))
-        .select("doc_id", "p.w1", "p.w2")
-    )
+    # persist the LM count tables: c3 feeds lm3 AND the bigram derivation;
+    # c2b feeds c1ctx, lm2 AND the unigram derivation — Catalyst does not
+    # dedupe common subtrees, so without the caches every consumer replays
+    # the full trigram-stream shuffle (measured: 56× disk input un-cached
+    # vs ~7× cached on the multifile layout)
     c3 = (
         tg_all.filter(F.col("doc_id") % 10 != 0)
-        .groupBy("w1", "w2", "w3")
+        .groupBy("k12", "h3")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c3"))
+        .persist()
     )
-    ctx3 = c3.groupBy("w1", "w2").agg(F.sum("c3").cast("bigint").alias("cc3"))
+    ctx3 = c3.groupBy("k12").agg(F.sum("c3").cast("bigint").alias("cc3"))
     lm3 = DM.spark_with_det_ln(
-        DM.spark_with_det_ln(c3.join(ctx3, ["w1", "w2"]), "cc3", "ta"), "c3", "tb"
+        DM.spark_with_det_ln(c3.join(ctx3, "k12"), "cc3", "ta"), "c3", "tb"
     ).select(
-        "w1",
-        "w2",
-        "w3",
+        "k12",
+        "h3",
         F.expr("CAST(ROUND((ta_ln - tb_ln) * 1000000) AS BIGINT)").alias("nll3_e6"),
     )
-    c2b = (
-        bg_all.filter(F.col("doc_id") % 10 != 0)
-        .groupBy(F.col("w1").alias("w2"), F.col("w2").alias("w3"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c2b"))
+    # lower-order LMs RE-AGGREGATE from the higher order's count table
+    # plus O(docs) doc-boundary correction rows — the token stream shuffles
+    # exactly once (the trigram build): bigram (x,y) occurrences are the
+    # (w2,w3) of exactly one trigram EXCEPT each doc's first bigram (also
+    # covering 2-token docs, which have no trigrams), and token
+    # occurrences are the bigram STARTS plus each doc's last token (also
+    # covering 1-token docs).
+    firsts = (
+        toks.filter((F.size("h") >= 2) & (F.col("doc_id") % 10 != 0))
+        .select(F.expr(f"h[0] * {_TRI_MOD}L + h[1]").alias("k12"))
+        .groupBy("k12")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    c1ctx = c2b.groupBy("w2").agg(F.sum("c2b").cast("bigint").alias("cc1"))
+    c2b = (
+        c3.select(
+            F.expr(f"(k12 % {_TRI_MOD}) * {_TRI_MOD}L + h3").alias("k12"),
+            F.col("c3").alias("c"),
+        )
+        .unionAll(firsts)
+        .groupBy("k12")
+        .agg(F.sum("c").cast("bigint").alias("c2b"))
+        .persist()
+    )
+    c1ctx = (
+        c2b.groupBy(F.expr(f"k12 div {_TRI_MOD}").alias("h1"))
+        .agg(F.sum("c2b").cast("bigint").alias("cc1"))
+    )
+    j2 = c2b.join(c1ctx, F.expr(f"h1 = k12 div {_TRI_MOD}")).select(
+        F.col("k12").alias("k23"), "cc1", "c2b"
+    )
     lm2 = DM.spark_with_det_ln(
-        DM.spark_with_det_ln(c2b.join(c1ctx, "w2"), "cc1", "tc"), "c2b", "td"
+        DM.spark_with_det_ln(j2, "cc1", "tc"), "c2b", "td"
     ).select(
-        "w2",
-        "w3",
+        "k23",
         F.expr(
             f"CAST(ROUND(1000000 * (({_BACKOFF_NEG_LN_04} + tc_ln) - td_ln)) AS BIGINT)"
         ).alias("nll2_e6"),
     )
+    lasts = (
+        toks.filter((F.size("h") >= 1) & (F.col("doc_id") % 10 != 0))
+        .select(F.expr("element_at(h, size(h))").alias("h3"))
+        .groupBy("h3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
     uni = (
-        toks.filter(F.col("doc_id") % 10 != 0)
-        .select(F.explode("t").alias("w3"))
-        .groupBy("w3")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("u"))
+        c2b.select(F.expr(f"k12 div {_TRI_MOD}").alias("h3"), F.col("c2b").alias("c"))
+        .unionAll(lasts)
+        .groupBy("h3")
+        .agg(F.sum("c").cast("bigint").alias("u"))
     )
     tot = uni.agg(F.sum("u").cast("bigint").alias("big_u"))
     tot_ln = DM.spark_with_det_ln(tot, "big_u", "tt").select(
@@ -1157,16 +1215,17 @@ def text_trigram_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm1 = DM.spark_with_det_ln(
         uni.crossJoin(F.broadcast(tot_ln)), "u", "tu"
     ).select(
-        "w3",
+        "h3",
         F.expr(
             f"CAST(ROUND(1000000 * (({_BACKOFF_NEG_LN_04_X2} + tt_ln) - tu_ln)) AS BIGINT)"
         ).alias("nll1_e6"),
     )
     scored = (
         tg_all.filter(F.col("doc_id") % 10 == 0)
-        .join(lm3, ["w1", "w2", "w3"], "left")
-        .join(lm2, ["w2", "w3"], "left")
-        .join(lm1, "w3", "left")
+        .withColumn("k23", F.expr(f"(k12 % {_TRI_MOD}) * {_TRI_MOD} + h3"))
+        .join(lm3, ["k12", "h3"], "left")
+        .join(lm2, "k23", "left")
+        .join(lm1, "h3", "left")
         .crossJoin(F.broadcast(tot_ln.select("k0_e6")))
         .select(
             "doc_id",
@@ -1191,4 +1250,6 @@ def text_trigram_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id"),
         toks,
+        c3,
+        c2b,
     )
