@@ -123,6 +123,7 @@ HEADLINE = [
     "text_trigram_backoff_nll",
     "curation_bloom_decontaminate",
     "vocab_topk_cms",
+    "text_kn_bigram_nll",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
@@ -244,6 +245,10 @@ SHUFFLE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # re-aggregate from it, text.py) — measured 7.49 cold / 2.60 warm;
     # n-gram keys travel as BIGINTs, never strings (first cut measured 22×).
     "text_trigram_backoff_nll": (["documents"], 10.0),
+    # KN-lite: ONE bigram-stream shuffle builds c2; ctx/cont/B re-aggregate
+    # from it and the 10% test stream joins three BIGINT-keyed LM tables.
+    # measured 2.50 cold (spread + the one LM-build exchange).
+    "text_kn_bigram_nll": (["documents"], 3.5),
     # bloom: the only corpus-sized exchange is the doc_id-keyed partial
     # aggs + the spread exchange on this single-file layout; the probe is
     # map-side against the broadcast dense word array.  measured 2.60.
@@ -318,6 +323,7 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     "text_trigram_backoff_nll": (["documents"], 3.5),  # measured 2.27
     "curation_bloom_decontaminate": (["documents"], 1.5),  # measured 1.01
     "vocab_topk_cms": (["documents"], 0.4),  # measured 0.25
+    "text_kn_bigram_nll": (["documents"], 0.5),  # measured 0.284
 }
 
 

@@ -142,3 +142,85 @@ def py_det_ln(c: int) -> float:
     for coef in reversed(coefs[:-1]):
         s = coef + z2 * s
     return float(k) * float(LN2_LIT) + (2.0 * z) * s
+
+
+# -- det-ln over POSITIVE DOUBLES in [2^-61, 2) ------------------------------
+# The BIGINT chain above covers ln of a raw count; interpolated LMs
+# (Kneser-Ney) need ln of a PROBABILITY that is a *sum* of exact-rational
+# terms — a computed double, not a count.  Same trick, different exponent
+# extraction: for x in [2^-61, 2), q = x * 2^61 is EXACT (power-of-two
+# multiply only shifts the exponent; q < 2^62 so no overflow), so
+# floor(log2 x) + 61 = bit-length(trunc(q)) - 1 by the same bin() both
+# engines already share (truncation cannot cross a power-of-two boundary).
+# m = x * 2^(-k) is again an exact exponent shift into [1, 2), and the
+# atanh series is reused verbatim.  Every op is correctly-rounded IEEE
+# double arithmetic with byte-identical order, so the result is
+# bit-identical across engines for bit-identical inputs — which the
+# callers guarantee by building x from BIGINTs with a fixed division/
+# multiply/add order (each of those ops IS correctly rounded, unlike ln).
+#
+# Only the trunc-cast spelling differs per dialect: Spark CAST(double AS
+# BIGINT) truncates toward zero, DuckDB's rounds half-even, so DuckDB goes
+# through trunc() (exact) first.
+
+_P61_LIT = _dlit(float(1 << 61))
+
+
+def _stepsd(x: str, p: str, trunc_cast: str, pow2_lookup: str) -> list[tuple[str, str]]:
+    return [
+        (f"{p}_k", f"(length(bin({trunc_cast})) - 62)"),
+        (f"{p}_m", f"({x} * {pow2_lookup})"),
+        (f"{p}_z", f"(({p}_m - 1e0) / ({p}_m + 1e0))"),
+        (f"{p}_z2", f"({p}_z * {p}_z)"),
+        (
+            f"{p}_ln",
+            f"(CAST({p}_k AS DOUBLE) * {LN2_LIT}"
+            f" + (2e0 * {p}_z) * {_horner(p + '_z2')})",
+        ),
+    ]
+
+
+def spark_det_lnd_cols(x: str, prefix: str) -> list[tuple[str, str]]:
+    """Spark: [(col_name, sql_expr)] chain computing ``ln(x)`` into
+    ``{prefix}_ln`` for a simple DOUBLE column ``x`` in [2^-61, 2)."""
+    arr = "array(" + ", ".join(_POW2_LITS) + ")"
+    trunc_cast = f"CAST({x} * {_P61_LIT} AS BIGINT)"
+    # m = x * 2^(-k); -k in [0, 61] so the positive power table serves,
+    # indexed 1-based at (-k) + 1 = 1 - k.
+    lookup = f"element_at({arr}, CAST(1 - {prefix}_k AS INT))"
+    return _stepsd(x, prefix, trunc_cast, lookup)
+
+
+def duckdb_det_lnd_cols(x: str, prefix: str) -> list[tuple[str, str]]:
+    arr = "[" + ", ".join(_POW2_LITS) + "]"
+    trunc_cast = f"CAST(trunc({x} * {_P61_LIT}) AS BIGINT)"
+    lookup = f"({arr})[1 - {prefix}_k]"
+    return _stepsd(x, prefix, trunc_cast, lookup)
+
+
+def duckdb_det_lnd_select(x: str, prefix: str) -> str:
+    """The DuckDB double chain rendered as ``expr AS name, ...`` items."""
+    return ", ".join(f"{e} AS {n}" for n, e in duckdb_det_lnd_cols(x, prefix))
+
+
+def spark_with_det_lnd(df, x: str, prefix: str):
+    """Apply the Spark double chain to ``df``, adding ``{prefix}_ln``."""
+    import pyspark.sql.functions as F
+
+    for name, expr in spark_det_lnd_cols(x, prefix):
+        df = df.withColumn(name, F.expr(expr))
+    return df
+
+
+def py_det_lnd(x: float) -> float:
+    """Python mirror of the double chain (executable spec for tests)."""
+    j = int(x * float(1 << 61)).bit_length() - 1
+    k = j - 61
+    m = x * float(1 << -k)
+    z = (m - 1.0) / (m + 1.0)
+    z2 = z * z
+    coefs = [1.0 / (2 * i + 1) for i in range(13)]
+    s = coefs[-1]
+    for coef in reversed(coefs[:-1]):
+        s = coef + z2 * s
+    return float(k) * float(LN2_LIT) + (2.0 * z) * s

@@ -1253,3 +1253,255 @@ def text_trigram_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         c3,
         c2b,
     )
+
+# --------------------------------------------------------------------------
+# Kneser-Ney-lite bigram LM — the interpolated rung of the LM ladder
+# (reference parity: SURVEY.md §2.11 scalar surface / §7 phase 6 text ops;
+# the stupid-backoff rungs above are the *back-off* family, this is the
+# *interpolated absolute-discounting* family used by CCNet-style corpus
+# perplexity filters).
+#
+#   P(w2|w1) = max(c(w1,w2) - D, 0)/c(w1·)  +  D·N1+(w1·)/c(w1·) · Pc(w2)
+#   Pc(w2)   = (2·N1+(·w2) + 1) / (2·(B + 1))        (add-half continuation)
+#
+# with D = 3/4 EXACTLY, so every term is a ratio of small BIGINTs:
+# max(c-D,0) = (4c-3)/4 for c >= 1, lambda = 3r/(4cc).  The interpolated
+# probability is a SUM, so unlike the back-off rungs its log cannot split
+# into ln(count) - ln(count): the seen-bigram NLL goes through the
+# detmath DOUBLE chain (det_lnd) on a probability both engines construct
+# bit-identically from BIGINTs with a fixed divide/multiply/add order.
+# Unseen paths factor exactly, so they stay on the integer chain:
+#   ctx-backoff  nll = [ln(4cc) - ln(3r)] + [ln(2B+2) - ln(2l+1)]
+#   full backoff nll = ln(2B+2)                 (l = 0)
+# each bracket quantized to micro-nats on its vocab-bounded LM table
+# (sum-of-rounded vs rounded-sum differs by <= 1 micro-nat — deterministic
+# on both engines, which is the contract; the semantic value is identical
+# at the 1e-6 scale).
+#
+# det_lnd domain: p in [1/(4cc), 1) and ln arguments 4cc/3r/2l+1/2B+2 are
+# all positive BIGINTs -- safe for any corpus under 2^59 tokens.
+
+
+@query(
+    "text_kn_bigram_nll",
+    oracle=f"""
+    WITH toks AS (
+        {_tri_toks_duckdb()}
+    ),
+    bg AS (
+        SELECT doc_id, u.k12 AS k12
+        FROM toks, UNNEST([h[i] * {_TRI_MOD} + h[i + 1]
+                           for i in range(1, len(h))]) AS u(k12)
+    ),
+    c2 AS (
+        SELECT k12, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bg WHERE doc_id % 10 <> 0 GROUP BY k12
+    ),
+    ctx AS (
+        SELECT k12 // {_TRI_MOD} AS h1,
+               CAST(SUM(c) AS BIGINT) AS cc,
+               CAST(COUNT(*) AS BIGINT) AS r
+        FROM c2 GROUP BY 1
+    ),
+    cont AS (
+        SELECT k12 % {_TRI_MOD} AS h2, CAST(COUNT(*) AS BIGINT) AS l
+        FROM c2 GROUP BY 1
+    ),
+    btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM c2),
+    btln AS (
+        SELECT b, b22, {{DET_BB}}
+        FROM (SELECT b, 2 * b + 2 AS b22 FROM btot)
+    ),
+    lmctx AS (
+        SELECT h1, {{DET_CA}}, {{DET_CB}},
+               CAST(ROUND(1000000 * (ca_ln - cb_ln)) AS BIGINT) AS a_e6
+        FROM (SELECT h1, 4 * cc AS cc4, 3 * r AS r3 FROM ctx)
+    ),
+    lmcont AS (
+        SELECT h2, {{DET_CL}},
+               CAST(ROUND(1000000 * (bb_ln - cl_ln)) AS BIGINT) AS cont_e6
+        FROM (SELECT h2, 2 * l + 1 AS l21 FROM cont) CROSS JOIN btln
+    ),
+    k0 AS (
+        SELECT CAST(ROUND(1000000 * bb_ln) AS BIGINT) AS k0_e6 FROM btln
+    ),
+    seen0 AS (
+        SELECT c2.k12 AS k12,
+               (CAST(4 * c2.c - 3 AS DOUBLE) / CAST(4 * ctx.cc AS DOUBLE))
+               + (CAST(3 * ctx.r AS DOUBLE) / CAST(4 * ctx.cc AS DOUBLE))
+                 * (CAST(2 * cont.l + 1 AS DOUBLE) / CAST(2 * btot.b + 2 AS DOUBLE)) AS p
+        FROM c2
+        JOIN ctx ON ctx.h1 = c2.k12 // {_TRI_MOD}
+        JOIN cont ON cont.h2 = c2.k12 % {_TRI_MOD}
+        CROSS JOIN btot
+    ),
+    lmseen AS (
+        SELECT k12, {{DET_PP}},
+               CAST(ROUND(1000000 * (0e0 - pp_ln)) AS BIGINT) AS nll2_e6
+        FROM seen0
+    ),
+    scored AS (
+        SELECT g.doc_id,
+               CASE WHEN s.nll2_e6 IS NOT NULL THEN 0
+                    WHEN x.a_e6 IS NOT NULL THEN 1
+                    ELSE 2 END AS bo,
+               COALESCE(s.nll2_e6,
+                        x.a_e6 + COALESCE(n.cont_e6, k0.k0_e6),
+                        COALESCE(n.cont_e6, k0.k0_e6)) AS nll_e6
+        FROM (SELECT doc_id, k12 FROM bg WHERE doc_id % 10 = 0) g
+        LEFT JOIN lmseen s ON s.k12 = g.k12
+        LEFT JOIN lmctx x ON x.h1 = g.k12 // {_TRI_MOD}
+        LEFT JOIN lmcont n ON n.h2 = g.k12 % {_TRI_MOD}
+        CROSS JOIN k0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)                                AS n_transitions,
+           CAST(SUM(CASE WHEN bo = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo_ctx,
+           CAST(SUM(CASE WHEN bo = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo_cont,
+           CAST(SUM(nll_e6) AS BIGINT)                             AS sum_nll_e6
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """.replace("{DET_BB}", DM.duckdb_det_ln_select("b22", "bb"))
+       .replace("{DET_CA}", DM.duckdb_det_ln_select("cc4", "ca"))
+       .replace("{DET_CB}", DM.duckdb_det_ln_select("r3", "cb"))
+       .replace("{DET_CL}", DM.duckdb_det_ln_select("l21", "cl"))
+       .replace("{DET_PP}", DM.duckdb_det_lnd_select("p", "pp")),
+)
+def text_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Kneser-Ney-lite bigram scoring: train on 90% of docs
+    (doc_id % 10 != 0), score the 10% test stream; per doc emit transition
+    count, backoff-level counts, and the summed micro-nat NLL.
+
+    Scale: the token stream shuffles ONCE (the bigram count build keyed on
+    the bijective BIGINT pair code); context (cc, r), continuation (l) and
+    type-total (B) tables all re-aggregate from the vocab-bounded count
+    table c2, never the stream.  The seen-bigram LM computes its
+    interpolated probability per c2 row (vocab-bounded) via two equi-joins
+    on h1/h2 plus the 1-row B broadcast, and takes its log through the
+    deterministic DOUBLE chain (detmath det_lnd) — bit-identical across
+    engines because p is built from BIGINTs with a fixed op order and
+    every det-ln op is correctly-rounded IEEE arithmetic.  The 10% test
+    stream equi-joins three LM tables on 8-byte keys; the full-backoff
+    constant rides a 1-row broadcast."""
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    ph = H.spark_char_polyhash("w")
+    toks = d.select(
+        "doc_id",
+        F.expr(
+            f"transform(filter(split(text, ' '), x -> x <> ''), w -> {ph})"
+        ).alias("h"),
+    ).persist()
+    bg_all = (
+        toks.select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN size(h) >= 2 THEN "
+                "transform(sequence(1, size(h) - 1), "
+                f"i -> h[i - 1] * {_TRI_MOD}L + h[i]) "
+                "ELSE CAST(array() AS array<bigint>) END"
+            ).alias("ks"),
+        )
+        .select("doc_id", F.explode("ks").alias("k12"))
+    )
+    c2 = (
+        bg_all.filter(F.col("doc_id") % 10 != 0)
+        .groupBy("k12")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    ctx = (
+        c2.groupBy(F.expr(f"k12 div {_TRI_MOD}").alias("h1"))
+        .agg(
+            F.sum("c").cast("bigint").alias("cc"),
+            F.count(F.lit(1)).cast("bigint").alias("r"),
+        )
+    )
+    cont = (
+        c2.groupBy(F.expr(f"k12 % {_TRI_MOD}").alias("h2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("l"))
+    )
+    btot = c2.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+    btln = DM.spark_with_det_ln(
+        btot.withColumn("b22", F.expr("2 * b + 2")), "b22", "bb"
+    ).select("b", "b22", "bb_ln")
+    lmctx = DM.spark_with_det_ln(
+        DM.spark_with_det_ln(
+            ctx.select(
+                "h1", F.expr("4 * cc").alias("cc4"), F.expr("3 * r").alias("r3")
+            ),
+            "cc4",
+            "ca",
+        ),
+        "r3",
+        "cb",
+    ).select(
+        "h1",
+        F.expr("CAST(ROUND(1000000 * (ca_ln - cb_ln)) AS BIGINT)").alias("a_e6"),
+    )
+    lmcont = DM.spark_with_det_ln(
+        cont.select("h2", F.expr("2 * l + 1").alias("l21")).crossJoin(
+            F.broadcast(btln)
+        ),
+        "l21",
+        "cl",
+    ).select(
+        "h2",
+        F.expr("CAST(ROUND(1000000 * (bb_ln - cl_ln)) AS BIGINT)").alias("cont_e6"),
+    )
+    k0row = btln.select(
+        F.expr("CAST(ROUND(1000000 * bb_ln) AS BIGINT)").alias("k0_e6")
+    )
+    seen0 = (
+        c2.withColumn("h1", F.expr(f"k12 div {_TRI_MOD}"))
+        .withColumn("h2", F.expr(f"k12 % {_TRI_MOD}"))
+        .join(ctx, "h1")
+        .join(cont, "h2")
+        .crossJoin(F.broadcast(btot))
+        .withColumn(
+            "p",
+            F.expr(
+                "(CAST(4 * c - 3 AS DOUBLE) / CAST(4 * cc AS DOUBLE))"
+                " + (CAST(3 * r AS DOUBLE) / CAST(4 * cc AS DOUBLE))"
+                " * (CAST(2 * l + 1 AS DOUBLE) / CAST(2 * b + 2 AS DOUBLE))"
+            ),
+        )
+    )
+    lmseen = DM.spark_with_det_lnd(seen0, "p", "pp").select(
+        "k12",
+        F.expr("CAST(ROUND(1000000 * (0e0 - pp_ln)) AS BIGINT)").alias("nll2_e6"),
+    )
+    scored = (
+        bg_all.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("h1", F.expr(f"k12 div {_TRI_MOD}"))
+        .withColumn("h2", F.expr(f"k12 % {_TRI_MOD}"))
+        .join(lmseen, "k12", "left")
+        .join(lmctx, "h1", "left")
+        .join(lmcont, "h2", "left")
+        .crossJoin(F.broadcast(k0row))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN nll2_e6 IS NOT NULL THEN 0 "
+                "WHEN a_e6 IS NOT NULL THEN 1 ELSE 2 END"
+            ).alias("bo"),
+            F.expr(
+                "COALESCE(nll2_e6, a_e6 + COALESCE(cont_e6, k0_e6), "
+                "COALESCE(cont_e6, k0_e6))"
+            ).alias("nll_e6"),
+        )
+    )
+    return scoped_persist(
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.sum(F.expr("CASE WHEN bo = 1 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_bo_ctx"),
+            F.sum(F.expr("CASE WHEN bo = 2 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_bo_cont"),
+            F.sum("nll_e6").cast("bigint").alias("sum_nll_e6"),
+        )
+        .orderBy("doc_id"),
+        toks,
+        c2,
+    )

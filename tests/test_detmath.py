@@ -96,6 +96,70 @@ BOUNDARY_PAIRS = [
 ]
 
 
+def _unit_doubles() -> list[float]:
+    # the [2^-61, 2) domain of the DOUBLE chain: exact powers of two, both
+    # domain edges, neighbours of 1.0 (where z crosses 0), random exact
+    # rationals, and KN-shaped sums t1 + lam*pc
+    random.seed(43)
+    xs = (
+        [float(2.0**-k) for k in range(0, 62)]
+        + [math.nextafter(2.0, 0.0), math.nextafter(1.0, 0.0),
+           math.nextafter(1.0, 2.0), 1.0, float(2.0**-61)]
+        + [random.randrange(1, 1 << 53) / float(1 << k) for k in range(1, 54) for _ in range(40)]
+    )
+    out = []
+    for x in xs:
+        if 2.0**-61 <= x < 2.0:
+            out.append(x)
+    for _ in range(2000):
+        c, cc = random.randrange(1, 10**12), random.randrange(1, 10**12)
+        cc = max(c, cc)
+        r, lq = random.randrange(1, cc + 1), random.randrange(0, 10**9)
+        b = random.randrange(max(1, lq), 10**12)
+        t1 = float(4 * c - 3) / float(4 * cc)
+        lam = float(3 * r) / float(4 * cc)
+        pc = float(2 * lq + 1) / float(2 * b + 2)
+        out.append(t1 + lam * pc)
+    return out
+
+
+def test_duckdb_double_chain_matches_python_mirror_bitwise_and_is_accurate():
+    xs = _unit_doubles()
+    con = duckdb.connect()
+    con.register("src", pa.table({"x": pa.array(xs, type=pa.float64())}))
+    rows = con.sql(
+        f"SELECT x, {DM.duckdb_det_lnd_select('x', 'q')} FROM src"
+    ).fetchall()
+    assert len(rows) == len(xs)
+    for r in rows:
+        x, ln_sql = r[0], r[-1]
+        assert _bits(ln_sql) == _bits(DM.py_det_lnd(x)), x
+        assert abs(ln_sql - math.log(x)) < 1e-12, (x, ln_sql)
+
+
+def test_spark_double_chain_matches_python_mirror_bitwise(spark):
+    xs = _unit_doubles()[::7]  # sampled — Spark startup dominates
+    sdf = spark.createDataFrame([(x,) for x in xs], "x double")
+    out = DM.spark_with_det_lnd(sdf, "x", "q").select("x", "q_ln").collect()
+    assert len(out) == len(xs)
+    for row in out:
+        assert _bits(row.q_ln) == _bits(DM.py_det_lnd(row.x)), row.x
+
+
+def test_double_chain_dialects_share_op_order():
+    sp = dict(DM.spark_det_lnd_cols("x", "p"))
+    dk = dict(DM.duckdb_det_lnd_cols("x", "p"))
+    assert sp.keys() == dk.keys()
+    for k in sp:
+        if k in ("p_m", "p_k"):
+            continue  # array-index / trunc-cast spelling differs
+        assert sp[k] == dk[k], k
+    # the trunc-cast wraps the SAME exact product; only the cast spelling
+    # differs (Spark CAST truncates, DuckDB needs trunc() first)
+    assert f"x * {DM._P61_LIT}" in sp["p_k"] and f"x * {DM._P61_LIT}" in dk["p_k"]
+    assert "trunc(" in dk["p_k"] and "trunc(" not in sp["p_k"]
+
+
 def _half_away(x: float) -> int:
     # SQL ROUND semantics for positive values (Spark HALF_UP / DuckDB
     # round-half-away) — python round() is half-EVEN and must not be used

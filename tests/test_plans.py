@@ -72,6 +72,9 @@ NESTED_LOOP_ALLOWED = {
     # curation_bloom_decontaminate — crossJoin against the 1-row broadcast
     # dense Bloom word array (16 KB, constant in eval-set size).
     "curation_bloom_decontaminate",
+    # text_kn_bigram_nll — crossJoins against the 1-row bigram-type-total
+    # (B) scalar and its derived ln constants.
+    "text_kn_bigram_nll",
 }
 
 # Queries machine-tagged as deliberate non-scale-safe ground truth (META)
@@ -199,7 +202,7 @@ def test_no_sf_scaled_broadcast_hints():
             # ntok = 1-row corpus token total (vocab_topk_cms),
             # sizes = one row per block label (bounded by the IVF cell
             # count, not the corpus — sim_range_search_blocked sub-split)
-            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok"}:
+            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok", "btln", "btot", "k0row"}:
                 offenders.append(f"{path.name}: F.broadcast({target}")
     assert not offenders, offenders
 
