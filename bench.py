@@ -124,6 +124,7 @@ HEADLINE = [
     "curation_bloom_decontaminate",
     "vocab_topk_cms",
     "text_kn_bigram_nll",
+    "curation_perplexity_gate",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
@@ -249,6 +250,10 @@ SHUFFLE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # from it and the 10% test stream joins three BIGINT-keyed LM tables.
     # measured 2.50 cold (spread + the one LM-build exchange).
     "text_kn_bigram_nll": (["documents"], 3.5),
+    # perplexity gate scores ALL transitions (10x the held-out scorer's
+    # stream) against the same LM; tercile thresholds come from the
+    # value-bounded histogram, never a corpus sort.  measured 3.40 cold.
+    "curation_perplexity_gate": (["documents"], 4.5),
     # bloom: the only corpus-sized exchange is the doc_id-keyed partial
     # aggs + the spread exchange on this single-file layout; the probe is
     # map-side against the broadcast dense word array.  measured 2.60.
@@ -324,6 +329,7 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     "curation_bloom_decontaminate": (["documents"], 1.5),  # measured 1.01
     "vocab_topk_cms": (["documents"], 0.4),  # measured 0.25
     "text_kn_bigram_nll": (["documents"], 0.5),  # measured 0.284
+    "curation_perplexity_gate": (["documents"], 0.6),  # measured 0.354
 }
 
 

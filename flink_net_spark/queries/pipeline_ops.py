@@ -1109,3 +1109,142 @@ def vocab_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity gate: tier the corpus by LM mean NLL.
+# --------------------------------------------------------------------------
+# The standard pretraining curation step (CCNet; Gopher/LLaMA pipelines):
+# score every document against a reference LM and split the corpus into
+# head/middle/tail perplexity terciles, then report the tier composition
+# per source.  The LM is the shared Kneser-Ney-lite bigram model from
+# queries/text.py (trained on the doc_id % 10 != 0 partition — the
+# "reference corpus" proxy), and the tier boundaries are EXACT nearest-rank
+# terciles of the per-doc mean micro-nat NLL.
+
+
+@query(
+    "curation_perplexity_gate",
+    oracle=None,  # set below — needs text._KN_CTES after import
+)
+def curation_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-tercile gate over EVERY document: per (source, tier)
+    emit doc count, summed transitions, and the mean-NLL range.
+
+    Tiering must not global-sort the corpus: per-doc means are quantized
+    micro-nat BIGINTs, so their distinct values are bounded by the NLL
+    VALUE RANGE (≤ ~4e7 for any corpus), not the corpus size.  The
+    terciles come from a cumulative sum over that value histogram — the
+    only ordered window in the plan runs on histogram rows, corpus-size
+    independent — and the two thresholds ride a 1-row broadcast back over
+    the doc stream, so tier assignment is a map-side CASE.  Docs with no
+    bigram (0/1 tokens) take the OOV constant k0 as their mean.
+
+    Determinism: mean = sum_nll_e6 div n (integer floor division), and
+    nearest-rank terciles (first value whose cumulative count reaches
+    ceil(n/3), ceil(2n/3)) are pure integer predicates — no quantile
+    interpolation, no float ordering."""
+    from flink_net_spark.queries.text import kn_scored_transitions
+    from flink_net_spark.tables import scoped_persist
+
+    scored, k0row, caches = kn_scored_transitions(spark, sf_dir)
+    doc_nll = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tr"),
+        F.sum("nll_e6").cast("bigint").alias("s_nll"),
+    )
+    d = spread_small_scan(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source"
+    )
+    per_doc = (
+        d.join(doc_nll, "doc_id", "left")
+        .crossJoin(F.broadcast(k0row))
+        .select(
+            "doc_id",
+            "source",
+            F.expr("COALESCE(n_tr, 0L)").alias("n_tr"),
+            F.expr("COALESCE(s_nll div n_tr, k0_e6)").alias("mean_e6"),
+        )
+        .persist()
+    )
+    nrow = per_doc.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    hist = per_doc.groupBy(F.col("mean_e6").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(Window.orderBy("v")))
+    thr = (
+        cum.crossJoin(F.broadcast(nrow))
+        .agg(
+            F.min(F.expr("CASE WHEN cum >= (n + 2) div 3 THEN v END")).alias("t1"),
+            F.min(F.expr("CASE WHEN cum >= (2 * n + 2) div 3 THEN v END")).alias("t2"),
+        )
+    )
+    tiered = per_doc.crossJoin(F.broadcast(thr)).select(
+        "source",
+        F.expr(
+            "CASE WHEN mean_e6 <= t1 THEN 1 WHEN mean_e6 <= t2 THEN 2 ELSE 3 END"
+        ).alias("tier"),
+        "n_tr",
+        "mean_e6",
+    )
+    return scoped_persist(
+        tiered.groupBy("source", "tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tr").cast("bigint").alias("sum_transitions"),
+            F.min("mean_e6").cast("bigint").alias("min_mean_nll_e6"),
+            F.max("mean_e6").cast("bigint").alias("max_mean_nll_e6"),
+        )
+        .orderBy("source", "tier"),
+        *caches,
+        per_doc,
+    )
+
+
+def _perplexity_gate_oracle() -> str:
+    from flink_net_spark.queries.text import _KN_CTES
+
+    return f"""
+    WITH {_KN_CTES},
+    doc_nll AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tr,
+               CAST(SUM(nll_e6) AS BIGINT) AS s_nll
+        FROM kn_scored GROUP BY doc_id
+    ),
+    per_doc AS (
+        SELECT d.doc_id, d.source,
+               COALESCE(x.n_tr, 0) AS n_tr,
+               COALESCE(x.s_nll // x.n_tr, k0.k0_e6) AS mean_e6
+        FROM documents d
+        LEFT JOIN doc_nll x ON x.doc_id = d.doc_id
+        CROSS JOIN k0
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per_doc),
+    hist AS (
+        SELECT mean_e6 AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM per_doc GROUP BY 1
+    ),
+    cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM hist),
+    thr AS (
+        SELECT MIN(CASE WHEN cum >= (nn.n + 2) // 3 THEN v END) AS t1,
+               MIN(CASE WHEN cum >= (2 * nn.n + 2) // 3 THEN v END) AS t2
+        FROM cum CROSS JOIN nn
+    ),
+    tiered AS (
+        SELECT p.source,
+               CASE WHEN p.mean_e6 <= thr.t1 THEN 1
+                    WHEN p.mean_e6 <= thr.t2 THEN 2 ELSE 3 END AS tier,
+               p.n_tr, p.mean_e6
+        FROM per_doc p CROSS JOIN thr
+    )
+    SELECT source, tier,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tr) AS BIGINT) AS sum_transitions,
+           CAST(MIN(mean_e6) AS BIGINT) AS min_mean_nll_e6,
+           CAST(MAX(mean_e6) AS BIGINT) AS max_mean_nll_e6
+    FROM tiered GROUP BY source, tier ORDER BY source, tier
+    """
+
+
+from flink_net_spark.queries import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["curation_perplexity_gate"] = _perplexity_gate_oracle()

@@ -1280,12 +1280,12 @@ def text_trigram_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # det_lnd domain: p in [1/(4cc), 1) and ln arguments 4cc/3r/2l+1/2B+2 are
 # all positive BIGINTs -- safe for any corpus under 2^59 tokens.
+#
+# The LM build (toks .. lmseen/lmctx/lmcont/k0) is shared between the
+# held-out scorer below and curation_perplexity_gate (pipeline_ops.py),
+# as one DuckDB CTE block and one Spark table-builder.
 
-
-@query(
-    "text_kn_bigram_nll",
-    oracle=f"""
-    WITH toks AS (
+_KN_CTES = f"""toks AS (
         {_tri_toks_duckdb()}
     ),
     bg AS (
@@ -1340,7 +1340,7 @@ def text_trigram_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ROUND(1000000 * (0e0 - pp_ln)) AS BIGINT) AS nll2_e6
         FROM seen0
     ),
-    scored AS (
+    kn_scored AS (
         SELECT g.doc_id,
                CASE WHEN s.nll2_e6 IS NOT NULL THEN 0
                     WHEN x.a_e6 IS NOT NULL THEN 1
@@ -1348,40 +1348,28 @@ def text_trigram_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
                COALESCE(s.nll2_e6,
                         x.a_e6 + COALESCE(n.cont_e6, k0.k0_e6),
                         COALESCE(n.cont_e6, k0.k0_e6)) AS nll_e6
-        FROM (SELECT doc_id, k12 FROM bg WHERE doc_id % 10 = 0) g
+        FROM bg g
         LEFT JOIN lmseen s ON s.k12 = g.k12
         LEFT JOIN lmctx x ON x.h1 = g.k12 // {_TRI_MOD}
         LEFT JOIN lmcont n ON n.h2 = g.k12 % {_TRI_MOD}
         CROSS JOIN k0
-    )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT)                                AS n_transitions,
-           CAST(SUM(CASE WHEN bo = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo_ctx,
-           CAST(SUM(CASE WHEN bo = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo_cont,
-           CAST(SUM(nll_e6) AS BIGINT)                             AS sum_nll_e6
-    FROM scored GROUP BY doc_id ORDER BY doc_id
-    """.replace("{DET_BB}", DM.duckdb_det_ln_select("b22", "bb"))
-       .replace("{DET_CA}", DM.duckdb_det_ln_select("cc4", "ca"))
-       .replace("{DET_CB}", DM.duckdb_det_ln_select("r3", "cb"))
-       .replace("{DET_CL}", DM.duckdb_det_ln_select("l21", "cl"))
-       .replace("{DET_PP}", DM.duckdb_det_lnd_select("p", "pp")),
-)
-def text_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Held-out Kneser-Ney-lite bigram scoring: train on 90% of docs
-    (doc_id % 10 != 0), score the 10% test stream; per doc emit transition
-    count, backoff-level counts, and the summed micro-nat NLL.
+    )""".replace("{DET_BB}", DM.duckdb_det_ln_select("b22", "bb")) \
+        .replace("{DET_CA}", DM.duckdb_det_ln_select("cc4", "ca")) \
+        .replace("{DET_CB}", DM.duckdb_det_ln_select("r3", "cb")) \
+        .replace("{DET_CL}", DM.duckdb_det_ln_select("l21", "cl")) \
+        .replace("{DET_PP}", DM.duckdb_det_lnd_select("p", "pp"))
 
-    Scale: the token stream shuffles ONCE (the bigram count build keyed on
-    the bijective BIGINT pair code); context (cc, r), continuation (l) and
-    type-total (B) tables all re-aggregate from the vocab-bounded count
-    table c2, never the stream.  The seen-bigram LM computes its
-    interpolated probability per c2 row (vocab-bounded) via two equi-joins
-    on h1/h2 plus the 1-row B broadcast, and takes its log through the
-    deterministic DOUBLE chain (detmath det_lnd) — bit-identical across
-    engines because p is built from BIGINTs with a fixed op order and
-    every det-ln op is correctly-rounded IEEE arithmetic.  The 10% test
-    stream equi-joins three LM tables on 8-byte keys; the full-backoff
-    constant rides a 1-row broadcast."""
+
+def kn_scored_transitions(spark: SparkSession, sf_dir: str):
+    """Spark half of the shared KN-lite LM: returns (scored, caches) where
+    ``scored`` is every transition in the corpus as
+    (doc_id, bo, nll_e6) — bo 0 = seen bigram, 1 = ctx backoff, 2 = full
+    backoff — and ``caches`` are the persisted intermediates to hand to
+    scoped_persist.  Callers filter to their doc population (held-out
+    scorer: doc_id % 10 = 0; perplexity gate: all docs).
+
+    The LM always trains on doc_id % 10 != 0; see the module comment for
+    the probability model and determinism contract."""
     d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     ph = H.spark_char_polyhash("w")
     toks = d.select(
@@ -1470,8 +1458,7 @@ def text_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(1000000 * (0e0 - pp_ln)) AS BIGINT)").alias("nll2_e6"),
     )
     scored = (
-        bg_all.filter(F.col("doc_id") % 10 == 0)
-        .withColumn("h1", F.expr(f"k12 div {_TRI_MOD}"))
+        bg_all.withColumn("h1", F.expr(f"k12 div {_TRI_MOD}"))
         .withColumn("h2", F.expr(f"k12 % {_TRI_MOD}"))
         .join(lmseen, "k12", "left")
         .join(lmctx, "h1", "left")
@@ -1489,8 +1476,41 @@ def text_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll_e6"),
         )
     )
+    return scored, k0row, [toks, c2]
+
+
+@query(
+    "text_kn_bigram_nll",
+    oracle=f"""
+    WITH {_KN_CTES}
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)                                AS n_transitions,
+           CAST(SUM(CASE WHEN bo = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo_ctx,
+           CAST(SUM(CASE WHEN bo = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo_cont,
+           CAST(SUM(nll_e6) AS BIGINT)                             AS sum_nll_e6
+    FROM kn_scored WHERE doc_id % 10 = 0 GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Kneser-Ney-lite bigram scoring: train on 90% of docs
+    (doc_id % 10 != 0), score the 10% test stream; per doc emit transition
+    count, backoff-level counts, and the summed micro-nat NLL.
+
+    Scale: the token stream shuffles ONCE (the bigram count build keyed on
+    the bijective BIGINT pair code); context (cc, r), continuation (l) and
+    type-total (B) tables all re-aggregate from the vocab-bounded count
+    table c2, never the stream.  The seen-bigram LM computes its
+    interpolated probability per c2 row (vocab-bounded) via two equi-joins
+    on h1/h2 plus the 1-row B broadcast, and takes its log through the
+    deterministic DOUBLE chain (detmath det_lnd) — bit-identical across
+    engines because p is built from BIGINTs with a fixed op order and
+    every det-ln op is correctly-rounded IEEE arithmetic.  The test
+    stream equi-joins three LM tables on 8-byte keys; the full-backoff
+    constant rides a 1-row broadcast."""
+    scored, _k0row, caches = kn_scored_transitions(spark, sf_dir)
     return scoped_persist(
-        scored.groupBy("doc_id")
+        scored.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
             F.sum(F.expr("CASE WHEN bo = 1 THEN 1 ELSE 0 END"))
@@ -1502,6 +1522,5 @@ def text_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nll_e6").cast("bigint").alias("sum_nll_e6"),
         )
         .orderBy("doc_id"),
-        toks,
-        c2,
+        *caches,
     )

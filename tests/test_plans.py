@@ -75,6 +75,9 @@ NESTED_LOOP_ALLOWED = {
     # text_kn_bigram_nll — crossJoins against the 1-row bigram-type-total
     # (B) scalar and its derived ln constants.
     "text_kn_bigram_nll",
+    # curation_perplexity_gate — crossJoins against the 1-row OOV constant,
+    # doc total, and tercile-threshold scalars.
+    "curation_perplexity_gate",
 }
 
 # Queries machine-tagged as deliberate non-scale-safe ground truth (META)
@@ -202,7 +205,7 @@ def test_no_sf_scaled_broadcast_hints():
             # ntok = 1-row corpus token total (vocab_topk_cms),
             # sizes = one row per block label (bounded by the IVF cell
             # count, not the corpus — sim_range_search_blocked sub-split)
-            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok", "btln", "btot", "k0row"}:
+            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok", "btln", "btot", "k0row", "nrow"}:
                 offenders.append(f"{path.name}: F.broadcast({target}")
     assert not offenders, offenders
 
