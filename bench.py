@@ -172,6 +172,13 @@ SCALE_SMOKE = [
     "text_repetition_stats",
     "vocab_top_terms",
     "text_gopher_filters",
+    # round-9 LM family: the ×10 corpus grows the n-gram count tables
+    # sub-linearly (vocab saturation), so the build should scale UNDER
+    # linear; the histogram-tercile gate additionally proves the
+    # value-bounded window doesn't become the bottleneck at scale:
+    "text_trigram_backoff_nll",
+    "text_kn_bigram_nll",
+    "curation_perplexity_gate",
     # lineitem-based bucketed range join: replication multiplies matches per
     # interval, so runtime scales with OUTPUT pairs (~10x) — still one
     # equi-join shuffle, no quadratic blowup:
