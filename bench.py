@@ -125,6 +125,9 @@ HEADLINE = [
     "vocab_topk_cms",
     "text_kn_bigram_nll",
     "curation_perplexity_gate",
+    "curation_dsir_importance",
+    "sample_reservoir_per_key",
+    "text_zipf_ttr",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
@@ -179,6 +182,10 @@ SCALE_SMOKE = [
     "text_trigram_backoff_nll",
     "text_kn_bigram_nll",
     "curation_perplexity_gate",
+    # dsir/zipf: token-stream shapes whose reduce sides are bucket- resp.
+    # vocab-bounded — the ×10 corpus must grow only the map side:
+    "curation_dsir_importance",
+    "text_zipf_ttr",
     # lineitem-based bucketed range join: replication multiplies matches per
     # interval, so runtime scales with OUTPUT pairs (~10x) — still one
     # equi-join shuffle, no quadratic blowup:
@@ -269,6 +276,18 @@ SHUFFLE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # measured 1.68 is the spread exchange + the exact-verification term
     # groupBy (vocab-bounded) — see the 0.25 @mf row for the real layout.
     "vocab_topk_cms": (["documents"], 2.5),
+    # dsir: two token passes (bucket-count build + broadcast-weight
+    # scoring), so this single-file layout pays the spread exchange twice
+    # plus the per-doc score groupBy — measured 5.41; the bucket tables
+    # themselves are 4096-row.  Real layout: 0.44 (@mf below).
+    "curation_dsir_importance": (["documents"], 7.0),
+    # zipf: spread + the one (lang, term) count shuffle (vocab-bounded
+    # reduce side) — measured 1.71 / @mf 0.25.
+    "text_zipf_ttr": (["documents"], 2.5),
+    # reservoir: one window exchange of (ids, 32-char rank hash) per doc,
+    # no text — measured 0.14 / @mf 0.57 (constant-width row vs this
+    # corpus' ~100 B docs; → 0 on real documents, like dedup_exact).
+    "sample_reservoir_per_key": (["documents"], 0.3),
     "dedup_resolve_groups": (["documents"], 2.5),  # measured 1.75 cold (see @mf)
     # measured 0.54 — candidate pairs carry their two vectors into the
     # exact-cosine verify join; candidates only, never all-pairs
@@ -337,6 +356,9 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     "vocab_topk_cms": (["documents"], 0.4),  # measured 0.25
     "text_kn_bigram_nll": (["documents"], 0.5),  # measured 0.284
     "curation_perplexity_gate": (["documents"], 0.6),  # measured 0.354
+    "curation_dsir_importance": (["documents"], 0.7),  # measured 0.441
+    "text_zipf_ttr": (["documents"], 0.4),  # measured 0.248
+    "sample_reservoir_per_key": (["documents"], 0.8),  # measured 0.574
 }
 
 
@@ -906,6 +928,11 @@ def main() -> int:
     # still overlapping commits across the 32 cores.  Same sizing logic a
     # real cluster applies: state partitions are a per-commit fixed cost,
     # so size them to the state volume, not the core count.
+    # State-store provider A/B at parts16 (median-of-3 after discarded
+    # warm, same probe): HDFS-backed 1.60M / RocksDB 0.99M / RocksDB +
+    # changelog checkpointing 1.51M rec/s — with every key updated every
+    # batch the delta IS the store, so RocksDB's LSM write amplification
+    # only adds work; the default HDFS-backed provider stays.
     probe_1m = stream_probe(1_000_000, "16")
     stream_rps, stream_dt = probe_1k["rps"], probe_1k["drain_sec"]
     stream_rps_1m = probe_1m["rps"]

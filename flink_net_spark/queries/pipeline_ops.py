@@ -1248,3 +1248,239 @@ def _perplexity_gate_oracle() -> str:
 from flink_net_spark.queries import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["curation_perplexity_gate"] = _perplexity_gate_oracle()
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance scoring (hashed n-gram importance resampling).
+# --------------------------------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023): score
+# every raw document by the log importance weight of a hashed bag-of-words
+# model, log w(x) = sum_tokens [ln p_target(b) - ln p_raw(b)], where b is
+# the token's hash bucket and both distributions are Laplace-smoothed bucket
+# frequencies.  The target corpus here is the lang='en' partition (a stand-in
+# for any curated seed set); the raw corpus is everything.
+#
+# Exact-integer contract: with ct/cr the bucket counts and T/R the corpus
+# token totals, the per-token weight is
+#     w_e6(b)  = ROUND(1e6 * (det_ln(ct_b + 1) - det_ln(cr_b + 1)))
+#     shift_e6 = ROUND(1e6 * (det_ln(R + B)    - det_ln(T + B)))
+# (the +B Laplace denominators fold into the per-token constant shift), and
+# the doc score is SUM(w_e6 + shift_e6) over its tokens — every ln goes
+# through the deterministic chain (functions/detmath.py), so both engines
+# produce bit-identical BIGINTs.  Bounds: |w_e6 + shift_e6| <= 2e6*ln(2^62)
+# ~ 8.6e7, so a doc would need ~1e11 tokens to overflow int64.
+#
+# Scale (100 TB): the token stream shuffles ONCE into the bucket-count
+# build, combiner-reduced to <= DSIR_BUCKETS rows; the weight table is
+# bucket-bounded (4096 rows) and BROADCAST back onto the second token pass,
+# so scoring is map-side; the per-doc aggregation combiner-reduces to one
+# row per doc before its shuffle.  The final per-source top-K runs on the
+# doc-level aggregate, not the token stream.
+DSIR_BUCKETS = 4096
+_DSIR_TOPK = 10
+
+
+def _dsir_spark_buckets() -> str:
+    ph = H.spark_char_polyhash("w")
+    return (
+        f"transform(filter(split(text, ' '), x -> x <> ''), "
+        f"w -> ({ph}) % {DSIR_BUCKETS})"
+    )
+
+
+def _dsir_duckdb_buckets() -> str:
+    ph = H.duckdb_char_polyhash("w")
+    return (
+        f"[({ph}) % {DSIR_BUCKETS} "
+        f"for w in list_filter(string_split(text, ' '), x -> x <> '')]"
+    )
+
+
+def _dsir_oracle() -> str:
+    from flink_net_spark.functions import detmath as DM
+
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, lang, source, u.b AS b
+        FROM (SELECT doc_id, lang, source, {_dsir_duckdb_buckets()} AS bs
+              FROM documents),
+             UNNEST(bs) AS u(b)
+    ),
+    cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY b),
+    ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tk
+           WHERE lang = 'en' GROUP BY b),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) + {DSIR_BUCKETS} AS rb,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   + {DSIR_BUCKETS} AS tb
+        FROM tk
+    ),
+    shift AS (
+        SELECT CAST(ROUND(1000000 * (st_ln - sr_ln)) AS BIGINT) AS shift_e6
+        FROM (SELECT {DM.duckdb_det_ln_select('rb', 'sr')},
+                     {DM.duckdb_det_ln_select('tb', 'st')}
+              FROM tot)
+    ),
+    wts AS (
+        SELECT b, CAST(ROUND(1000000 * (wa_ln - wb_ln)) AS BIGINT) AS w_e6
+        FROM (SELECT b, {DM.duckdb_det_ln_select('ct1', 'wa')},
+                     {DM.duckdb_det_ln_select('cr1', 'wb')}
+              FROM (SELECT cr.b AS b, COALESCE(ct.c, 0) + 1 AS ct1,
+                           cr.c + 1 AS cr1
+                    FROM cr LEFT JOIN ct ON ct.b = cr.b))
+    ),
+    doc AS (
+        SELECT t.doc_id, t.source,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(SUM(w.w_e6 + s.shift_e6) AS BIGINT) AS score_e6
+        FROM tk t JOIN wts w ON w.b = t.b CROSS JOIN shift s
+        GROUP BY t.doc_id, t.source
+    ),
+    ranked AS (
+        SELECT source, doc_id, n_tok, score_e6,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY score_e6 DESC, doc_id
+               ) AS BIGINT) AS rk
+        FROM doc
+    )
+    SELECT source, rk, doc_id, n_tok, score_e6
+    FROM ranked WHERE rk <= {_DSIR_TOPK} ORDER BY source, rk
+    """
+
+
+@query("curation_dsir_importance", oracle=_dsir_oracle())
+def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring: rank raw documents by how lang='en'-like
+    their hashed bag-of-words is, emitting the top-10 per source with the
+    exact micro-nat log importance weight.  See the module comment above
+    for the probability model and the int64 bounds.
+
+    Plan: bucket counts build with map-side partial aggregation (reduce
+    side bounded by DSIR_BUCKETS, not corpus size); the 4096-row weight
+    table and the 1-row Laplace shift broadcast onto the scoring pass, so
+    per-token work never shuffles; the per-source top-K windows over the
+    doc-level aggregate only."""
+    from flink_net_spark.functions import detmath as DM
+
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    tk = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.expr(_dsir_spark_buckets())).alias("b"),
+    )
+    cr = tk.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ct = (
+        tk.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = tk.agg(
+        F.expr(f"CAST(COUNT(*) AS BIGINT) + {DSIR_BUCKETS}").alias("rb"),
+        F.expr(
+            "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)"
+            f" + {DSIR_BUCKETS}"
+        ).alias("tb"),
+    )
+    shift = DM.spark_with_det_ln(
+        DM.spark_with_det_ln(tot, "rb", "sr"), "tb", "st"
+    ).select(
+        F.expr("CAST(ROUND(1000000 * (st_ln - sr_ln)) AS BIGINT)").alias("shift_e6")
+    )
+    crt = (
+        cr.join(ct.withColumnRenamed("c", "tc"), "b", "left")
+        .select(
+            "b",
+            F.expr("COALESCE(tc, 0L) + 1").alias("ct1"),
+            F.expr("c + 1").alias("cr1"),
+        )
+    )
+    wts = DM.spark_with_det_ln(
+        DM.spark_with_det_ln(crt, "ct1", "wa"), "cr1", "wb"
+    ).select(
+        "b",
+        F.expr("CAST(ROUND(1000000 * (wa_ln - wb_ln)) AS BIGINT)").alias("w_e6"),
+    )
+    doc = (
+        tk.join(F.broadcast(wts), "b")
+        .crossJoin(F.broadcast(shift))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum(F.expr("w_e6 + shift_e6")).cast("bigint").alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score_e6").desc(), "doc_id")
+    return (
+        doc.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _DSIR_TOPK)
+        .select("source", "rk", "doc_id", "n_tok", "score_e6")
+        .orderBy("source", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic per-key reservoir sampling (exact-k per group).
+# --------------------------------------------------------------------------
+# Stratified hash sampling (above) keeps a FRACTION per stratum; many
+# curation steps instead need EXACTLY k examples per group (per-language
+# eval slices, per-source inspection samples, few-shot pools).  The
+# deterministic analog of reservoir sampling: rank every row in its group
+# by md5('rsv:' || doc_id) — a uniform, content-derived permutation — and
+# keep the k smallest.  Like the hash sampler, the keep-set is a pure
+# function of the rows (reproducible across reruns, retries, partition
+# layouts, and engines).
+#
+# Scale (100 TB): a naive per-group window sorts every group in one task —
+# a straggler when a group holds billions of rows.  The Spark plan runs
+# TWO phases: top-k within (group, doc_id % RSV_SALT) — 8-way parallel,
+# each sort 1/8 the group — then top-k of the <= 8k survivors.  The global
+# top-k is provably inside the union of per-salt top-ks, so the result is
+# identical to the oracle's single window while the biggest sort shrinks
+# 8-fold (raise RSV_SALT with cluster size).
+RSV_K = 4
+RSV_SALT = 8
+
+
+@query(
+    "sample_reservoir_per_key",
+    oracle=f"""
+    SELECT lang, source, rk, doc_id, rank_hash FROM (
+        SELECT lang, source, doc_id,
+               md5('rsv:' || CAST(doc_id AS VARCHAR)) AS rank_hash,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS rk
+        FROM documents
+    ) WHERE rk <= {RSV_K} ORDER BY lang, source, rk
+    """,
+)
+def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic reservoir per (lang, source): the k docs with
+    the smallest md5('rsv:'||doc_id) rank hash, with their in-group rank.
+    Two-phase salted top-k — see the module comment for why the plan stays
+    straggler-free when one group holds billions of rows."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string"))).alias(
+            "rank_hash"
+        ),
+    )
+    w1 = Window.partitionBy(
+        "lang", "source", F.col("doc_id") % RSV_SALT
+    ).orderBy("rank_hash", "doc_id")
+    survivors = (
+        d.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= RSV_K)
+        .drop("r1")
+    )
+    w2 = Window.partitionBy("lang", "source").orderBy("rank_hash", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rk") <= RSV_K)
+        .select("lang", "source", "rk", "doc_id", "rank_hash")
+        .orderBy("lang", "source", "rk")
+    )

@@ -12,7 +12,7 @@ shuffle except final small aggregations.  At 100 TB this is a single scan.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from flink_net_spark.functions import detmath as DM
 from flink_net_spark.functions import hashing as H
@@ -1523,4 +1523,170 @@ def text_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id"),
         *caches,
+    )
+
+
+# --------------------------------------------------------------------------
+# Zipf / lexical-diversity statistics per language.
+# --------------------------------------------------------------------------
+# Corpus-health numbers every pretraining-data report carries: type-token
+# ratio, hapax fraction, and the Zipf slope (the least-squares slope of
+# ln(freq) on ln(rank) over the top-64 terms — natural text sits near -1;
+# template/boilerplate corpora flatten, spam steepens).
+#
+# Exact-integer contract: x_e6 = ROUND(1e6*det_ln(rank)), y_e6 =
+# ROUND(1e6*det_ln(freq)) via the deterministic ln chain, then the
+# closed-form slope num/den = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx) on BIGINTs.
+# Bounds at n = 64: x_e6 <= 1e6*ln(64) ~ 4.2e6 and y_e6 <= 1e6*ln(2^62)
+# ~ 4.3e7, so n*Sxy <= 64*64*(4.2e6*4.3e7) ~ 7.4e17 and every intermediate
+# stays under 2^63 for ANY corpus size — the top-64 cap is what makes the
+# regression int64-exact (the temperature-mix overflow lesson applied at
+# design time).  The final slope divides the two BIGINTs as doubles (both
+# casts and the division are correctly-rounded IEEE ops on identical
+# inputs) and quantizes to micro-units.
+#
+# Scale (100 TB): term counts combiner-reduce into the one token shuffle
+# (reduce side is vocabulary-bounded); the per-lang summary re-aggregates
+# the count table.  The rank window never sees the full vocabulary: Spark
+# runs top-64 within (lang, t % 8) first — 8 parallel sorts of 1/8 the
+# vocab — then ranks the <= 512 survivors (provably a superset of the
+# global top-64, identically ordered), so the only global-ordered window
+# in the plan is over <= 512 rows per lang.
+_ZIPF_TOP = 64
+_ZIPF_SALT = 8
+
+
+def _zipf_oracle() -> str:
+    return f"""
+    WITH tk AS (
+        SELECT lang, u.t AS t
+        FROM (SELECT lang,
+                     [{H.duckdb_char_polyhash('w')}
+                      for w in list_filter(string_split(text, ' '),
+                                           x -> x <> '')] AS hs
+              FROM documents),
+             UNNEST(hs) AS u(t)
+    ),
+    tc AS (
+        SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tk GROUP BY lang, t
+    ),
+    stats AS (
+        SELECT lang,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        FROM tc GROUP BY lang
+    ),
+    top AS (
+        SELECT lang, c, rn FROM (
+            SELECT lang, c,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY c DESC, t
+                   ) AS BIGINT) AS rn
+            FROM tc
+        ) WHERE rn <= {_ZIPF_TOP}
+    ),
+    pts AS (
+        SELECT lang,
+               CAST(ROUND(1000000 * zx_ln) AS BIGINT) AS x_e6,
+               CAST(ROUND(1000000 * zy_ln) AS BIGINT) AS y_e6
+        FROM (SELECT lang, {DM.duckdb_det_ln_select('rn', 'zx')},
+                     {DM.duckdb_det_ln_select('c', 'zy')}
+              FROM top)
+    ),
+    reg AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_top,
+               CAST(SUM(x_e6) AS BIGINT) AS sx,
+               CAST(SUM(y_e6) AS BIGINT) AS sy,
+               CAST(SUM(x_e6 * y_e6) AS BIGINT) AS sxy,
+               CAST(SUM(x_e6 * x_e6) AS BIGINT) AS sxx
+        FROM pts GROUP BY lang
+    )
+    SELECT s.lang,
+           s.n_tokens, s.n_types, s.n_hapax,
+           (1000000 * s.n_types) // s.n_tokens AS ttr_e6,
+           (1000000 * s.n_hapax) // s.n_types  AS hapax_e6,
+           r.n_top,
+           CASE WHEN r.n_top >= 2 THEN
+               CAST(ROUND(1000000 *
+                   (CAST(r.n_top * r.sxy - r.sx * r.sy AS DOUBLE)
+                    / CAST(r.n_top * r.sxx - r.sx * r.sx AS DOUBLE)))
+                    AS BIGINT)
+           END AS zipf_slope_e6
+    FROM stats s JOIN reg r ON (r.lang = s.lang
+                                OR (r.lang IS NULL AND s.lang IS NULL))
+    ORDER BY s.lang
+    """
+
+
+@query("text_zipf_ttr", oracle=_zipf_oracle())
+def text_zipf_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language lexical statistics: token/type/hapax counts, type-token
+    ratio, hapax fraction, and the top-64 Zipf slope in exact micro-units.
+    See the module comment above for the int64 bounds and the salted
+    two-phase rank that keeps the ordered window vocabulary-independent."""
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    ph = H.spark_char_polyhash("w")
+    tk = d.select(
+        "lang",
+        F.explode(
+            F.expr(f"transform(filter(split(text, ' '), x -> x <> ''), w -> {ph})")
+        ).alias("t"),
+    )
+    tc = tk.groupBy("lang", "t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    stats = tc.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.expr("CASE WHEN c = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_hapax"),
+    )
+    w1 = Window.partitionBy("lang", F.col("t") % _ZIPF_SALT).orderBy(
+        F.col("c").desc(), "t"
+    )
+    survivors = (
+        tc.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _ZIPF_TOP)
+        .drop("r1")
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.col("c").desc(), "t")
+    top = (
+        survivors.withColumn("rn", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rn") <= _ZIPF_TOP)
+        .select("lang", "c", "rn")
+    )
+    pts = DM.spark_with_det_ln(
+        DM.spark_with_det_ln(top, "rn", "zx"), "c", "zy"
+    ).select(
+        "lang",
+        F.expr("CAST(ROUND(1000000 * zx_ln) AS BIGINT)").alias("x_e6"),
+        F.expr("CAST(ROUND(1000000 * zy_ln) AS BIGINT)").alias("y_e6"),
+    )
+    reg = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_top"),
+        F.sum("x_e6").cast("bigint").alias("sx"),
+        F.sum("y_e6").cast("bigint").alias("sy"),
+        F.sum(F.expr("x_e6 * y_e6")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("x_e6 * x_e6")).cast("bigint").alias("sxx"),
+    )
+    return (
+        stats.join(reg, stats.lang.eqNullSafe(reg.lang))
+        .select(
+            stats.lang.alias("lang"),
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("(1000000 * n_types) div n_tokens").alias("ttr_e6"),
+            F.expr("(1000000 * n_hapax) div n_types").alias("hapax_e6"),
+            "n_top",
+            F.expr(
+                "CASE WHEN n_top >= 2 THEN "
+                "CAST(ROUND(1000000 * "
+                "(CAST(n_top * sxy - sx * sy AS DOUBLE)"
+                " / CAST(n_top * sxx - sx * sx AS DOUBLE))) AS BIGINT) END"
+            ).alias("zipf_slope_e6"),
+        )
+        .orderBy("lang")
     )

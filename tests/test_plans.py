@@ -78,6 +78,9 @@ NESTED_LOOP_ALLOWED = {
     # curation_perplexity_gate — crossJoins against the 1-row OOV constant,
     # doc total, and tercile-threshold scalars.
     "curation_perplexity_gate",
+    # curation_dsir_importance — crossJoin against the 1-row Laplace-shift
+    # scalar; the bucket-weight join itself is broadcast-hash equi on b.
+    "curation_dsir_importance",
 }
 
 # Queries machine-tagged as deliberate non-scale-safe ground truth (META)
@@ -204,8 +207,10 @@ def test_no_sf_scaled_broadcast_hints():
             # size by construction; cells = the 4096-row count-min sketch;
             # ntok = 1-row corpus token total (vocab_topk_cms),
             # sizes = one row per block label (bounded by the IVF cell
-            # count, not the corpus — sim_range_search_blocked sub-split)
-            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok", "btln", "btot", "k0row", "nrow"}:
+            # count, not the corpus — sim_range_search_blocked sub-split),
+            # wts = the DSIR_BUCKETS-row (4096) bucket-weight table and
+            # shift = its 1-row Laplace constant (curation_dsir_importance)
+            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok", "btln", "btot", "k0row", "nrow", "wts", "shift"}:
                 offenders.append(f"{path.name}: F.broadcast({target}")
     assert not offenders, offenders
 
@@ -406,3 +411,26 @@ def test_semdedup_pair_join_is_equi_on_cluster_and_sub(spark):
     # broadcast (its build side is the K=8 LocalTableScan-backed frame);
     # the guard that no SF-scaled frame is broadcast lives in
     # test_no_sf_scaled_broadcast_hints
+
+
+def test_dsir_scoring_join_is_broadcast(spark):
+    """curation_dsir_importance's token-scoring pass must meet the 4096-row
+    bucket-weight table through a BroadcastHashJoin (map-side, no token
+    shuffle); the only nested-loop is the 1-row Laplace-shift broadcast."""
+    p = plan_of(entry.queries()["curation_dsir_importance"](spark, SF_DIR))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_salted_topk_windows_are_two_phase(spark):
+    """sample_reservoir_per_key and text_zipf_ttr bound their per-group sort
+    with the salted two-phase rank: the plan must carry (at least) two
+    Window operators — the per-salt pre-prune and the survivor rank — and
+    no quadratic join shape."""
+    for name in ("sample_reservoir_per_key", "text_zipf_ttr"):
+        p = plan_of(entry.queries()[name](spark, SF_DIR))
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, (
+            name,
+            p,
+        )
+        assert p.count("Window") >= 2, (name, p)
