@@ -128,6 +128,7 @@ HEADLINE = [
     "curation_dsir_importance",
     "sample_reservoir_per_key",
     "text_zipf_ttr",
+    "dedup_source_overlap",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
@@ -182,10 +183,12 @@ SCALE_SMOKE = [
     "text_trigram_backoff_nll",
     "text_kn_bigram_nll",
     "curation_perplexity_gate",
-    # dsir/zipf: token-stream shapes whose reduce sides are bucket- resp.
-    # vocab-bounded — the ×10 corpus must grow only the map side:
+    # dsir/zipf/source-overlap: token-stream shapes whose reduce sides are
+    # bucket-, vocab- resp. S²-bounded — the ×10 corpus must grow only the
+    # map side:
     "curation_dsir_importance",
     "text_zipf_ttr",
+    "dedup_source_overlap",
     # lineitem-based bucketed range join: replication multiplies matches per
     # interval, so runtime scales with OUTPUT pairs (~10x) — still one
     # equi-join shuffle, no quadratic blowup:
@@ -288,6 +291,10 @@ SHUFFLE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # no text — measured 0.14 / @mf 0.57 (constant-width row vs this
     # corpus' ~100 B docs; → 0 on real documents, like dedup_exact).
     "sample_reservoir_per_key": (["documents"], 0.3),
+    # source overlap: cold pays spread + the ONE per-token (shingle-hash,
+    # partial source set) exchange — the substring-pairs volume class,
+    # linear in tokens; measured 8.9.  Warm real-layout: 0.43 (@mf below).
+    "dedup_source_overlap": (["documents"], 12.0),
     "dedup_resolve_groups": (["documents"], 2.5),  # measured 1.75 cold (see @mf)
     # measured 0.54 — candidate pairs carry their two vectors into the
     # exact-cosine verify join; candidates only, never all-pairs
@@ -359,6 +366,7 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     "curation_dsir_importance": (["documents"], 0.7),  # measured 0.441
     "text_zipf_ttr": (["documents"], 0.4),  # measured 0.248
     "sample_reservoir_per_key": (["documents"], 0.8),  # measured 0.574
+    "dedup_source_overlap": (["documents"], 0.7),  # measured 0.430
 }
 
 

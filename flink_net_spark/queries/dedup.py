@@ -838,3 +838,112 @@ def dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-source contamination report: shingle overlap between corpus sources.
+# --------------------------------------------------------------------------
+# Before mixing sources into a training run, measure how much content they
+# share: per source pair, the number of common distinct 3-token shingles and
+# the shingle-set Jaccard (e6-quantized).  High overlap between a "web" and
+# a "curated" source means the mixture double-counts content (and any
+# dedup-by-source accounting is wrong).
+#
+# Scale (100 TB): the one corpus-sized exchange carries per-map-partition
+# (shingle-hash, partial source set) rows — 8-byte hashes plus sets
+# bounded by the SOURCE CARDINALITY S (a handful, never corpus-sized),
+# no text.  The collect_set + in-row pair explosion is O(S²) per shingle
+# worst-case, and both final aggregates are S- resp. S²-bounded.  No
+# self-join of the corpus-sized stream: the oracle's pair join is
+# re-expressed as one groupBy(h) + bounded pair expansion (the
+# dedup_substring_pairs idiom).
+
+
+@query(
+    "dedup_source_overlap",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT source, u.h AS h
+        FROM (SELECT source, {_DUCK_SHINGLES} AS sh
+              FROM (SELECT *, {H.duckdb_token_hashes('text')} AS th
+                    FROM documents WHERE source IS NOT NULL)),
+             UNNEST(sh) AS u(h)
+    ),
+    sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source
+    ),
+    pairs AS (
+        SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           x.n AS n_a, y.n AS n_b, n_common,
+           (1000000 * n_common) // (x.n + y.n - n_common) AS jaccard_e6
+    FROM pairs JOIN sizes x ON x.source = sa JOIN sizes y ON y.source = sb
+    ORDER BY source_a, source_b
+    """,
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source contamination: distinct-shingle intersection size and
+    Jaccard per source pair (pairs sharing zero shingles are omitted).
+
+    ONE corpus-sized exchange: groupBy(h) with a partial collect_set runs
+    the per-source dedup map-side (each partial set is bounded by the
+    source cardinality S), so no separate distinct() exchange and no
+    re-shuffle of the distinct set.  Both downstream consumers of the
+    (h, source-set) table aggregate with algebraic partial aggregation —
+    per-source sizes and per-pair counts each move only S resp. S² rows
+    per map partition — and the table is scope-persisted so the one
+    exchange isn't recomputed.  First cut measured 13.8x cold / 10.8x@mf
+    disk ratio (distinct() + regroup, two token-level exchanges); this
+    shape measures 8.9x cold (spread + the one per-token exchange, the
+    substring-pairs class, linear in tokens) and 0.43@mf warm (the
+    S²-bounded aggregates only)."""
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    )
+    sh = d.withColumn("th", F.expr(H.spark_token_hashes("text"))).select(
+        "source", F.explode(F.expr(H.spark_hashed_shingles("th"))).alias("h")
+    )
+    byh = sh.groupBy("h").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    ).persist()
+    sizes = (
+        byh.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    pairs = (
+        byh.filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS sa, y AS sb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.sa", "p.sb")
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    xs = sizes.withColumnRenamed("source", "sa").withColumnRenamed("n", "n_a")
+    ys = sizes.withColumnRenamed("source", "sb").withColumnRenamed("n", "n_b")
+    return scoped_persist(
+        pairs.join(F.broadcast(xs), "sa")
+        .join(F.broadcast(ys), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr("(1000000 * n_common) div (n_a + n_b - n_common)").alias(
+                "jaccard_e6"
+            ),
+        )
+        .orderBy("source_a", "source_b"),
+        byh,
+    )

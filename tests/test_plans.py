@@ -209,8 +209,10 @@ def test_no_sf_scaled_broadcast_hints():
             # sizes = one row per block label (bounded by the IVF cell
             # count, not the corpus — sim_range_search_blocked sub-split),
             # wts = the DSIR_BUCKETS-row (4096) bucket-weight table and
-            # shift = its 1-row Laplace constant (curation_dsir_importance)
-            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok", "btln", "btot", "k0row", "nrow", "wts", "shift"}:
+            # shift = its 1-row Laplace constant (curation_dsir_importance);
+            # xs/ys = the S-row per-source shingle-size table, both aliases
+            # (dedup_source_overlap)
+            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok", "btln", "btot", "k0row", "nrow", "wts", "shift", "xs", "ys"}:
                 offenders.append(f"{path.name}: F.broadcast({target}")
     assert not offenders, offenders
 
