@@ -212,6 +212,10 @@ SCALE_SMOKE_100 = [
     "dedup_substring_winnow",
     "window_session",
     "join_asof",
+    # round-9: the heaviest new token-stream shape — the one partial-
+    # collect_set exchange must stay linear in tokens while the pair
+    # aggregates stay S²-bounded:
+    "dedup_source_overlap",
 ]
 
 # Shuffle audit: per query, the tables it scans and the max allowed
