@@ -129,6 +129,7 @@ HEADLINE = [
     "sample_reservoir_per_key",
     "text_zipf_ttr",
     "dedup_source_overlap",
+    "emb_pca_power",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
@@ -201,6 +202,10 @@ SCALE_SMOKE = [
     # mega-cluster — the worst-case cluster skew; the same sub-split cap
     # must hold it to n·cap pairs:
     "sim_semdedup",
+    # pca: the per-vector D² pair expansion is the linear hot loop; the
+    # covariance exchange and the driver-side eigensolve are corpus-size
+    # independent:
+    "emb_pca_power",
 ]
 
 # One more decade for the five most expensive shapes (opt-in:
@@ -299,6 +304,12 @@ SHUFFLE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # partial source set) exchange — the substring-pairs volume class,
     # linear in tokens; measured 8.9.  Warm real-layout: 0.43 (@mf below).
     "dedup_source_overlap": (["documents"], 12.0),
+    # pca: the covariance exchange is 2080 partial-sum rows PER PARTITION
+    # (D²-bounded, corpus-size independent) + the spread exchange moving
+    # the quantized vectors once on this layout — measured 2.06 against a
+    # tiny 0.5 MB denominator; at any real scale the numerator is constant
+    # in corpus size, so the ratio only shrinks.
+    "emb_pca_power": (["embeddings"], 3.0),
     "dedup_resolve_groups": (["documents"], 2.5),  # measured 1.75 cold (see @mf)
     # measured 0.54 — candidate pairs carry their two vectors into the
     # exact-cosine verify join; candidates only, never all-pairs
@@ -371,6 +382,8 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     "text_zipf_ttr": (["documents"], 0.4),  # measured 0.248
     "sample_reservoir_per_key": (["documents"], 0.8),  # measured 0.574
     "dedup_source_overlap": (["documents"], 0.7),  # measured 0.430
+    # partition-count-bounded numerator (see the single-file comment):
+    "emb_pca_power": (["embeddings"], 3.0),  # measured 1.983
 }
 
 

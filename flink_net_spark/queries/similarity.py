@@ -1119,3 +1119,178 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id"),
         asg,
     )
+
+
+# --------------------------------------------------------------------------
+# PCA top component by fixed-point power iteration.
+# --------------------------------------------------------------------------
+# The first principal direction of the embedding cloud — the core of
+# whitening, drift monitoring, and dimensionality diagnostics — computed
+# with the same exact-integer discipline as the k-means ops so both
+# engines produce BIT-IDENTICAL results at any parallelism:
+#
+#   1. quantize:  x_e6 = ROUND(x * 1e6)                    (|x_e6| <= 2e6)
+#   2. center:    c3   = odiv(x_e6 - mean_e6, 1000)        (|c3|   <= 4001)
+#   3. covariance: cv[d][e] = odiv(SUM_rows(c3_d * c3_e), n)
+#   4. six power steps from v0 = all-1e6:
+#        w = cv . v;  md = max|w| div 1e6 + 1;  v = odiv(w, md)
+#   5. sign-canonicalize (flip so the first nonzero component is positive).
+#
+# odiv(x, d) = (x + B*d) div d - B with a compile-time bound B*d >= |x|:
+# the numerator is positive by construction, where Spark's `div` (truncate
+# toward zero) and DuckDB's `//` (floor) agree — the signed-division
+# portability trap avoided without CASE branches.
+#
+# int64 bounds: per-row pair products <= 1.6e7, so the covariance sums
+# stay under 2^63 for n <= 5e11 vectors; the power-step dot is
+# <= 64 * 1.6e7 * 1e6 ~ 1e15.  The semantic contract is "6 fixed-point
+# power steps from all-ones" — deterministic by definition, converged for
+# any spectrum with a dominant first eigenvalue (gap^6 suppression).
+#
+# Scale (100 TB): ONE corpus pass — per-vector in-row pair expansion
+# (D^2 = 4096 products) feeding a groupBy(d, e) whose map-side partial
+# sums bound the exchange at 4096 rows per partition; every later step
+# operates on D- or D^2-row tables with 1-row broadcast rescales.  The
+# oracle self-joins per vec_id (correctness only); the Spark plan never
+# self-joins the corpus.
+_PCA_ITERS = 6
+_PCA_B_MEAN = 2_000_000
+_PCA_B_C3 = 5_000
+_PCA_B_COV = 20_000_000
+_PCA_B_V = 2_000_000
+
+
+def _odiv(x: str, d: str, b: int, op: str) -> str:
+    return f"((({x}) + {b} * ({d})) {op} ({d}) - {b})"
+
+
+def _pca_oracle() -> str:
+    parts = [
+        f"""ex AS MATERIALIZED (
+        SELECT vec_id, u.dim AS dim,
+               CAST(ROUND(CAST(embedding[u.dim + 1] AS DOUBLE) * 1000000, 0)
+                    AS BIGINT) AS xq
+        FROM embeddings, unnest(range(0, {DIM})) AS u(dim)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    mn AS (
+        SELECT dim, {_odiv('SUM(xq)', 'COUNT(*)', _PCA_B_MEAN, '//')} AS mu
+        FROM ex GROUP BY dim
+    ),
+    cx AS MATERIALIZED (
+        SELECT vec_id, ex.dim,
+               {_odiv('xq - mu', '1000', _PCA_B_C3, '//')} AS c3
+        FROM ex JOIN mn ON mn.dim = ex.dim
+    ),
+    cov AS MATERIALIZED (
+        SELECT a.dim AS d, b.dim AS e,
+               {_odiv('SUM(a.c3 * b.c3)', 'ANY_VALUE(nn.n)', _PCA_B_COV, '//')} AS cv
+        FROM cx a JOIN cx b ON a.vec_id = b.vec_id CROSS JOIN nn
+        GROUP BY 1, 2
+    ),
+    v0 AS (SELECT u.d AS dim, CAST(1000000 AS BIGINT) AS v
+           FROM unnest(range(0, {DIM})) AS u(d))"""
+    ]
+    for k in range(1, _PCA_ITERS + 1):
+        parts.append(
+            f"""w{k} AS (
+        SELECT c.d AS dim, SUM(c.cv * v.v) AS w
+        FROM cov c JOIN v{k - 1} v ON v.dim = c.e GROUP BY 1
+    ),
+    m{k} AS (SELECT MAX(ABS(w)) // 1000000 + 1 AS md FROM w{k}),
+    v{k} AS (
+        SELECT dim, {_odiv('w', 'md', _PCA_B_V, '//')} AS v
+        FROM w{k} CROSS JOIN m{k}
+    )"""
+        )
+    parts.append(
+        f"""sgn AS (
+        SELECT CASE WHEN arg_min(v, CASE WHEN v <> 0 THEN dim ELSE {DIM + 1} END) < 0
+                    THEN -1 ELSE 1 END AS s
+        FROM v{_PCA_ITERS}
+    )"""
+    )
+    return (
+        "\n    WITH " + ",\n    ".join(parts) + f"""
+    SELECT dim, CAST(v * s AS BIGINT) AS component_e6
+    FROM v{_PCA_ITERS} CROSS JOIN sgn ORDER BY dim
+    """
+    )
+
+
+@query("emb_pca_power", oracle=_pca_oracle())
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud after six fixed-point
+    power-iteration steps, e6-quantized and sign-canonicalized.  See the
+    module comment above for the exact-integer contract, the odiv
+    signed-division idiom, and the one-pass covariance plan."""
+    emb = spread_small_scan(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        ).alias("xq"),
+    )
+    nn = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    means = (
+        emb.select(F.posexplode("xq").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.expr(_odiv("SUM(x)", "COUNT(*)", _PCA_B_MEAN, "div")).alias("mu")
+        )
+    )
+    mrow = means.groupBy().agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, mu))), s -> s.mu)"
+        ).alias("marr")
+    )
+    c3d = _odiv("x - mu", "1000", _PCA_B_C3, "div")
+    cx = emb.crossJoin(F.broadcast(mrow)).select(
+        "vec_id",
+        F.expr(f"zip_with(xq, marr, (x, mu) -> {c3d})").alias("c3"),
+    )
+    # upper triangle only (2080 of 4096 products per vector); the driver
+    # mirrors the symmetric half when filling the matrix dict
+    pairs = cx.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {DIM - 1}), d -> "
+                f"transform(sequence(d, {DIM - 1}), e -> "
+                "struct(d AS d, e AS e, c3[d] * c3[e] AS p))))"
+            )
+        ).alias("q")
+    ).select("q.d", "q.e", "q.p")
+    cov = (
+        pairs.groupBy("d", "e")
+        .agg(F.sum("p").alias("s"))
+        .crossJoin(F.broadcast(nn))
+        .select("d", "e", F.expr(_odiv("s", "n", _PCA_B_COV, "div")).alias("cv"))
+    )
+    # D x D = 4096 rows: the bounded collect is the MLlib architecture
+    # (RowMatrix.computePrincipalComponents: Gramian distributed, eigensolve
+    # on the driver).  The recurrence runs in Python ints — bit-identical
+    # to the oracle's BIGINT CTE chain because every step is the same
+    # exact-integer expression (first cut kept the six steps as unrolled
+    # DataFrame joins: branch re-evaluation re-ran the corpus pass per
+    # step, 65s at sf0.001; this shape is one job).
+    cv = {}
+    for r in cov.collect():
+        cv[(r["d"], r["e"])] = r["cv"]
+        cv[(r["e"], r["d"])] = r["cv"]
+    v = [1_000_000] * DIM
+    for _ in range(_PCA_ITERS):
+        w = [
+            sum(cv.get((d, e), 0) * v[e] for e in range(DIM))
+            for d in range(DIM)
+        ]
+        md = max(abs(x) for x in w) // 1_000_000 + 1
+        v = [(x + _PCA_B_V * md) // md - _PCA_B_V for x in w]
+    s = 1
+    for d in range(DIM):
+        if v[d] != 0:
+            s = -1 if v[d] < 0 else 1
+            break
+    rows = [(d, v[d] * s) for d in range(DIM)]
+    return spark.createDataFrame(rows, "dim BIGINT, component_e6 BIGINT").orderBy(
+        "dim"
+    )

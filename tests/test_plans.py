@@ -81,6 +81,10 @@ NESTED_LOOP_ALLOWED = {
     # curation_dsir_importance — crossJoin against the 1-row Laplace-shift
     # scalar; the bucket-weight join itself is broadcast-hash equi on b.
     "curation_dsir_importance",
+    # emb_pca_power — crossJoins against the 1-row dim-mean array and the
+    # 1-row corpus count; the covariance build is a map-side pair
+    # expansion + groupBy, never a corpus self-join.
+    "emb_pca_power",
 }
 
 # Queries machine-tagged as deliberate non-scale-safe ground truth (META)
@@ -211,8 +215,9 @@ def test_no_sf_scaled_broadcast_hints():
             # wts = the DSIR_BUCKETS-row (4096) bucket-weight table and
             # shift = its 1-row Laplace constant (curation_dsir_importance);
             # xs/ys = the S-row per-source shingle-size table, both aliases
-            # (dedup_source_overlap)
-            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok", "btln", "btot", "k0row", "nrow", "wts", "shift", "xs", "ys"}:
+            # (dedup_source_overlap); mrow/nn = the 1-row dim-mean array
+            # resp. corpus count (emb_pca_power)
+            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok", "btln", "btot", "k0row", "nrow", "wts", "shift", "xs", "ys", "mrow", "nn"}:
                 offenders.append(f"{path.name}: F.broadcast({target}")
     assert not offenders, offenders
 
