@@ -195,3 +195,46 @@ def test_boundary_pairs_straddle_and_det_ln_is_immune():
         assert _bits(b_ln) == _bits(DM.py_det_ln(b))
         py_v = (DM.py_det_ln(a) - DM.py_det_ln(b)) * 1000000
         assert nll_duck == _half_away(py_v) and nll_duck in (X, X + 1)
+
+
+def test_odiv_idiom_is_floor_division_on_both_engines():
+    """The emb_pca_power odiv idiom: (x + B*d) div d - B must equal
+    mathematical FLOOR division for any signed x with |x| <= B*d — that's
+    what reconciles Spark's truncate-toward-zero `div` with DuckDB's
+    floor `//` (they disagree on bare negative operands).  Property-check
+    the DuckDB rendering and the Python mirror against math.floor over
+    adversarial signed values (exact multiples, off-by-one, both signs);
+    the Spark rendering shares the operator (`div` on a positive
+    numerator) and is pinned end-to-end by the oracle-hash gate."""
+    from flink_net_spark.queries.similarity import _odiv
+
+    rng = random.Random(9)
+    con = duckdb.connect()
+    cases = []
+    for _ in range(200):
+        d = rng.choice([1, 2, 3, 1000, 10000, 999983, 10**6])
+        b = rng.choice([5_000, 2_000_000, 20_000_000])
+        lim = b * d
+        x = rng.choice(
+            [
+                rng.randint(-lim, lim),
+                rng.randint(-5, 5) * d,          # exact multiples
+                rng.randint(-5, 5) * d + 1,      # just above
+                rng.randint(-5, 5) * d - 1,      # just below
+                -lim,
+                lim,
+            ]
+        )
+        if abs(x) > lim:
+            continue
+        cases.append((x, d, b))
+    for x, d, b in cases:
+        want = x // d  # Python // IS floor division
+        duck = con.sql(
+            f"SELECT {_odiv('x', 'd', b, '//')} FROM "
+            f"(SELECT CAST({x} AS BIGINT) AS x, CAST({d} AS BIGINT) AS d)"
+        ).fetchone()[0]
+        assert duck == want, (x, d, b, duck, want)
+        # the Python mirror of the Spark rendering: trunc-div on the
+        # positive numerator (Python // on positives == trunc == floor)
+        assert (x + b * d) // d - b == want, (x, d, b)
