@@ -947,3 +947,159 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source_a", "source_b"),
         byh,
     )
+
+
+# --------------------------------------------------------------------------
+# LSH accuracy audit: banding recall/precision against exact ground truth.
+# --------------------------------------------------------------------------
+# The approx-sketch accuracy-contract family (Bloom emits its checked
+# false-positive count, CMS its overestimates) extended to MinHash-LSH:
+# on a deterministic ~12.5% hash sample of the corpus, compute the EXACT
+# near-dup pairs (shingle Jaccard >= 0.3, integer cross-multiplied — no
+# float ratio) and the pairs the 16-hash/8-band banding actually catches,
+# then emit the confusion counts and e6-quantized recall/precision.  This
+# is the "measure, don't guess" number that justifies the banding config
+# in dedup_minhash_lsh at any corpus: band-collision probability depends
+# only on pairwise Jaccard, so the sampled estimate is unbiased for the
+# full corpus.
+#
+# Declared scale_safe=False: ground truth is a deliberate all-pairs over
+# the bounded sample (the dedup_embedding_cosine precedent) — the
+# SAMPLE is what you size to your cluster, the audited LSH path itself
+# stays the linear scale path.
+_LSH_AUDIT_PREFIX = "20"  # md5 first-2-hex < '20' => ~12.5% of docs
+
+
+def _lsh_audit_oracle() -> str:
+    return f"""
+    WITH samp AS MATERIALIZED (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM {_DUCK_TH_DOCS}
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_LSH_AUDIT_PREFIX}'
+    ),
+    truth AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.sh, b.sh)) AS ni,
+               len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS nu
+        FROM samp a JOIN samp b ON a.doc_id < b.doc_id
+    ),
+    tp AS (SELECT doc_a, doc_b FROM truth WHERE nu > 0 AND ni * 10 >= 3 * nu),
+    bands AS (
+        SELECT doc_id, t.b AS b,
+               sig[2 * t.b + 1] * {H.MOD} + sig[2 * t.b + 2] AS band_key
+        FROM (SELECT doc_id, {H.duckdb_minhash_sig("sh", MINHASH_K)} AS sig
+              FROM samp)
+        CROSS JOIN UNNEST(range(0, {LSH_BANDS})) AS t(b)
+    ),
+    caught AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    agg AS (
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM samp) AS n_sample_docs,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS n_true_pairs,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM caught) AS n_candidate_pairs,
+            (SELECT CAST(COUNT(*) AS BIGINT)
+             FROM tp JOIN caught USING (doc_a, doc_b)) AS n_caught_true
+    )
+    SELECT n_sample_docs, n_true_pairs, n_candidate_pairs, n_caught_true,
+           CASE WHEN n_true_pairs > 0
+                THEN (1000000 * n_caught_true) // n_true_pairs END AS recall_e6,
+           CASE WHEN n_candidate_pairs > 0
+                THEN (1000000 * n_caught_true) // n_candidate_pairs
+           END AS precision_e6
+    FROM agg
+    """
+
+
+@query("dedup_lsh_recall_audit", oracle=_lsh_audit_oracle(), scale_safe=False)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding audit on a 12.5% hash sample: exact near-dup
+    pairs vs band-caught pairs, with e6 recall/precision.  See the module
+    comment for why the sampled estimate transfers to the full corpus."""
+    samp = (
+        _spark_shingle_hash_df(spark, sf_dir)
+        .filter(
+            F.expr(
+                "substring(md5(CAST(doc_id AS STRING)), 1, 2)"
+                f" < '{_LSH_AUDIT_PREFIX}'"
+            )
+        )
+        .persist()
+    )
+    a = samp.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    b = samp.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(array_intersect(sha, shb))").alias("ni"),
+            F.expr(
+                "size(sha) + size(shb) - size(array_intersect(sha, shb))"
+            ).alias("nu"),
+        )
+    )
+    tp = truth.filter("nu > 0 AND ni * 10 >= 3 * nu").select("doc_a", "doc_b")
+    bands = (
+        samp.withColumn("sig", F.expr(H.spark_minhash_sig("sh", MINHASH_K)))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {LSH_BANDS - 1}), "
+                    f"b -> struct(b AS b, "
+                    f"sig[2 * b] * {H.MOD}L + sig[2 * b + 1] AS band_key))"
+                )
+            ).alias("t"),
+        )
+        .select("doc_id", "t.b", "t.band_key")
+    )
+    ba = bands.select("doc_id", "b", "band_key")
+    bb = bands.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("b").alias("b2"),
+        F.col("band_key").alias("band_key2"),
+    )
+    caught = (
+        ba.join(
+            bb,
+            (ba.b == bb.b2)
+            & (ba.band_key == bb.band_key2)
+            & (ba.doc_id < bb.doc_id_b),
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
+        )
+        .distinct()
+    )
+    n_samp = samp.agg(F.count(F.lit(1)).cast("bigint").alias("n_sample_docs"))
+    n_true = tp.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    n_cand = caught.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs")
+    )
+    n_hit = tp.join(caught, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_caught_true")
+    )
+    return scoped_persist(
+        n_samp.crossJoin(n_true)
+        .crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_sample_docs",
+            "n_true_pairs",
+            "n_candidate_pairs",
+            "n_caught_true",
+            F.expr(
+                "CASE WHEN n_true_pairs > 0 THEN "
+                "(1000000 * n_caught_true) div n_true_pairs END"
+            ).alias("recall_e6"),
+            F.expr(
+                "CASE WHEN n_candidate_pairs > 0 THEN "
+                "(1000000 * n_caught_true) div n_candidate_pairs END"
+            ).alias("precision_e6"),
+        ),
+        samp,
+    )

@@ -39,4 +39,10 @@ def test_registry_metadata_complete():
     hand-maintained exclusion lists."""
     assert set(META) == set(QUERIES)
     not_scale_safe = {n for n, m in META.items() if not m["scale_safe"]}
-    assert not_scale_safe == {"dedup_embedding_cosine", "sim_cosine_topk"}
+    assert not_scale_safe == {
+        "dedup_embedding_cosine",
+        "sim_cosine_topk",
+        # round-9: ground truth is a deliberate all-pairs over the bounded
+        # 12.5% hash sample (the audited LSH path is the scale path)
+        "dedup_lsh_recall_audit",
+    }
