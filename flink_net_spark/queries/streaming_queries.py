@@ -879,3 +879,121 @@ def stream_window_tumbling_offset(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return _run_stream(win).orderBy("window_start_ms", "event_type")
+
+
+# --------------------------------------------------------------------------
+# Late-data audit: watermark drop semantics end-to-end.
+# --------------------------------------------------------------------------
+# The one watermark behavior the other stream queries never isolate: what
+# happens to data that arrives AFTER the watermark passed its window
+# (≙ AllowedLateness/side-output semantics, Core/Windowing/
+# WatermarkManager.cs + WindowOperator late-drop path).  The replay is
+# engineered so lateness is DETERMINISTIC: every event with
+# event_id % 37 == 0 is held back into a second staged file, so batch 0
+# processes the on-time stream (advancing the watermark to
+# max_ontime_ts - 1h), and batch 1 delivers the held-back rows — those
+# whose hour window the watermark already closed are dropped by the
+# engine; those targeting still-open windows merge into state.  The
+# memory sink runs in APPEND mode, so only watermark-finalized windows
+# emit at all.
+#
+# The oracle reconstructs the exact semantics in SQL: wm1 = the
+# after-batch-0 watermark decides which held-back rows survive; the final
+# watermark (all rows seen — dropped rows still advance event-time)
+# decides which windows finalize.  A hash match therefore pins BOTH
+# boundaries of Spark's late-data contract against an independent engine.
+_LATE_MOD = 37
+
+
+def _stage_late_stream(spark: SparkSession, sf_dir: str, stage_dir: str) -> None:
+    """THREE chunks — on-time half A (even event_id), on-time half B, then
+    the held-back late subset — because Spark filters late input with the
+    watermark that was in effect during the PREVIOUS micro-batch (the
+    one-batch lag of eventTimeWatermarkForLateEvents, measured here: with
+    only two chunks the late batch was filtered against the initial 1970
+    watermark and nothing dropped).  With three, the late batch meets the
+    after-chunk-A watermark — deterministic and SQL-expressible.
+    Sequential writes give FileStreamSource the arrival order."""
+    from flink_net_spark.tables import ensure_read_confs, load_table
+
+    ensure_read_confs(spark)
+    marker = os.path.join(stage_dir, "_staged")
+    if os.path.exists(marker):
+        return
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 8).alias("k"),
+        "ts",
+        "value",
+        F.when(F.col("event_id") % _LATE_MOD == 0, 2)
+        .when(F.col("event_id") % 2 == 0, 0)
+        .otherwise(1)
+        .alias("chunk"),
+    )
+    os.makedirs(stage_dir, exist_ok=True)
+    for i in (0, 1, 2):
+        tmp = os.path.join(stage_dir, f"_tmp_{i}")
+        ev.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in sorted(os.listdir(tmp)) if f.startswith("part-"))
+        os.replace(os.path.join(tmp, part), os.path.join(stage_dir, f"chunk_{i:02d}.parquet"))
+        import shutil as _sh
+
+        _sh.rmtree(tmp, ignore_errors=True)
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+@query(
+    "stream_late_data_audit",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id % 8 AS k, epoch_ms(ts) AS ms, value,
+               (event_id % {_LATE_MOD} = 0) AS late,
+               (event_id % {_LATE_MOD} <> 0 AND event_id % 2 = 0) AS chunk_a
+        FROM events
+    ),
+    -- the watermark Spark filters the late batch with: the one in effect
+    -- during the PREVIOUS micro-batch, i.e. established by chunk A alone
+    wmf AS (SELECT MAX(ms) - {HOUR_MS} AS w FROM ev WHERE chunk_a),
+    fwm AS (SELECT MAX(ms) - {HOUR_MS} AS w FROM ev),
+    kept AS (
+        SELECT k, ms, value FROM ev CROSS JOIN wmf
+        WHERE NOT late OR (ms // {HOUR_MS}) * {HOUR_MS} + {HOUR_MS} > wmf.w
+    )
+    SELECT (ms // {HOUR_MS}) * {HOUR_MS} AS window_start_ms, k,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM kept CROSS JOIN fwm
+    WHERE (ms // {HOUR_MS}) * {HOUR_MS} + {HOUR_MS} <= fwm.w
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode hourly aggregate over the three-batch late-data replay:
+    held-back rows into watermark-closed windows are dropped, held-back
+    rows into open windows merge, and only finalized windows emit.  See
+    the module comment for the deterministic-lateness construction."""
+    stage = _stage_dir(sf_dir, "events_latedata")
+    _stage_late_stream(spark, sf_dir, stage)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    win = (
+        with_bounded_out_of_orderness(stream, "ts", "1 hour")
+        .groupBy(tumbling("ts", "1 hour"), "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "k",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_stream(win, mode="append").orderBy("window_start_ms", "k")
