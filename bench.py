@@ -288,11 +288,12 @@ SHUFFLE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # measured 1.68 is the spread exchange + the exact-verification term
     # groupBy (vocab-bounded) — see the 0.25 @mf row for the real layout.
     "vocab_topk_cms": (["documents"], 2.5),
-    # dsir: two token passes (bucket-count build + broadcast-weight
-    # scoring), so this single-file layout pays the spread exchange twice
-    # plus the per-doc score groupBy — measured 5.41; the bucket tables
-    # themselves are 4096-row.  Real layout: 0.44 (@mf below).
-    "curation_dsir_importance": (["documents"], 7.0),
+    # dsir: two token passes (the ONE bucket-count exchange + the
+    # broadcast-weight scoring pass), so this single-file layout pays the
+    # spread exchange twice plus the per-doc score groupBy — measured 3.37
+    # after folding cr/ct/tot into one conditional aggregation (first cut
+    # ran them as three token-level exchanges: 5.41).  Real layout: 0.30.
+    "curation_dsir_importance": (["documents"], 5.0),
     # zipf: spread + the one (lang, term) count shuffle (vocab-bounded
     # reduce side) — measured 1.71 / @mf 0.25.
     "text_zipf_ttr": (["documents"], 2.5),
@@ -378,7 +379,7 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     "vocab_topk_cms": (["documents"], 0.4),  # measured 0.25
     "text_kn_bigram_nll": (["documents"], 0.5),  # measured 0.284
     "curation_perplexity_gate": (["documents"], 0.6),  # measured 0.354
-    "curation_dsir_importance": (["documents"], 0.7),  # measured 0.441
+    "curation_dsir_importance": (["documents"], 0.5),  # measured 0.301
     "text_zipf_ttr": (["documents"], 0.4),  # measured 0.248
     "sample_reservoir_per_key": (["documents"], 0.8),  # measured 0.574
     "dedup_source_overlap": (["documents"], 0.7),  # measured 0.430

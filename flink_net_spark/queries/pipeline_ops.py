@@ -1306,14 +1306,15 @@ def _dsir_oracle() -> str:
               FROM documents),
              UNNEST(bs) AS u(b)
     ),
-    cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY b),
-    ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tk
-           WHERE lang = 'en' GROUP BY b),
+    bc AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc
+        FROM tk GROUP BY b
+    ),
     tot AS (
-        SELECT CAST(COUNT(*) AS BIGINT) + {DSIR_BUCKETS} AS rb,
-               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
-                   + {DSIR_BUCKETS} AS tb
-        FROM tk
+        SELECT CAST(SUM(c) AS BIGINT) + {DSIR_BUCKETS} AS rb,
+               CAST(SUM(tc) AS BIGINT) + {DSIR_BUCKETS} AS tb
+        FROM bc
     ),
     shift AS (
         SELECT CAST(ROUND(1000000 * (st_ln - sr_ln)) AS BIGINT) AS shift_e6
@@ -1325,9 +1326,7 @@ def _dsir_oracle() -> str:
         SELECT b, CAST(ROUND(1000000 * (wa_ln - wb_ln)) AS BIGINT) AS w_e6
         FROM (SELECT b, {DM.duckdb_det_ln_select('ct1', 'wa')},
                      {DM.duckdb_det_ln_select('cr1', 'wb')}
-              FROM (SELECT cr.b AS b, COALESCE(ct.c, 0) + 1 AS ct1,
-                           cr.c + 1 AS cr1
-                    FROM cr LEFT JOIN ct ON ct.b = cr.b))
+              FROM (SELECT b, tc + 1 AS ct1, c + 1 AS cr1 FROM bc))
     ),
     doc AS (
         SELECT t.doc_id, t.source,
@@ -1369,31 +1368,32 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.expr(_dsir_spark_buckets())).alias("b"),
     )
-    cr = tk.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    ct = (
-        tk.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
-    tot = tk.agg(
-        F.expr(f"CAST(COUNT(*) AS BIGINT) + {DSIR_BUCKETS}").alias("rb"),
-        F.expr(
-            "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)"
-            f" + {DSIR_BUCKETS}"
-        ).alias("tb"),
+    # ONE token-level exchange builds everything the weight table needs:
+    # per-bucket raw and target counts together (conditional aggregation),
+    # with the corpus totals derived from the 4096-row bucket table rather
+    # than a second scan (the first cut ran cr/ct/tot as three separate
+    # token aggregations, duplicated again under the broadcast subtree -
+    # six corpus-scale exchanges; this shape has two token passes total:
+    # the count build and the broadcast-join scoring pass).
+    bc = tk.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum(F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("tc"),
+    ).persist()
+    tot = bc.agg(
+        F.expr(f"CAST(SUM(c) AS BIGINT) + {DSIR_BUCKETS}").alias("rb"),
+        F.expr(f"CAST(SUM(tc) AS BIGINT) + {DSIR_BUCKETS}").alias("tb"),
     )
     shift = DM.spark_with_det_ln(
         DM.spark_with_det_ln(tot, "rb", "sr"), "tb", "st"
     ).select(
         F.expr("CAST(ROUND(1000000 * (st_ln - sr_ln)) AS BIGINT)").alias("shift_e6")
     )
-    crt = (
-        cr.join(ct.withColumnRenamed("c", "tc"), "b", "left")
-        .select(
-            "b",
-            F.expr("COALESCE(tc, 0L) + 1").alias("ct1"),
-            F.expr("c + 1").alias("cr1"),
-        )
+    crt = bc.select(
+        "b",
+        F.expr("tc + 1").alias("ct1"),
+        F.expr("c + 1").alias("cr1"),
     )
     wts = DM.spark_with_det_ln(
         DM.spark_with_det_ln(crt, "ct1", "wa"), "cr1", "wb"
@@ -1411,11 +1411,14 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("source").orderBy(F.col("score_e6").desc(), "doc_id")
-    return (
+    from flink_net_spark.tables import scoped_persist
+
+    return scoped_persist(
         doc.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= _DSIR_TOPK)
         .select("source", "rk", "doc_id", "n_tok", "score_e6")
-        .orderBy("source", "rk")
+        .orderBy("source", "rk"),
+        bc,
     )
 
 
