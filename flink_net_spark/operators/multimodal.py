@@ -52,9 +52,9 @@ def attach_payloads(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         payload.alias("payload"),
         F.struct(
             F.lit("image/x-fns").alias("mime"),
-            w.alias("width"),
-            h.alias("height"),
-            F.length(payload).alias("n_bytes"),
+            w.cast("long").alias("width"),
+            h.cast("long").alias("height"),
+            F.length(payload).cast("long").alias("n_bytes"),
         ).alias("media_meta"),
     )
 
@@ -131,8 +131,8 @@ def decode_image(
 
     return df.mapInPandas(
         decode,
-        "doc_id BIGINT, width INT, height INT, body_checksum BIGINT, "
-        "body_md5 STRING, body_bytes INT, codec STRING",
+        "doc_id BIGINT, width BIGINT, height BIGINT, body_checksum BIGINT, "
+        "body_md5 STRING, body_bytes BIGINT, codec STRING",
     )
 
 
@@ -179,8 +179,8 @@ def fake_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return df.mapInPandas(
         decode,
-        "doc_id BIGINT, width INT, height INT, body_checksum BIGINT, "
-        "body_md5 STRING, body_bytes INT",
+        "doc_id BIGINT, width BIGINT, height BIGINT, body_checksum BIGINT, "
+        "body_md5 STRING, body_bytes BIGINT",
     )
 
 
@@ -260,7 +260,7 @@ def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "doc_id") -> Da
             )
 
     return df.mapInPandas(
-        sample, "doc_id BIGINT, frame_index INT, checksum BIGINT, codec STRING"
+        sample, "doc_id BIGINT, frame_index BIGINT, checksum BIGINT, codec STRING"
     )
 
 
@@ -310,7 +310,7 @@ def fake_frame_sample(
                     sums.append(sum(ord(c) for c in frame))
             yield pd.DataFrame({"doc_id": ids, "frame_index": idxs, "checksum": sums})
 
-    return df.mapInPandas(sample, "doc_id BIGINT, frame_index INT, checksum BIGINT")
+    return df.mapInPandas(sample, "doc_id BIGINT, frame_index BIGINT, checksum BIGINT")
 
 
 def resize_image(

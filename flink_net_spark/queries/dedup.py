@@ -113,8 +113,14 @@ _DUCK_MINHASH_PAIR_CTES = f"""
 """
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verified near-dup pairs (doc_a < doc_b, jaccard ≥ threshold).
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFrame]]:
+    """Verified near-dup pairs (doc_a < doc_b, jaccard ≥ threshold), plus
+    the list of persisted intermediates backing them — an explicit
+    ``(pairs, caches)`` tuple (the ``kn_scored_transitions`` contract;
+    the r9 ADVICE minor: an ad-hoc attribute on the DataFrame broke
+    silently for any consumer that transformed it first).  Consumers pass
+    the caches to ``scoped_persist`` with their FINAL result, or release
+    them directly once their eager work is done.
 
     The shingle DF feeds three subtrees (signatures + both verify sides);
     persist() shares one scan/compute across them — Catalyst does not
@@ -153,10 +159,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", inter * F.lit(1.0) / union)
         .filter(F.col("jaccard") >= JACCARD_VERIFY_THRESHOLD)
     )
-    # consumers must pass this to scoped_persist with their FINAL result so
-    # the shingle cache is released when the result handle is dropped
-    out._fns_cached = [sh]  # type: ignore[attr-defined]
-    return out
+    return out, [sh]
 
 
 @query(
@@ -175,11 +178,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fully deterministic (fixed hash coefficients), so the oracle replicates
     the *pipeline*, not just the ground truth."""
-    pairs = _minhash_pairs(spark, sf_dir)
+    pairs, caches = _minhash_pairs(spark, sf_dir)
     return scoped_persist(
         pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b"),
-        *pairs._fns_cached,
+        *caches,
     )
 
 
@@ -225,7 +228,7 @@ def dedup_resolve_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a recursive CTE."""
     from flink_net_spark.tables import checkpoint_tracked, release_rdd_ids, release_rdds_with_result
 
-    mp = _minhash_pairs(spark, sf_dir)
+    mp, mp_caches = _minhash_pairs(spark, sf_dir)
     pairs = mp.select("doc_a", "doc_b")
     edge_ids: list[int] = []
     edges = checkpoint_tracked(
@@ -270,7 +273,7 @@ def dedup_resolve_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # behind the pair generation and the edge checkpoint are no longer
     # referenced — release them now.  The FINAL label checkpoint backs the
     # returned plan, so it rides the result handle's lifetime.
-    for cached in mp._fns_cached:
+    for cached in mp_caches:
         cached.unpersist()
     release_rdd_ids(spark, edge_ids)
     return release_rdds_with_result(
@@ -433,7 +436,7 @@ _SIMHASH_BANDS = 4  # 15-bit bands; pigeonhole: ≤3 differing bits touch ≤3 o
         FROM bands a JOIN bands b
           ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
     FROM cand
     WHERE bit_count(xor(sa, sb)) <= {_HAMMING_MAX}
     ORDER BY doc_a, doc_b
@@ -486,7 +489,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return scoped_persist(
-        cand.withColumn("hamming", F.expr("CAST(bit_count(sa ^ sb) AS INT)"))
+        cand.withColumn("hamming", F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b"),

@@ -149,9 +149,9 @@ def rich_map_lang_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_sentence_split",
     oracle="""
     SELECT doc_id,
-           CAST(t.i - 1 AS INTEGER) AS sentence_idx,
+           CAST(t.i - 1 AS BIGINT) AS sentence_idx,
            trim(t.s)                AS sentence,
-           CAST(len(trim(t.s)) AS INTEGER) AS n_chars
+           CAST(len(trim(t.s)) AS BIGINT) AS n_chars
     FROM (
         SELECT doc_id, UNNEST(string_split(text, '.'), recursive := false) AS s,
                UNNEST(generate_series(1, len(string_split(text, '.')))) AS i
@@ -177,7 +177,7 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="sentence_idx int, sentence string, n_chars int")
+    @udtf(returnType="sentence_idx bigint, sentence string, n_chars bigint")
     class SentenceSplit:
         def eval(self, text: str):  # noqa: A002
             idx = 0

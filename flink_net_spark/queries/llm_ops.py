@@ -41,8 +41,8 @@ _DUCK_PAYLOAD = (
            md5({_DUCK_PAYLOAD}) AS payload_md5,
            octet_length(encode({_DUCK_PAYLOAD})) AS n_bytes,
            'image/x-fns' AS mime,
-           CAST(doc_id % 640 + 16 AS INT) AS width,
-           CAST(doc_id % 480 + 16 AS INT) AS height
+           CAST(doc_id % 640 + 16 AS BIGINT) AS width,
+           CAST(doc_id % 480 + 16 AS BIGINT) AS height
     FROM documents
     ORDER BY doc_id
     """,
@@ -57,10 +57,10 @@ def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         mm.select(
             "doc_id",
             F.md5("payload").alias("payload_md5"),
-            F.length("payload").alias("n_bytes"),
+            F.length("payload").cast("long").alias("n_bytes"),
             F.col("media_meta.mime").alias("mime"),
-            F.col("media_meta.width").alias("width"),
-            F.col("media_meta.height").alias("height"),
+            F.col("media_meta.width").cast("long").alias("width"),
+            F.col("media_meta.height").cast("long").alias("height"),
         )
         .orderBy("doc_id")
     )
@@ -70,10 +70,10 @@ def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_decode_stats",
     oracle="""
     SELECT doc_id,
-           CAST(doc_id % 640 + 16 AS INT) AS width,
-           CAST(doc_id % 480 + 16 AS INT) AS height,
+           CAST(doc_id % 640 + 16 AS BIGINT) AS width,
+           CAST(doc_id % 480 + 16 AS BIGINT) AS height,
            md5(text) AS body_md5,
-           CAST(octet_length(encode(text)) AS INT) AS body_bytes
+           CAST(octet_length(encode(text)) AS BIGINT) AS body_bytes
     FROM documents
     ORDER BY doc_id
     """,
@@ -102,7 +102,7 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_frame_sample",
     oracle="""
     SELECT doc_id,
-           CAST(k AS INT) AS frame_index,
+           CAST(k AS BIGINT) AS frame_index,
            CAST(list_sum([ascii(substring(text, k * 32 + i, 1)) for i in range(1, 33)])
                 AS BIGINT) AS checksum
     FROM (
@@ -142,7 +142,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           CAST(16 AS INT) AS dim,
+           CAST(16 AS BIGINT) AS dim,
            ROUND(list_sum([
                (COALESCE(list_sum([ascii(substring(payload, i, 1))
                                    for i in range(d + 1, length(payload) + 1, 16)]), 0)
@@ -160,7 +160,7 @@ def mm_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     feats = payload_features(attach_payloads(d), dim=16)
     return feats.select(
-        "doc_id", F.size("features").alias("dim"), F.round(F.expr("aggregate(features, 0.0D, (a, x) -> a + x)"), 4).alias("feat_sum")
+        "doc_id", F.size("features").cast("long").alias("dim"), F.round(F.expr("aggregate(features, 0.0D, (a, x) -> a + x)"), 4).alias("feat_sum")
     ).orderBy("doc_id")
 
 

@@ -792,7 +792,7 @@ def curation_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select(
             "doc_id",
             "chunk_idx",
-            F.size(F.split("ctext", " ")).alias("n_chunk_tokens"),
+            F.size(F.split("ctext", " ")).cast("long").alias("n_chunk_tokens"),
             F.expr(H.spark_char_polyhash("ctext")).alias("chunk_hash"),
         )
         .orderBy("doc_id", "chunk_idx")
@@ -1085,9 +1085,23 @@ def vocab_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = t.groupBy("term", "h").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_count")
     )
+    # Salted two-phase top-k (the zipf/reservoir idiom): a global
+    # Window.orderBy over the full vocabulary is a single-task sort; the
+    # global top-k is provably inside the union of per-salt top-ks, so
+    # pre-prune within (h % SALT) — 8-way parallel — then rank only the
+    # <= SALT * TOPK survivors globally.
+    _CMS_SALT = 8
+    w1 = Window.partitionBy(F.col("h") % _CMS_SALT).orderBy(
+        F.col("exact_count").desc(), F.col("term")
+    )
+    survivors = (
+        exact.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _CMS_TOPK)
+        .drop("r1")
+    )
     w = Window.orderBy(F.col("exact_count").desc(), F.col("term"))
     top = (
-        exact.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        survivors.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _CMS_TOPK)
     )
     est = (
@@ -1181,7 +1195,7 @@ def curation_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiered = per_doc.crossJoin(F.broadcast(thr)).select(
         "source",
         F.expr(
-            "CASE WHEN mean_e6 <= t1 THEN 1 WHEN mean_e6 <= t2 THEN 2 ELSE 3 END"
+            "CASE WHEN mean_e6 <= t1 THEN 1L WHEN mean_e6 <= t2 THEN 2L ELSE 3L END"
         ).alias("tier"),
         "n_tr",
         "mean_e6",
@@ -1231,8 +1245,8 @@ def _perplexity_gate_oracle() -> str:
     ),
     tiered AS (
         SELECT p.source,
-               CASE WHEN p.mean_e6 <= thr.t1 THEN 1
-                    WHEN p.mean_e6 <= thr.t2 THEN 2 ELSE 3 END AS tier,
+               CAST(CASE WHEN p.mean_e6 <= thr.t1 THEN 1
+                    WHEN p.mean_e6 <= thr.t2 THEN 2 ELSE 3 END AS BIGINT) AS tier,
                p.n_tr, p.mean_e6
         FROM per_doc p CROSS JOIN thr
     )

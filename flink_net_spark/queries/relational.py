@@ -640,7 +640,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return (
-        c.withColumn("rnk", F.row_number().over(w))
+        c.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("c_mktsegment", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rnk")
         .orderBy("c_mktsegment", "rnk")
@@ -708,7 +708,7 @@ def window_ntile_lead_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             F.lead("o_orderkey").over(w).alias("next_orderkey"),
-            F.ntile(4).over(w).alias("spend_quartile"),
+            F.ntile(4).over(w).cast("long").alias("spend_quartile"),
             F.round(F.cume_dist().over(w), 4).alias("cume"),
             F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
         )
@@ -731,7 +731,7 @@ def window_ntile_lead_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
            CONCAT(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size,
            ABS(p_retailprice - 1000.0)         AS price_dev,
            CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS price_bucket,
-           p_size % 7                          AS size_mod
+           CAST(p_size % 7 AS BIGINT)           AS size_mod
     FROM part
     WHERE p_size BETWEEN 1 AND 40
     ORDER BY p_partkey
@@ -746,12 +746,12 @@ def map_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey",
             F.upper("p_brand").alias("brand_upper"),
-            F.length("p_name").alias("name_len"),
+            F.length("p_name").cast("long").alias("name_len"),
             F.substring("p_type", 1, 5).alias("type_prefix"),
             F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias("brand_size"),
             F.abs(F.col("p_retailprice") - 1000.0).alias("price_dev"),
             F.floor(F.col("p_retailprice") / 100).alias("price_bucket"),
-            (F.col("p_size") % 7).alias("size_mod"),
+            (F.col("p_size") % 7).cast("long").alias("size_mod"),
         )
         .orderBy("p_partkey")
     )
@@ -761,9 +761,9 @@ def map_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_datetime_functions",
     oracle="""
     SELECT o_orderkey,
-           CAST(YEAR(o_orderdate) AS INT)      AS order_year,
-           CAST(MONTH(o_orderdate) AS INT)     AS order_month,
-           CAST(DAYOFWEEK(o_orderdate) AS INT) AS order_dow,
+           CAST(YEAR(o_orderdate) AS BIGINT)      AS order_year,
+           CAST(MONTH(o_orderdate) AS BIGINT)     AS order_month,
+           CAST(DAYOFWEEK(o_orderdate) AS BIGINT) AS order_dow,
            CAST(epoch_ms(o_orderdate) AS BIGINT)   AS order_ms,
            CAST(epoch_ms(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_ms
     FROM orders
@@ -781,9 +781,9 @@ def map_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.select(
             "o_orderkey",
-            F.year("o_orderdate").alias("order_year"),
-            F.month("o_orderdate").alias("order_month"),
-            (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+            (F.dayofweek("o_orderdate") - 1).cast("long").alias("order_dow"),
             F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("order_ms"),
             F.unix_millis(
                 F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
@@ -797,7 +797,7 @@ def map_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_json_extract",
     oracle="""
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS INT) AS prop_k,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k,
            event_type
     FROM events
     WHERE CAST(json_extract(props, '$.k') AS INT) > 90
@@ -810,7 +810,7 @@ def map_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     return (
-        ev.select("event_id", k.alias("prop_k"), "event_type")
+        ev.select("event_id", k.cast("long").alias("prop_k"), "event_type")
         .filter(F.col("prop_k") > 90)
         .orderBy("event_id")
     )
@@ -1147,7 +1147,7 @@ def map_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(
             "doc_id",
-            F.size(toks).alias("n_tokens"),
+            F.size(toks).cast("long").alias("n_tokens"),
             F.array_join(
                 F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), ""
             ).alias("first_terms"),

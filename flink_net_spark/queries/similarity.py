@@ -79,7 +79,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q)
         .join(n, F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
         .orderBy("query_id", "rank")
@@ -182,7 +182,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q)
         .join(n, (F.col("qb") == F.col("nb")) & (F.col("neighbor_id") != F.col("query_id")))
         .withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
         .orderBy("query_id", "rank")
@@ -345,7 +345,7 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(qs, "query_id")
         .join(ns, "neighbor_id")
         .withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
         .orderBy("query_id", "rank")
@@ -533,7 +533,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
             / (F.col("qn") * F.col("nn")),
         )
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOPK)
         .select(
             "query_id",
@@ -578,7 +578,7 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select(F.posexplode("embedding").alias("dim", "val"))
         .select(
-            "dim",
+            F.col("dim").cast("long").alias("dim"),
             F.round(F.col("val").cast("double") * 1_000_000, 0).cast("long").alias("val_e6"),
         )
         .groupBy("dim")
@@ -829,7 +829,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled — the only shuffles are two partial-aggregated DIM-row aggs."""
     e = load_table(spark, sf_dir, "embeddings")
     ex = e.select(F.posexplode("embedding").alias("dim", "val")).select(
-        "dim",
+        F.col("dim").cast("long").alias("dim"),
         F.round(F.col("val").cast("double") * 1_000_000, 0).cast("long").alias("val_e6"),
     )
     st = ex.groupBy("dim").agg(

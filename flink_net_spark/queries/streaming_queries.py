@@ -531,7 +531,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY n_events DESC, event_type) AS rk
         FROM counts
     )
-    SELECT window_start_ms, event_type, n_events, CAST(rk AS INTEGER) AS rk
+    SELECT window_start_ms, event_type, n_events, CAST(rk AS BIGINT) AS rk
     FROM ranked WHERE rk <= 3
     ORDER BY window_start_ms, rk
     """,
@@ -567,7 +567,7 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").desc(), F.col("event_type")
     )
     return (
-        drained.withColumn("rk", F.row_number().over(w))
+        drained.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .orderBy("window_start_ms", "rk")
     )

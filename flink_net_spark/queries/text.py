@@ -57,9 +57,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select(
             "doc_id",
-            F.size(F.split("text", " ")).alias("n_ws_tokens"),
-            F.expr("size(regexp_extract_all(text, '[a-z]+', 0))").alias("n_alpha_tokens"),
-            F.length("text").alias("n_chars_actual"),
+            F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+            F.expr("size(regexp_extract_all(text, '[a-z]+', 0))").cast("long").alias("n_alpha_tokens"),
+            F.length("text").cast("long").alias("n_chars_actual"),
             F.col("n_chars").alias("n_chars_meta"),
         )
         .orderBy("doc_id")
@@ -105,7 +105,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select(
             "doc_id",
-            n_tok.alias("n_tokens"),
+            n_tok.cast("long").alias("n_tokens"),
             F.round(stop_ratio, 4).alias("stopword_ratio"),
             F.round(sum_len * 1.0 / n_tok, 4).alias("avg_token_len"),
             F.round(
@@ -401,7 +401,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(df_ln, "term")
         .crossJoin(F.broadcast(st_ln))
         .withColumn("bm25", F.expr(_BM25_SCORE_EXPR))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
         .select(
             "doc_id",
@@ -472,9 +472,9 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select(
             "doc_id",
-            n_words.alias("n_words"),
+            n_words.cast("long").alias("n_words"),
             F.round(mean_wl, 4).alias("mean_word_len"),
-            stop_hits.alias("stop_hits"),
+            stop_hits.cast("long").alias("stop_hits"),
             F.round(uniq_ratio, 4).alias("uniq_ratio"),
             pass_words.alias("pass_words"),
             pass_mwl.alias("pass_mwl"),
@@ -508,7 +508,7 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT)      AS n_tokens,
            CAST(SUM(nll_e6) AS BIGINT)   AS sum_nll_e6,
-           SUM(nll_e6) // COUNT(*)       AS avg_nll_e6
+           CAST(SUM(nll_e6) // COUNT(*) AS BIGINT) AS avg_nll_e6
     FROM tok GROUP BY doc_id ORDER BY doc_id
     """,
 )
@@ -711,7 +711,7 @@ def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT)    AS n_bigrams,
            CAST(SUM(nll_e6) AS BIGINT) AS sum_nll_e6,
-           SUM(nll_e6) // COUNT(*)     AS avg_nll_e6
+           CAST(SUM(nll_e6) // COUNT(*) AS BIGINT) AS avg_nll_e6
     FROM tok GROUP BY doc_id ORDER BY doc_id
     """,
 )

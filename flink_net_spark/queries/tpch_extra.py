@@ -148,7 +148,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(pair)
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(F.sum(_revenue_e4()).alias("revenue_e4"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -209,7 +209,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), c.c_nationkey == n2.n_nationkey)
         .join(F.broadcast(r), n2.n_regionkey == r.r_regionkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.sum(
                 F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0))
@@ -268,7 +268,7 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(F.sum(_revenue_e4()).alias("sum_profit_e4"))
         .orderBy(F.col("nation"), F.col("o_year").desc())
     )
@@ -395,7 +395,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q16_supplier_part_counts",
     oracle="""
-    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 13, 17, 21)
     GROUP BY p_brand, p_type, p_size
@@ -412,7 +412,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(p, li.l_partkey == p.p_partkey)
-        .groupBy("p_brand", "p_type", "p_size")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
@@ -649,7 +649,7 @@ def q21_sole_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q22_dormant_customers",
     oracle="""
-    SELECT c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
     FROM customer c
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -668,7 +668,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.crossJoin(F.broadcast(thr))
         .filter(F.col("c_acctbal") > F.col("_thr"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .groupBy("c_nationkey")
+        .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),

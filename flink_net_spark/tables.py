@@ -115,28 +115,74 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
     return dfs
 
 
+# Live refcounts for scoped persists, keyed by the SEMANTIC plan hash.
+# Spark's CacheManager is keyed by logical plan, not by Python handle: two
+# invocations of the same query builder produce distinct DataFrame objects
+# backed by ONE cache entry, so a per-handle unpersist (the r8→r9 design)
+# could evict a cache another live result still depends on the moment any
+# earlier handle was GC'd (r9 ADVICE minor).  Refcounting on the semantic
+# hash releases the cache only when the LAST scoped result is done with it.
+_PLAN_REFS: dict[int, list] = {}  # key -> [refcount, DataFrame handle]
+
+
+def _plan_key(df: DataFrame) -> int:
+    try:
+        return int(df._jdf.queryExecution().logical().semanticHash())
+    except Exception:  # pragma: no cover - py4j surface drift
+        return id(df)
+
+
 def scoped_persist(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Tie persisted intermediates' cache lifetime to the RESULT handle.
 
     Query builders persist a shared intermediate (e.g. a tokenized
     transition stream feeding both an LM build and a join-back) and return
     a lazy DataFrame; there is no post-action hook to unpersist, so the
-    cache used to live for the whole session (r8 ADVICE minor).  Instead,
-    register a weakref finalizer on the returned DataFrame: when the
-    consumer drops its result handle (after collect/write), the persisted
-    inputs are unpersisted.  Non-blocking and exception-safe — if the
+    cache used to live for the whole session (r8 ADVICE minor).  The
+    persisted inputs are refcounted by semantic plan hash (see _PLAN_REFS)
+    and released when the last result scoped to them is dropped — either
+    explicitly via ``release_persisted(result)`` (preferred: deterministic,
+    what bench.py and the driver-sim call after collect) or by the GC
+    finalizer as a backstop.  Non-blocking and exception-safe — if the
     session is already gone there is nothing left to free."""
     import weakref
 
-    def _release(refs=list(cached)) -> None:
-        for df in refs:
-            try:
-                df.unpersist()
-            except Exception:
-                pass
+    keys = []
+    for df in cached:
+        k = _plan_key(df)
+        ent = _PLAN_REFS.setdefault(k, [0, df])
+        ent[0] += 1
+        keys.append(k)
 
-    weakref.finalize(result, _release)
+    def _release(keys=keys) -> None:
+        for k in keys:
+            ent = _PLAN_REFS.get(k)
+            if ent is None:
+                continue
+            ent[0] -= 1
+            if ent[0] <= 0:
+                _PLAN_REFS.pop(k, None)
+                try:
+                    ent[1].unpersist()
+                except Exception:
+                    pass
+
+    fin = weakref.finalize(result, _release)
+    # Explicit-release handle: weakref.finalize objects are idempotent
+    # callables, so release_persisted() after collect() is deterministic
+    # and the GC backstop then no-ops.  Consumers that transform `result`
+    # first simply fall back to the GC path (release_persisted degrades to
+    # a no-op on DataFrames without the handle).
+    result._fns_release = fin
     return result
+
+
+def release_persisted(result: DataFrame) -> None:
+    """Deterministically release the caches scoped to ``result`` by
+    ``scoped_persist`` (idempotent; no-op for unscoped DataFrames)."""
+    fin = getattr(result, "_fns_release", None)
+    if fin is not None:
+        fin()
 
 
 def _persistent_rdd_ids(spark: SparkSession) -> set[int]:

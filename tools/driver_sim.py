@@ -24,6 +24,26 @@ ONLY = sys.argv[2:]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+DUCK_OK = {"BIGINT", "DOUBLE", "BOOLEAN", "VARCHAR"}
+SPARK_OK = {"bigint", "double", "boolean", "string"}
+
+
+def oracle_type_violations(con, sql):
+    """Columns of the oracle's DECLARED result type outside the driver-safe
+    set — the class fetchall() value-comparison cannot see (HUGEINT arrives
+    as Python int), which produced the round-9 48/50 driver window while
+    local replays showed 156/156 green."""
+    return [
+        (c, ty)
+        for c, ty, *_ in con.execute(f"DESCRIBE {sql}").fetchall()
+        if ty not in DUCK_OK
+    ]
+
+
+def spark_type_violations(sdf):
+    return [(c, ty) for c, ty in sdf.dtypes if ty not in SPARK_OK]
+
+
 def canon(v):
     if v is None:
         return None
@@ -81,11 +101,23 @@ def main():
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
             if name in oracles:
+                # Type gate (round-10): the driver's value-hasher is
+                # type-representation-sensitive — a HUGEINT oracle column
+                # hash-mismatches a Spark LONG even when every value is
+                # bit-identical (the only round-9 driver reds).  fetchall()
+                # coerces HUGEINT to Python int, so a value compare alone
+                # CANNOT catch the class; assert declared result types
+                # before comparing values.
+                bad_duck = oracle_type_violations(con, oracles[name])
+                bad_spark = spark_type_violations(sdf)
                 res = con.execute(oracles[name])
                 dcols = [d[0] for d in res.description]
                 drows = res.fetchall()
                 rec["rows_match"] = len(srows) == len(drows)
                 rec["schema_match"] = sorted(scols) == sorted(dcols)
+                if bad_duck or bad_spark:
+                    rec["schema_match"] = False
+                    rec["type_violation"] = f"duck={bad_duck} spark={bad_spark}"
                 if rec["rows_match"] and rec["schema_match"]:
                     s, d = canon_rows(srows, scols), canon_rows(drows, dcols)
                     bad = [(a, b) for a, b in zip(s, d) if a != b]
