@@ -364,13 +364,15 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     "dedup_exact": (["documents"], 0.8),
     "text_repetition_stats": (["documents"], 1.0),  # presentation sort only
     "sim_range_search_blocked": (["embeddings"], 0.5),  # block equi-join only
-    # round-9 (r8 verdict #4: the last persist()-family dedup query without
-    # a real-layout row): measured 3.14 — one (8-byte gram hash, doc_id,
-    # pos) row per TOKEN at stride 1, i.e. ~2.7× the raw text and 3.1× its
-    # parquet encoding.  Linear in corpus size by construction (never
-    # quadratic); the winnowed variant above (bound 1.0) is the 100 TB
+    # round-10 (r9 verdict #6, was 3.14): measured 2.46 after the one-field
+    # restructure — n_windows comes from the scan-side array size (zero
+    # shuffle), the df build repartitions the BARE 32-bit gram column
+    # (~92% of remaining bytes: 6.5 B/row compressed × one row per token,
+    # the communication floor for exact global df), and only the df>=2
+    # subset (~9% of instances) joins back.  Linear in corpus size by
+    # construction; the winnowed variant above (bound 1.0) is the 100 TB
     # scale path, cutting the exchange 2/(w+1).
-    "dedup_substring_stats": (["documents"], 4.0),
+    "dedup_substring_stats": (["documents"], 3.0),
     # round-9 additions on the real layout (warm, like the other persist
     # queries: the @mf row measures the query's own joins, the cold
     # LM-build exchange is the single-file row above)

@@ -655,15 +655,25 @@ def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 61-bit polyhash fingerprints → 32-bit INTs before the shuffle: substring
+# candidates are exact-verified downstream in a real pipeline, so fingerprint
+# collisions cost a spurious candidate, never a missed span — and halving
+# the key bytes is the difference between shuffling more or less than the
+# corpus itself (round-5 verdict #2).  The shift to signed range keeps the
+# value inside INT32 on both engines (no silent wrap semantics to match).
+_FP32 = "CAST(({x} & 4294967295) - 2147483648 AS INT)"
+
+
 @query(
     "dedup_substring_stats",
     oracle=f"""
     WITH {_DUCK_SUB_GRAMS},
-    freq AS (SELECT gram, COUNT(*) AS df FROM gr GROUP BY gram),
-    nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM gr GROUP BY doc_id),
+    gr32 AS (SELECT doc_id, {_FP32.format(x="gram")} AS gram FROM gr),
+    freq AS (SELECT gram, COUNT(*) AS df FROM gr32 GROUP BY gram),
+    nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM gr32 GROUP BY doc_id),
     nd AS (
         SELECT g.doc_id, COUNT(*) AS n_dup
-        FROM gr g JOIN freq f ON g.gram = f.gram AND f.df >= 2
+        FROM gr32 g JOIN freq f ON g.gram = f.gram AND f.df >= 2
         GROUP BY g.doc_id
     )
     SELECT d.doc_id AS doc_id,
@@ -685,34 +695,64 @@ def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mostly duplicated).  ``dup_ratio`` is the curation signal a pipeline
     thresholds on before dropping/trimming documents.  Docs shorter than k
     tokens have no windows and score 0.  No pair join at all — membership
-    only, so the whole query is two hash-aggregations over (doc_id, hash)."""
-    gr = _substring_grams(spark, sf_dir).persist()
-    freq = gr.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    nw = gr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
-    nd = (
-        gr.join(freq.filter(F.col("df") >= 2).select("gram"), "gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup"))
-    )
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-    n_windows = F.coalesce("n_windows", F.lit(0).cast("long"))
-    n_dup = F.coalesce("n_dup", F.lit(0).cast("long"))
-    return scoped_persist(
-        d.join(nw, "doc_id", "left")
-        .join(nd, "doc_id", "left")
+    only.  Windows are 32-bit fingerprints (the _FP32 contract above,
+    mirrored in the oracle): a collision merges two window hashes and
+    nudges df upward — the right trade for a thresholded curation signal.
+
+    Shuffle shape (round-10, VERDICT r09 #6, measured 3.14 → target ≤2):
+    the heavy exchange carries ONE field.  (a) ``n_windows`` never
+    shuffles at all — it is the size() of the per-doc distinct-shingle
+    array, computed in the scan projection.  (b) The df table is built by
+    repartition(gram) of the BARE gram column (no doc_id, no partial-agg
+    count riding along — 16 B/row raw vs the old 24-32 B), which
+    satisfies the aggregation's clustering so Catalyst adds no second
+    exchange.  (c) Only the df >= 2 gram set (9% of instances on this
+    corpus) joins back — a runtime-broadcast-sized dim here; at corpora
+    where the boilerplate set outgrows broadcast, AQE falls back to a
+    shuffled join of exactly the dup subset.  Row count, not key width,
+    is the shuffle lever (UnsafeRow pads every field to 8 B)."""
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    base = (
+        d.withColumn("th", F.expr(H.spark_token_hashes("text")))
         .select(
             "doc_id",
-            n_windows.alias("n_windows"),
+            F.expr(H.spark_hashed_shingles("th", SUBSTR_WINDOW)).alias("sh"),
+        )
+        .persist()
+    )
+    gr = base.select("doc_id", F.explode("sh").alias("g")).select(
+        "doc_id", F.expr(_FP32.format(x="g")).alias("gram")
+    )
+    dup = (
+        gr.select("gram")
+        .repartition(F.col("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    nd = gr.join(dup, "gram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup")
+    )
+    nw = base.select(
+        "doc_id", F.size("sh").cast("long").alias("n_windows")
+    )
+    n_dup = F.coalesce("n_dup", F.lit(0).cast("long"))
+    return scoped_persist(
+        nw.join(nd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
             n_dup.alias("n_dup_windows"),
             F.round(
-                F.when(n_windows == 0, F.lit(0.0)).otherwise(
-                    n_dup * F.lit(1.0) / n_windows
+                F.when(F.col("n_windows") == 0, F.lit(0.0)).otherwise(
+                    n_dup * F.lit(1.0) / F.col("n_windows")
                 ),
                 4,
             ).alias("dup_ratio"),
         )
         .orderBy("doc_id"),
-        gr,
+        base,
     )
 
 
@@ -726,14 +766,6 @@ def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Data Makes Language Models Better").
 SUBSTR_WINNOW_W = 12
 
-
-# 61-bit polyhash fingerprints → 32-bit INTs before the shuffle: substring
-# candidates are exact-verified downstream in a real pipeline, so fingerprint
-# collisions cost a spurious candidate, never a missed span — and halving
-# the key bytes is the difference between shuffling more or less than the
-# corpus itself (round-5 verdict #2).  The shift to signed range keeps the
-# value inside INT32 on both engines (no silent wrap semantics to match).
-_FP32 = "CAST(({x} & 4294967295) - 2147483648 AS INT)"
 
 
 def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -970,14 +1002,34 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the bounded sample (the dedup_embedding_cosine precedent) — the
 # SAMPLE is what you size to your cluster, the audited LSH path itself
 # stays the linear scale path.
-_LSH_AUDIT_PREFIX = "20"  # md5 first-2-hex < '20' => ~12.5% of docs
+#
+# Round-10 (VERDICT r09 #5): the sample is a fixed COUNT, not a fixed
+# fraction.  The old md5-prefix < '20' cut sampled ~12.5% of the corpus,
+# so the exact all-pairs truth grew O((N/8)²) — the audit stopped being
+# runnable at exactly the scale where you'd want it.  Now the sample is
+# the TARGET_DOCS documents with the smallest md5(doc_id) (same hash
+# ordering, tie-free), so truth cost is O(K²) = CONSTANT at any corpus
+# size.  TARGET_DOCS is set to the legacy cut's yield at the driver-gate
+# SF, which makes the sampled set — and therefore the audited
+# recall/precision row — bit-identical there (the K smallest md5 values
+# ARE the prefix-cut set when K is its size); raise it with cluster
+# budget for tighter confidence intervals.  The estimate is unbiased at
+# any K: band-collision probability depends only on pairwise Jaccard.
+_LSH_AUDIT_TARGET_DOCS = 78
+_LSH_AUDIT_SALT = 8
 
 
 def _lsh_audit_oracle() -> str:
     return f"""
-    WITH samp AS MATERIALIZED (
-        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM {_DUCK_TH_DOCS}
-        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_LSH_AUDIT_PREFIX}'
+    WITH keys AS MATERIALIZED (
+        SELECT doc_id FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT {_LSH_AUDIT_TARGET_DOCS}
+    ),
+    samp AS MATERIALIZED (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh
+        FROM (SELECT d.*, {H.duckdb_token_hashes('text')} AS th
+              FROM documents d JOIN keys USING (doc_id))
     ),
     truth AS MATERIALIZED (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1018,17 +1070,36 @@ def _lsh_audit_oracle() -> str:
 
 @query("dedup_lsh_recall_audit", oracle=_lsh_audit_oracle(), scale_safe=False)
 def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH banding audit on a 12.5% hash sample: exact near-dup
-    pairs vs band-caught pairs, with e6 recall/precision.  See the module
-    comment for why the sampled estimate transfers to the full corpus."""
+    """MinHash-LSH banding audit on a constant-count hash sample: exact
+    near-dup pairs vs band-caught pairs, with e6 recall/precision.  See
+    the module comment for why the sampled estimate transfers to the full
+    corpus and why the sample is a fixed COUNT (constant truth cost).
+
+    The key pick is the salted two-phase top-k (never a global sort of
+    the corpus): per-salt smallest-md5 survivors, then a global rank over
+    the <= SALT * K survivor rows.  The K keys then broadcast back onto
+    the document scan BEFORE the CPU-heavy shingle/minhash compute, so
+    the heavy stages only ever see K rows."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    mk = F.md5(F.col("doc_id").cast("string"))
+    w1 = Window.partitionBy(F.col("doc_id") % _LSH_AUDIT_SALT).orderBy(
+        mk, "doc_id"
+    )
+    w2 = Window.orderBy(mk, "doc_id")
+    keys = (
+        docs.select("doc_id")
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _LSH_AUDIT_TARGET_DOCS)
+        .withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= _LSH_AUDIT_TARGET_DOCS)
+        .select("doc_id")
+    )
     samp = (
-        _spark_shingle_hash_df(spark, sf_dir)
-        .filter(
-            F.expr(
-                "substring(md5(CAST(doc_id AS STRING)), 1, 2)"
-                f" < '{_LSH_AUDIT_PREFIX}'"
-            )
-        )
+        spread_small_scan(docs.join(F.broadcast(keys), "doc_id"))
+        .withColumn("th", F.expr(H.spark_token_hashes("text")))
+        .select("doc_id", F.expr(H.spark_hashed_shingles("th")).alias("sh"))
         .persist()
     )
     a = samp.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))

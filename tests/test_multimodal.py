@@ -25,7 +25,8 @@ def test_payload_schema_and_roundtrip(spark):
     schema = {f.name: f.dataType for f in mm.schema.fields}
     assert isinstance(schema["payload"], BinaryType)
     meta = {f.name: f.dataType.simpleString() for f in schema["media_meta"].fields}  # type: ignore[attr-defined]
-    assert meta == {"mime": "string", "width": "int", "height": "int", "n_bytes": "int"}
+    # 64-bit metadata after the round-10 result-type contract (driver-safe set)
+    assert meta == {"mime": "string", "width": "bigint", "height": "bigint", "n_bytes": "bigint"}
 
     row = mm.filter(F.col("doc_id") == 7).first()
     assert bytes(row.payload[:4]) == b"FNSB"
