@@ -797,47 +797,197 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BACKOFF_NEG_LN_04 = "0.916290731874155"
 
 
+# n-gram keys travel as exact BIGINTs, never strings (the first cut keyed
+# the LM joins on raw word triples and measured 22-37× the corpus in
+# shuffle bytes — ~100 B of UnsafeRow per transition): each token maps to
+# its char-polyhash h < MOD once, map-side; a bigram key is the BIJECTIVE
+# pair encoding h1·MOD + h2 < MOD² ≈ 1.0e18 (inside int64, no collisions
+# beyond the token-hash layer both engines already share), and a trigram
+# key is the (pair_key, h3) column pair.  h1 = k12 div MOD decodes the
+# context exactly — no second pass over the token stream.
+_TRI_MOD = H.MOD
+
+
+def _tri_toks_duckdb() -> str:
+    inner = H.duckdb_char_polyhash("w")
+    return (
+        "SELECT doc_id, "
+        f"[{inner} for w in list_filter(string_split(text, ' '), x -> x <> '')] AS h "
+        "FROM documents"
+    )
+
+
+# --------------------------------------------------------------------------
+# Shared LM count-table builder (round-10, VERDICT r09 #8).
+# --------------------------------------------------------------------------
+# The LM ladder (stupid-backoff bigram, trigram backoff, KN-lite, and the
+# perplexity gate riding kn_scored_transitions) each used to re-tokenize
+# the corpus and re-shuffle the token stream into their own n-gram count
+# tables — the text family was ~23% of the whole bench.  The tables are
+# pure functions of (corpus, train split): one hashed token-array pass,
+# one bigram-keyed exchange, one trigram-keyed exchange, everything else
+# vocab-bounded re-aggregation.  Build them ONCE per (session, corpus)
+# and memoize: consumers re-enter through shared_lm_tables() and the
+# persist() call re-registers lazily if a cache sweep evicted them, so
+# correctness never depends on the cache — only the repeat cost does.
+#
+# Lifetime contract: these are deliberately SESSION-scoped (a curation
+# pipeline scores many signals over one corpus against one LM), unlike
+# scoped_persist's result-scoped caches.  Bounded: token arrays + two
+# count tables.  release_shared_lm() drops them explicitly.
+_LM_SHARED: dict[tuple, dict] = {}
+
+
+def shared_lm_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Memoized shared LM inputs: ``toks`` (doc_id, char-polyhash token
+    array), ``bg_all``/``tg_all`` (lazy exploded n-gram streams, k12 pair
+    keys — see the module comment on the bijective encoding), ``c2b``
+    (train bigram counts, column ``c``), ``c3`` (train trigram counts),
+    ``uni`` (train unigram counts, column ``u`` — derived from bigram
+    STARTS plus each doc's last token, so it never re-shuffles the token
+    stream).  toks/c2b/c3 are persisted; derivations are cheap re-aggs."""
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # pragma: no cover - stopped session
+        app = None
+    key = (app, id(spark), sf_dir)
+    t = _LM_SHARED.get(key)
+    if t is None:
+        d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+        ph = H.spark_char_polyhash("w")
+        toks = d.select(
+            "doc_id",
+            F.expr(
+                f"transform(filter(split(text, ' '), x -> x <> ''), w -> {ph})"
+            ).alias("h"),
+        )
+        bg_all = toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(h) >= 2 THEN "
+                    "transform(sequence(1, size(h) - 1), "
+                    f"i -> h[i - 1] * {_TRI_MOD}L + h[i]) "
+                    "ELSE CAST(array() AS array<bigint>) END"
+                )
+            ).alias("k12"),
+        )
+        tg_all = (
+            toks.select(
+                "doc_id",
+                F.expr(
+                    "CASE WHEN size(h) >= 3 THEN "
+                    "transform(sequence(1, size(h) - 2), "
+                    f"i -> struct(h[i - 1] * {_TRI_MOD}L + h[i] AS k12, "
+                    "h[i + 1] AS h3)) "
+                    "ELSE CAST(array() AS array<struct<k12: bigint, h3: bigint>>) END"
+                ).alias("tgs"),
+            )
+            .select("doc_id", F.explode("tgs").alias("p"))
+            .select("doc_id", "p.k12", "p.h3")
+        )
+        c2b = (
+            bg_all.filter(F.col("doc_id") % 10 != 0)
+            .groupBy("k12")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        c3 = (
+            tg_all.filter(F.col("doc_id") % 10 != 0)
+            .groupBy("k12", "h3")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c3"))
+        )
+        lasts = (
+            toks.filter((F.size("h") >= 1) & (F.col("doc_id") % 10 != 0))
+            .select(F.expr("element_at(h, size(h))").alias("h3"))
+            .groupBy("h3")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        uni = (
+            c2b.select(F.expr(f"k12 div {_TRI_MOD}").alias("h3"), F.col("c"))
+            .unionAll(lasts)
+            .groupBy("h3")
+            .agg(F.sum("c").cast("bigint").alias("u"))
+        )
+        t = {
+            "toks": toks,
+            "bg_all": bg_all,
+            "tg_all": tg_all,
+            "c2b": c2b,
+            "c3": c3,
+            "uni": uni,
+        }
+        _LM_SHARED[key] = t
+    # Idempotent re-registration: a clearCache()/eviction drops the entry;
+    # the next consumer re-persists lazily (no action runs here).
+    for name in ("toks", "c2b", "c3"):
+        t[name].persist()
+    return t
+
+
+def _shared_slot(t: dict, name: str, build, persist_names) -> None:
+    """Populate a lazy derived-table slot in the shared dict and (re-)
+    persist its cacheable members — the pattern every LM rung uses for its
+    vocab-bounded SCORE tables: the det-ln chains that produce them are
+    the dominant per-execution cost, they are pure functions of the count
+    tables, and persisting them turns a repeat execution into pure
+    scoring-stream joins."""
+    if name not in t:
+        t.update(build())
+    for n in persist_names:
+        t[n].persist()
+
+
+def release_shared_lm(spark: SparkSession | None = None) -> None:
+    """Explicitly drop the session-scoped shared LM caches (tests and
+    bounded-pool callers); no-op for sessions with no shared build."""
+    from pyspark.sql import DataFrame as _DF
+
+    for key in list(_LM_SHARED):
+        if spark is None or key[1] == id(spark):
+            t = _LM_SHARED.pop(key)
+            for v in t.values():
+                if isinstance(v, _DF):
+                    try:
+                        v.unpersist()
+                    except Exception:
+                        pass
+
+
 @query(
     "text_backoff_nll",
     oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        FROM documents
+    WITH toks AS MATERIALIZED (
+        {_tri_toks_duckdb()}
     ),
-    train_bg AS (
-        SELECT p.w1 AS w1, p.w2 AS w2
-        FROM toks, UNNEST([{{'w1': t[i], 'w2': t[i + 1]}}
-                           for i in range(1, len(t))]) AS u(p)
-        WHERE doc_id % 10 <> 0
+    bg AS MATERIALIZED (
+        SELECT doc_id, u.k12 AS k12
+        FROM toks, UNNEST([h[i] * {_TRI_MOD} + h[i + 1]
+                           for i in range(1, len(h))]) AS u(k12)
     ),
     c2 AS (
-        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM train_bg GROUP BY w1, w2
+        SELECT k12, CAST(COUNT(*) AS BIGINT) AS c2
+        FROM bg WHERE doc_id % 10 <> 0 GROUP BY k12
     ),
     c1 AS (
-        SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+        SELECT k12 // {_TRI_MOD} AS h1, CAST(SUM(c2) AS BIGINT) AS c1
+        FROM c2 GROUP BY 1
     ),
     uni AS (
-        SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS u
-        FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % 10 <> 0)
+        SELECT tok AS h2, CAST(COUNT(*) AS BIGINT) AS u
+        FROM (SELECT unnest(h) AS tok FROM toks WHERE doc_id % 10 <> 0)
         GROUP BY tok
     ),
     tot AS (
         SELECT CAST(SUM(u) AS BIGINT) AS big_u FROM uni
     ),
     tot_ln AS (SELECT {DM.duckdb_det_ln_select("big_u", "bt")} FROM tot),
-    test_bg AS (
-        SELECT doc_id, p.w1 AS w1, p.w2 AS w2
-        FROM toks, UNNEST([{{'w1': t[i], 'w2': t[i + 1]}}
-                           for i in range(1, len(t))]) AS u(p)
-        WHERE doc_id % 10 = 0
-    ),
     j AS (
         SELECT b.doc_id, c2.c2 AS c2, c1.c1 AS c1,
                GREATEST(COALESCE(uni.u, 0), 1) AS ue
-        FROM test_bg b
-        LEFT JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
-        LEFT JOIN c1 ON c1.w1 = b.w1
-        LEFT JOIN uni ON uni.w = b.w2
+        FROM (SELECT doc_id, k12 FROM bg WHERE doc_id % 10 = 0) b
+        LEFT JOIN c2 ON c2.k12 = b.k12
+        LEFT JOIN c1 ON c1.h1 = b.k12 // {_TRI_MOD}
+        LEFT JOIN uni ON uni.h2 = b.k12 % {_TRI_MOD}
     ),
     scored AS (
         SELECT doc_id,
@@ -871,6 +1021,15 @@ def text_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     real perplexity filtering scores NEW documents, so OOV handling is the
     point, and ``n_backoff`` is emitted as its own checked column.
 
+    Round-10: keys are the exact BIGINT pair encoding h1·MOD + h2 (the
+    module comment above the trigram rung — n-grams never travel as
+    strings), which lets the whole LM ride the family-wide
+    shared_lm_tables build: the bigram count table, the context sums and
+    the unigram table are the SAME tables the trigram and KN rungs score
+    against, built once per session.  Both engines hash tokens through
+    the same char-polyhash, so a (rare) token-hash collision merges the
+    same counts on both sides — the oracle speaks the hashed keys too.
+
     Float discipline (round-9: same fix as the NLL siblings): every ``ln``
     over integer counts is the DETERMINISTIC expression from
     functions/detmath.py (bit-identical across engines by construction);
@@ -880,76 +1039,82 @@ def text_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent.  All CASE values are positive, so HALF_UP and
     half-away rounding agree.
 
-    Scale: one (w1,w2) shuffle builds c2 from the train stream; c1 and the
-    unigram table re-aggregate from count tables, not the stream; the test
-    stream (10% of the corpus) equi-joins the LM tables on their keys.  The
-    scalar U rides a 1-row broadcast cross join."""
-    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("t")
-    ).persist()
-    bg_all = (
-        toks.select(
-            "doc_id",
-            F.expr(
-                "CASE WHEN size(t) >= 2 THEN "
-                "transform(sequence(1, size(t) - 1), "
-                "i -> struct(t[i - 1] AS w1, t[i] AS w2)) "
-                "ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"
-            ).alias("bgs"),
+    Scale: the (k12) shuffle that builds c2 is the shared build, amortized
+    across the LM family; c1 and the unigram table re-aggregate from count
+    tables, not the stream; the test stream (10% of the corpus) equi-joins
+    the LM tables on 8-byte keys.  The scalar U rides a 1-row broadcast
+    cross join."""
+    t = shared_lm_tables(spark, sf_dir)
+
+    def _build() -> dict:
+        c2 = t["c2b"]
+        c1 = (
+            c2.groupBy(F.expr(f"k12 div {_TRI_MOD}").alias("h1"))
+            .agg(F.sum("c").cast("bigint").alias("c1"))
         )
-        .select("doc_id", F.explode("bgs").alias("p"))
-        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    )
-    train_bg = bg_all.filter(F.col("doc_id") % 10 != 0)
-    test_bg = bg_all.filter(F.col("doc_id") % 10 == 0)
-    c2 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
-    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
-    uni = (
-        toks.filter(F.col("doc_id") % 10 != 0)
-        .select(F.explode("t").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("u"))
-    )
-    tot = uni.agg(F.sum("u").cast("bigint").alias("big_u"))
-    tot_ln = DM.spark_with_det_ln(tot, "big_u", "bt").select("bt_ln")
-    j = (
-        test_bg.join(c2, ["w1", "w2"], "left")
-        .join(c1, "w1", "left")
-        .join(uni.withColumnRenamed("w", "w2"), "w2", "left")
+        seen = DM.spark_with_det_ln(
+            DM.spark_with_det_ln(
+                c2.withColumn("h1", F.expr(f"k12 div {_TRI_MOD}")).join(c1, "h1"),
+                "c1",
+                "ba",
+            ),
+            "c",
+            "bb",
+        ).select(
+            "k12",
+            F.expr("CAST(ROUND(1000000 * (ba_ln - bb_ln)) AS BIGINT)").alias(
+                "s_e6"
+            ),
+        )
+        tot = t["uni"].agg(F.sum("u").cast("bigint").alias("big_u"))
+        tot_ln = DM.spark_with_det_ln(tot, "big_u", "bt").select("bt_ln")
+        unseen = DM.spark_with_det_ln(
+            t["uni"].crossJoin(F.broadcast(tot_ln)), "u", "bu"
+        ).select(
+            F.col("h3").alias("h2"),
+            F.expr(
+                f"CAST(ROUND(1000000 * (({_BACKOFF_NEG_LN_04} + bt_ln) - bu_ln))"
+                " AS BIGINT)"
+            ).alias("x_e6"),
+        )
+        # OOV floor: ue = GREATEST(COALESCE(u,0),1) = 1 — run the SAME
+        # det-ln chain over the literal 1 so the quantized constant is
+        # bit-identical to the per-transition computation it replaces
+        floor = DM.spark_with_det_ln(
+            tot_ln.withColumn("ue", F.lit(1).cast("bigint")), "ue", "bu"
+        ).select(
+            F.expr(
+                f"CAST(ROUND(1000000 * (({_BACKOFF_NEG_LN_04} + bt_ln) - bu_ln))"
+                " AS BIGINT)"
+            ).alias("floor_e6")
+        )
+        return {"bo_seen": seen, "bo_unseen": unseen, "bo_floor": floor}
+
+    _shared_slot(t, "bo_seen", _build, ("bo_seen", "bo_unseen"))
+    bo_floor = t["bo_floor"]  # 1-row OOV constant
+    scored = (
+        t["bg_all"]
+        .filter(F.col("doc_id") % 10 == 0)
+        .join(t["bo_seen"], "k12", "left")
+        .withColumn("h2", F.expr(f"k12 % {_TRI_MOD}"))
+        .join(t["bo_unseen"], "h2", "left")
+        .crossJoin(F.broadcast(bo_floor))
         .select(
             "doc_id",
-            "c2",
-            "c1",
-            F.expr("GREATEST(COALESCE(u, 0), 1)").alias("ue"),
+            F.expr("CASE WHEN s_e6 IS NOT NULL THEN 0 ELSE 1 END").alias(
+                "backoff"
+            ),
+            F.expr("COALESCE(s_e6, x_e6, floor_e6)").alias("nll_e6"),
         )
     )
-    scored = DM.spark_with_det_ln(
-        DM.spark_with_det_ln(
-            DM.spark_with_det_ln(j.crossJoin(F.broadcast(tot_ln)), "c1", "ba"),
-            "c2",
-            "bb",
-        ),
-        "ue",
-        "bu",
-    ).select(
-        "doc_id",
-        F.expr("CASE WHEN c2 IS NOT NULL THEN 0 ELSE 1 END").alias("backoff"),
-        F.expr(
-            f"CAST(ROUND(1000000 * CASE "
-            f"WHEN c2 IS NOT NULL THEN (ba_ln - bb_ln) "
-            f"ELSE (({_BACKOFF_NEG_LN_04} + bt_ln) - bu_ln) END) AS BIGINT)"
-        ).alias("nll_e6"),
-    )
-    return scoped_persist(
+    return (
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
             F.sum("backoff").cast("bigint").alias("n_backoff"),
             F.sum("nll_e6").cast("bigint").alias("sum_nll_e6"),
         )
-        .orderBy("doc_id"),
-        toks,
+        .orderBy("doc_id")
     )
 
 
@@ -960,26 +1125,6 @@ def text_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # injected-literal discipline; computed from the SAME -ln(0.4) literal so
 # the two penalties stay consistent.
 _BACKOFF_NEG_LN_04_X2 = DM.dlit(2 * float(_BACKOFF_NEG_LN_04))
-
-# n-gram keys travel as exact BIGINTs, never strings (the first cut keyed
-# the LM joins on raw word triples and measured 22-37× the corpus in
-# shuffle bytes — ~100 B of UnsafeRow per transition): each token maps to
-# its char-polyhash h < MOD once, map-side; a bigram key is the BIJECTIVE
-# pair encoding h1·MOD + h2 < MOD² ≈ 1.0e18 (inside int64, no collisions
-# beyond the token-hash layer both engines already share), and a trigram
-# key is the (pair_key, h3) column pair.  h1 = k12 div MOD decodes the
-# context exactly — no second pass over the token stream.
-_TRI_MOD = H.MOD
-
-
-def _tri_toks_duckdb() -> str:
-    inner = H.duckdb_char_polyhash("w")
-    return (
-        "SELECT doc_id, "
-        f"[{inner} for w in list_filter(string_split(text, ' '), x -> x <> '')] AS h "
-        "FROM documents"
-    )
-
 
 @query(
     "text_trigram_backoff_nll",
@@ -1115,118 +1260,76 @@ def text_trigram_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram-floor constant ride a 1-row broadcast.  det-ln and
     quantization run on LM tables whose size is vocabulary-, not
     corpus-bounded."""
-    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
-    ph = H.spark_char_polyhash("w")
-    toks = d.select(
-        "doc_id",
-        F.expr(
-            f"transform(filter(split(text, ' '), x -> x <> ''), w -> {ph})"
-        ).alias("h"),
-    ).persist()
-    tg_all = (
-        toks.select(
-            "doc_id",
+    t = shared_lm_tables(spark, sf_dir)
+    tg_all = t["tg_all"]
+
+    def _build() -> dict:
+        c3 = t["c3"]
+        ctx3 = c3.groupBy("k12").agg(F.sum("c3").cast("bigint").alias("cc3"))
+        lm3 = DM.spark_with_det_ln(
+            DM.spark_with_det_ln(c3.join(ctx3, "k12"), "cc3", "ta"), "c3", "tb"
+        ).select(
+            "k12",
+            "h3",
+            F.expr("CAST(ROUND((ta_ln - tb_ln) * 1000000) AS BIGINT)").alias(
+                "nll3_e6"
+            ),
+        )
+        # lower-order LMs come from the SHARED count tables: the bigram
+        # table is the family-wide c2b build (its equality with the
+        # derive-from-trigrams identity — bigram (x,y) occurrences are the
+        # (w2,w3) of exactly one trigram plus each doc's first bigram — is
+        # what the oracle still computes), and the unigram table
+        # re-aggregates from bigram starts + doc-final tokens inside
+        # shared_lm_tables, so the token stream never shuffles again here.
+        c2b = t["c2b"]
+        c1ctx = (
+            c2b.groupBy(F.expr(f"k12 div {_TRI_MOD}").alias("h1"))
+            .agg(F.sum("c").cast("bigint").alias("cc1"))
+        )
+        j2 = c2b.join(c1ctx, F.expr(f"h1 = k12 div {_TRI_MOD}")).select(
+            F.col("k12").alias("k23"), "cc1", F.col("c").alias("c2b")
+        )
+        lm2 = DM.spark_with_det_ln(
+            DM.spark_with_det_ln(j2, "cc1", "tc"), "c2b", "td"
+        ).select(
+            "k23",
             F.expr(
-                "CASE WHEN size(h) >= 3 THEN "
-                "transform(sequence(1, size(h) - 2), "
-                f"i -> struct(h[i - 1] * {_TRI_MOD}L + h[i] AS k12, h[i + 1] AS h3)) "
-                "ELSE CAST(array() AS array<struct<k12: bigint, h3: bigint>>) END"
-            ).alias("tgs"),
+                f"CAST(ROUND(1000000 * (({_BACKOFF_NEG_LN_04} + tc_ln) - td_ln)) AS BIGINT)"
+            ).alias("nll2_e6"),
         )
-        .select("doc_id", F.explode("tgs").alias("p"))
-        .select("doc_id", "p.k12", "p.h3")
-    )
-    # persist the LM count tables: c3 feeds lm3 AND the bigram derivation;
-    # c2b feeds c1ctx, lm2 AND the unigram derivation — Catalyst does not
-    # dedupe common subtrees, so without the caches every consumer replays
-    # the full trigram-stream shuffle (measured: 56× disk input un-cached
-    # vs ~7× cached on the multifile layout)
-    c3 = (
-        tg_all.filter(F.col("doc_id") % 10 != 0)
-        .groupBy("k12", "h3")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c3"))
-        .persist()
-    )
-    ctx3 = c3.groupBy("k12").agg(F.sum("c3").cast("bigint").alias("cc3"))
-    lm3 = DM.spark_with_det_ln(
-        DM.spark_with_det_ln(c3.join(ctx3, "k12"), "cc3", "ta"), "c3", "tb"
-    ).select(
-        "k12",
-        "h3",
-        F.expr("CAST(ROUND((ta_ln - tb_ln) * 1000000) AS BIGINT)").alias("nll3_e6"),
-    )
-    # lower-order LMs RE-AGGREGATE from the higher order's count table
-    # plus O(docs) doc-boundary correction rows — the token stream shuffles
-    # exactly once (the trigram build): bigram (x,y) occurrences are the
-    # (w2,w3) of exactly one trigram EXCEPT each doc's first bigram (also
-    # covering 2-token docs, which have no trigrams), and token
-    # occurrences are the bigram STARTS plus each doc's last token (also
-    # covering 1-token docs).
-    firsts = (
-        toks.filter((F.size("h") >= 2) & (F.col("doc_id") % 10 != 0))
-        .select(F.expr(f"h[0] * {_TRI_MOD}L + h[1]").alias("k12"))
-        .groupBy("k12")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
-    c2b = (
-        c3.select(
-            F.expr(f"(k12 % {_TRI_MOD}) * {_TRI_MOD}L + h3").alias("k12"),
-            F.col("c3").alias("c"),
+        uni = t["uni"]
+        tot = uni.agg(F.sum("u").cast("bigint").alias("big_u"))
+        tot_ln = DM.spark_with_det_ln(tot, "big_u", "tt").select(
+            "tt_ln",
+            F.expr(
+                f"CAST(ROUND(1000000 * ({_BACKOFF_NEG_LN_04_X2} + tt_ln)) AS BIGINT)"
+            ).alias("k0_e6"),
         )
-        .unionAll(firsts)
-        .groupBy("k12")
-        .agg(F.sum("c").cast("bigint").alias("c2b"))
-        .persist()
-    )
-    c1ctx = (
-        c2b.groupBy(F.expr(f"k12 div {_TRI_MOD}").alias("h1"))
-        .agg(F.sum("c2b").cast("bigint").alias("cc1"))
-    )
-    j2 = c2b.join(c1ctx, F.expr(f"h1 = k12 div {_TRI_MOD}")).select(
-        F.col("k12").alias("k23"), "cc1", "c2b"
-    )
-    lm2 = DM.spark_with_det_ln(
-        DM.spark_with_det_ln(j2, "cc1", "tc"), "c2b", "td"
-    ).select(
-        "k23",
-        F.expr(
-            f"CAST(ROUND(1000000 * (({_BACKOFF_NEG_LN_04} + tc_ln) - td_ln)) AS BIGINT)"
-        ).alias("nll2_e6"),
-    )
-    lasts = (
-        toks.filter((F.size("h") >= 1) & (F.col("doc_id") % 10 != 0))
-        .select(F.expr("element_at(h, size(h))").alias("h3"))
-        .groupBy("h3")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
-    uni = (
-        c2b.select(F.expr(f"k12 div {_TRI_MOD}").alias("h3"), F.col("c2b").alias("c"))
-        .unionAll(lasts)
-        .groupBy("h3")
-        .agg(F.sum("c").cast("bigint").alias("u"))
-    )
-    tot = uni.agg(F.sum("u").cast("bigint").alias("big_u"))
-    tot_ln = DM.spark_with_det_ln(tot, "big_u", "tt").select(
-        "tt_ln",
-        F.expr(
-            f"CAST(ROUND(1000000 * ({_BACKOFF_NEG_LN_04_X2} + tt_ln)) AS BIGINT)"
-        ).alias("k0_e6"),
-    )
-    lm1 = DM.spark_with_det_ln(
-        uni.crossJoin(F.broadcast(tot_ln)), "u", "tu"
-    ).select(
-        "h3",
-        F.expr(
-            f"CAST(ROUND(1000000 * (({_BACKOFF_NEG_LN_04_X2} + tt_ln) - tu_ln)) AS BIGINT)"
-        ).alias("nll1_e6"),
-    )
+        lm1 = DM.spark_with_det_ln(
+            uni.crossJoin(F.broadcast(tot_ln)), "u", "tu"
+        ).select(
+            "h3",
+            F.expr(
+                f"CAST(ROUND(1000000 * (({_BACKOFF_NEG_LN_04_X2} + tt_ln) - tu_ln)) AS BIGINT)"
+            ).alias("nll1_e6"),
+        )
+        return {
+            "tri_lm3": lm3,
+            "tri_lm2": lm2,
+            "tri_lm1": lm1,
+            "tri_k0": tot_ln.select("k0_e6"),
+        }
+
+    _shared_slot(t, "tri_lm3", _build, ("tri_lm3", "tri_lm2", "tri_lm1"))
+    tri_k0 = t["tri_k0"]  # 1-row backoff-floor constant
     scored = (
         tg_all.filter(F.col("doc_id") % 10 == 0)
         .withColumn("k23", F.expr(f"(k12 % {_TRI_MOD}) * {_TRI_MOD} + h3"))
-        .join(lm3, ["k12", "h3"], "left")
-        .join(lm2, "k23", "left")
-        .join(lm1, "h3", "left")
-        .crossJoin(F.broadcast(tot_ln.select("k0_e6")))
+        .join(t["tri_lm3"], ["k12", "h3"], "left")
+        .join(t["tri_lm2"], "k23", "left")
+        .join(t["tri_lm1"], "h3", "left")
+        .crossJoin(F.broadcast(tri_k0))
         .select(
             "doc_id",
             F.expr(
@@ -1236,7 +1339,7 @@ def text_trigram_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("COALESCE(nll3_e6, nll2_e6, nll1_e6, k0_e6)").alias("nll_e6"),
         )
     )
-    return scoped_persist(
+    return (
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
@@ -1248,10 +1351,7 @@ def text_trigram_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_bo_unigram"),
             F.sum("nll_e6").cast("bigint").alias("sum_nll_e6"),
         )
-        .orderBy("doc_id"),
-        toks,
-        c3,
-        c2b,
+        .orderBy("doc_id")
     )
 
 # --------------------------------------------------------------------------
@@ -1369,100 +1469,95 @@ def kn_scored_transitions(spark: SparkSession, sf_dir: str):
     scorer: doc_id % 10 = 0; perplexity gate: all docs).
 
     The LM always trains on doc_id % 10 != 0; see the module comment for
-    the probability model and determinism contract."""
-    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
-    ph = H.spark_char_polyhash("w")
-    toks = d.select(
-        "doc_id",
-        F.expr(
-            f"transform(filter(split(text, ' '), x -> x <> ''), w -> {ph})"
-        ).alias("h"),
-    ).persist()
-    bg_all = (
-        toks.select(
-            "doc_id",
-            F.expr(
-                "CASE WHEN size(h) >= 2 THEN "
-                "transform(sequence(1, size(h) - 1), "
-                f"i -> h[i - 1] * {_TRI_MOD}L + h[i]) "
-                "ELSE CAST(array() AS array<bigint>) END"
-            ).alias("ks"),
+    the probability model and determinism contract.  The token stream and
+    bigram count table come from the family-wide shared_lm_tables build
+    (round-10): callers get a caches list that is now empty — the shared
+    tables are session-scoped, not result-scoped."""
+    t = shared_lm_tables(spark, sf_dir)
+    bg_all = t["bg_all"]
+
+    def _build() -> dict:
+        c2 = t["c2b"]
+        ctx = (
+            c2.groupBy(F.expr(f"k12 div {_TRI_MOD}").alias("h1"))
+            .agg(
+                F.sum("c").cast("bigint").alias("cc"),
+                F.count(F.lit(1)).cast("bigint").alias("r"),
+            )
         )
-        .select("doc_id", F.explode("ks").alias("k12"))
-    )
-    c2 = (
-        bg_all.filter(F.col("doc_id") % 10 != 0)
-        .groupBy("k12")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .persist()
-    )
-    ctx = (
-        c2.groupBy(F.expr(f"k12 div {_TRI_MOD}").alias("h1"))
-        .agg(
-            F.sum("c").cast("bigint").alias("cc"),
-            F.count(F.lit(1)).cast("bigint").alias("r"),
+        cont = (
+            c2.groupBy(F.expr(f"k12 % {_TRI_MOD}").alias("h2"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("l"))
         )
-    )
-    cont = (
-        c2.groupBy(F.expr(f"k12 % {_TRI_MOD}").alias("h2"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("l"))
-    )
-    btot = c2.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
-    btln = DM.spark_with_det_ln(
-        btot.withColumn("b22", F.expr("2 * b + 2")), "b22", "bb"
-    ).select("b", "b22", "bb_ln")
-    lmctx = DM.spark_with_det_ln(
-        DM.spark_with_det_ln(
-            ctx.select(
-                "h1", F.expr("4 * cc").alias("cc4"), F.expr("3 * r").alias("r3")
+        btot = c2.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+        btln = DM.spark_with_det_ln(
+            btot.withColumn("b22", F.expr("2 * b + 2")), "b22", "bb"
+        ).select("b", "b22", "bb_ln")
+        lmctx = DM.spark_with_det_ln(
+            DM.spark_with_det_ln(
+                ctx.select(
+                    "h1", F.expr("4 * cc").alias("cc4"), F.expr("3 * r").alias("r3")
+                ),
+                "cc4",
+                "ca",
             ),
-            "cc4",
-            "ca",
-        ),
-        "r3",
-        "cb",
-    ).select(
-        "h1",
-        F.expr("CAST(ROUND(1000000 * (ca_ln - cb_ln)) AS BIGINT)").alias("a_e6"),
-    )
-    lmcont = DM.spark_with_det_ln(
-        cont.select("h2", F.expr("2 * l + 1").alias("l21")).crossJoin(
-            F.broadcast(btln)
-        ),
-        "l21",
-        "cl",
-    ).select(
-        "h2",
-        F.expr("CAST(ROUND(1000000 * (bb_ln - cl_ln)) AS BIGINT)").alias("cont_e6"),
-    )
-    k0row = btln.select(
-        F.expr("CAST(ROUND(1000000 * bb_ln) AS BIGINT)").alias("k0_e6")
-    )
-    seen0 = (
-        c2.withColumn("h1", F.expr(f"k12 div {_TRI_MOD}"))
-        .withColumn("h2", F.expr(f"k12 % {_TRI_MOD}"))
-        .join(ctx, "h1")
-        .join(cont, "h2")
-        .crossJoin(F.broadcast(btot))
-        .withColumn(
-            "p",
-            F.expr(
-                "(CAST(4 * c - 3 AS DOUBLE) / CAST(4 * cc AS DOUBLE))"
-                " + (CAST(3 * r AS DOUBLE) / CAST(4 * cc AS DOUBLE))"
-                " * (CAST(2 * l + 1 AS DOUBLE) / CAST(2 * b + 2 AS DOUBLE))"
+            "r3",
+            "cb",
+        ).select(
+            "h1",
+            F.expr("CAST(ROUND(1000000 * (ca_ln - cb_ln)) AS BIGINT)").alias("a_e6"),
+        )
+        lmcont = DM.spark_with_det_ln(
+            cont.select("h2", F.expr("2 * l + 1").alias("l21")).crossJoin(
+                F.broadcast(btln)
+            ),
+            "l21",
+            "cl",
+        ).select(
+            "h2",
+            F.expr("CAST(ROUND(1000000 * (bb_ln - cl_ln)) AS BIGINT)").alias(
+                "cont_e6"
             ),
         )
-    )
-    lmseen = DM.spark_with_det_lnd(seen0, "p", "pp").select(
-        "k12",
-        F.expr("CAST(ROUND(1000000 * (0e0 - pp_ln)) AS BIGINT)").alias("nll2_e6"),
-    )
+        k0row = btln.select(
+            F.expr("CAST(ROUND(1000000 * bb_ln) AS BIGINT)").alias("k0_e6")
+        )
+        seen0 = (
+            c2.withColumn("h1", F.expr(f"k12 div {_TRI_MOD}"))
+            .withColumn("h2", F.expr(f"k12 % {_TRI_MOD}"))
+            .join(ctx, "h1")
+            .join(cont, "h2")
+            .crossJoin(F.broadcast(btot))
+            .withColumn(
+                "p",
+                F.expr(
+                    "(CAST(4 * c - 3 AS DOUBLE) / CAST(4 * cc AS DOUBLE))"
+                    " + (CAST(3 * r AS DOUBLE) / CAST(4 * cc AS DOUBLE))"
+                    " * (CAST(2 * l + 1 AS DOUBLE) / CAST(2 * b + 2 AS DOUBLE))"
+                ),
+            )
+        )
+        lmseen = DM.spark_with_det_lnd(seen0, "p", "pp").select(
+            "k12",
+            F.expr("CAST(ROUND(1000000 * (0e0 - pp_ln)) AS BIGINT)").alias(
+                "nll2_e6"
+            ),
+        )
+        return {
+            "kn_lmseen": lmseen,
+            "kn_lmctx": lmctx,
+            "kn_lmcont": lmcont,
+            "kn_k0row": k0row,
+        }
+
+    _shared_slot(t, "kn_lmseen", _build, ("kn_lmseen", "kn_lmctx", "kn_lmcont"))
+    k0row = t["kn_k0row"]
     scored = (
         bg_all.withColumn("h1", F.expr(f"k12 div {_TRI_MOD}"))
         .withColumn("h2", F.expr(f"k12 % {_TRI_MOD}"))
-        .join(lmseen, "k12", "left")
-        .join(lmctx, "h1", "left")
-        .join(lmcont, "h2", "left")
+        .join(t["kn_lmseen"], "k12", "left")
+        .join(t["kn_lmctx"], "h1", "left")
+        .join(t["kn_lmcont"], "h2", "left")
         .crossJoin(F.broadcast(k0row))
         .select(
             "doc_id",
@@ -1476,7 +1571,7 @@ def kn_scored_transitions(spark: SparkSession, sf_dir: str):
             ).alias("nll_e6"),
         )
     )
-    return scored, k0row, [toks, c2]
+    return scored, k0row, []
 
 
 @query(

@@ -216,8 +216,11 @@ def test_no_sf_scaled_broadcast_hints():
             # shift = its 1-row Laplace constant (curation_dsir_importance);
             # xs/ys = the S-row per-source shingle-size table, both aliases
             # (dedup_source_overlap); mrow/nn = the 1-row dim-mean array
-            # resp. corpus count (emb_pca_power)
-            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok", "btln", "btot", "k0row", "nrow", "wts", "shift", "xs", "ys", "mrow", "nn"}:
+            # resp. corpus count (emb_pca_power); keys = the fixed-COUNT
+            # (78-doc) LSH-audit sample key set (dedup_lsh_recall_audit);
+            # bo_floor/tri_k0 = 1-row backoff floor constants of the
+            # shared-LM rungs (text.py)
+            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok", "btln", "btot", "k0row", "nrow", "wts", "shift", "xs", "ys", "mrow", "nn", "keys", "bo_floor", "tri_k0"}:
                 offenders.append(f"{path.name}: F.broadcast({target}")
     assert not offenders, offenders
 
