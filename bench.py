@@ -130,6 +130,11 @@ HEADLINE = [
     "text_zipf_ttr",
     "dedup_source_overlap",
     "emb_pca_power",
+    # round-10 additions
+    "text_word_entropy",
+    "text_lm_gain",
+    "emb_matryoshka_fidelity",
+    "dedup_prefix_clusters",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).

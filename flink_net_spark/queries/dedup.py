@@ -1177,3 +1177,96 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         samp,
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-cluster dedup — boilerplate-header detection (round-10).
+# --------------------------------------------------------------------------
+# Web-crawl corpora are full of documents that OPEN identically (mirrored
+# templates, licence headers, scraper chrome) and then diverge, which
+# whole-document exact dedup misses and MinHash under-weights.  The
+# standard cheap detector: cluster on the hash of the first K tokens and
+# keep one representative per cluster.  K = 16 — long enough that natural
+# prose essentially never collides, short enough to catch header templates.
+_PREFIX_K = 16
+
+
+def _spark_prefix_hash(th: str, k: int) -> str:
+    """The ordered-shingle combiner evaluated at position 1 ONLY — the
+    full positional array is O(len·k) work per doc for one needed value."""
+    combined = f"{th}[0]"
+    for j in range(1, k):
+        combined = f"(({combined}) * {H.SHINGLE_MULT} + {th}[{j}]) % {H.MOD}"
+    return combined
+
+
+def _duck_prefix_hash(th: str, k: int) -> str:
+    combined = f"{th}[1]"
+    for j in range(1, k):
+        combined = f"(({combined}) * {H.SHINGLE_MULT} + {th}[{1 + j}]) % {H.MOD}"
+    return combined
+
+
+@query(
+    "dedup_prefix_clusters",
+    oracle=f"""
+    WITH pfx AS (
+        SELECT doc_id,
+               {_duck_prefix_hash("th", _PREFIX_K)} AS pfx
+        FROM {_DUCK_TH_DOCS}
+        WHERE len(th) >= {_PREFIX_K}
+    ),
+    ag AS (
+        SELECT pfx,
+               MIN(doc_id) AS cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM pfx GROUP BY pfx HAVING COUNT(*) >= 2
+    )
+    SELECT p.doc_id AS doc_id,
+           CAST(p.pfx AS BIGINT) AS prefix_hash,
+           a.cluster_id,
+           a.n_members,
+           p.doc_id = a.cluster_id AS keep
+    FROM pfx p JOIN ag a USING (pfx)
+    ORDER BY cluster_id, doc_id
+    """,
+)
+def dedup_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs sharing an identical first-{K}-token prefix, grouped into
+    clusters with a deterministic MIN(doc_id) representative (``keep``) —
+    the near-free boilerplate-header pass a pipeline runs before the
+    heavier MinHash stage.  Docs shorter than K tokens have no prefix
+    window and are not clustered.
+
+    Scale: the prefix hash is ONE value per document computed map-side
+    (the order-preserving shingle combiner over the token-hash array);
+    the exchange carries (prefix_hash, doc_id) — constant width per doc,
+    like dedup_exact — and the join-back moves only cluster members."""
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    pfx = (
+        d.withColumn("th", F.expr(H.spark_token_hashes("text")))
+        .filter(F.expr(f"size(th) >= {_PREFIX_K}"))
+        .select(
+            "doc_id",
+            F.expr(_spark_prefix_hash("th", _PREFIX_K)).alias("pfx"),
+        )
+    )
+    ag = (
+        pfx.groupBy("pfx")
+        .agg(
+            F.min("doc_id").alias("cluster_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    return (
+        pfx.join(ag, "pfx")
+        .select(
+            "doc_id",
+            F.col("pfx").cast("bigint").alias("prefix_hash"),
+            "cluster_id",
+            "n_members",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )

@@ -640,8 +640,9 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return (
-        c.withColumn("rnk", F.row_number().over(w).cast("long"))
+        c.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
+        .withColumn("rnk", F.col("rnk").cast("long"))
         .select("c_mktsegment", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rnk")
         .orderBy("c_mktsegment", "rnk")
     )

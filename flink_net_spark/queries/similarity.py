@@ -79,8 +79,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q)
         .join(n, F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
+        .withColumn("rank", F.col("rank").cast("long"))
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
         .orderBy("query_id", "rank")
     )
@@ -182,8 +183,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q)
         .join(n, (F.col("qb") == F.col("nb")) & (F.col("neighbor_id") != F.col("query_id")))
         .withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
+        .withColumn("rank", F.col("rank").cast("long"))
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
         .orderBy("query_id", "rank")
     )
@@ -345,8 +347,9 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(qs, "query_id")
         .join(ns, "neighbor_id")
         .withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
+        .withColumn("rank", F.col("rank").cast("long"))
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
         .orderBy("query_id", "rank")
     )
@@ -533,8 +536,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
             / (F.col("qn") * F.col("nn")),
         )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
+        .withColumn("rank", F.col("rank").cast("long"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -1293,4 +1297,87 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(d, v[d] * s) for d in range(DIM)]
     return spark.createDataFrame(rows, "dim BIGINT, component_e6 BIGINT").orderBy(
         "dim"
+    )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation fidelity — how much of each vector's energy the
+# first-k dimensions preserve (Kusupati et al. 2022, "Matryoshka
+# Representation Learning").  The deployment question behind dimension-
+# truncated ANN indexes: serve k of 64 dims and keep what fraction of the
+# norm?  For the self-similarity case cos²(x, x[:k]) = ‖x[:k]‖²/‖x‖², an
+# exact ratio of integer sums — no square roots, no libm.  Values quantize
+# to e3 ints first (so the 64-term sum of squares and the 1e6-scaled
+# ratio both stay far inside int64 at any corpus size).
+
+
+@query(
+    "emb_matryoshka_fidelity",
+    oracle="""
+    WITH per AS (
+        SELECT u.k AS k,
+               CAST(list_sum([x * x FOR x IN qe[1:u.k]]) AS BIGINT) AS sk,
+               CAST(list_sum([x * x FOR x IN qe]) AS BIGINT)        AS sf
+        FROM (
+            SELECT [CAST(ROUND(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT)
+                    FOR v IN embedding] AS qe
+            FROM embeddings
+        ), UNNEST([8, 16, 32]) AS u(k)
+    ),
+    r AS (
+        SELECT CAST(k AS BIGINT) AS k,
+               CASE WHEN sf = 0 THEN 1000000
+                    ELSE (1000000 * sk) // sf END AS r_e6
+        FROM per
+    )
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT)              AS n_vecs,
+           CAST(SUM(r_e6) // COUNT(*) AS BIGINT) AS avg_fidelity_e6,
+           CAST(MIN(r_e6) AS BIGINT)             AS min_fidelity_e6,
+           CAST(MAX(r_e6) AS BIGINT)             AS max_fidelity_e6
+    FROM r GROUP BY k ORDER BY k
+    """,
+)
+def emb_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preserved-energy ratio of first-k dimension prefixes (k = 8/16/32)
+    over the full 64-dim vector, exact e6-quantized (section comment).
+    Zero-norm vectors preserve everything by convention (ratio 1e6) — the
+    round-7 edge-fixture class: never divide by a zero norm.
+
+    Scale: entirely map-side per vector (array HOFs inside codegen, three
+    struct rows per vector), partial-aggregated into THREE groups — the
+    only exchange carries 3 rows per task."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        "transform(embedding, "
+        "v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT))"
+    )
+    rows = e.select(
+        F.explode(
+            F.expr(
+                f"transform(array(8, 16, 32), k -> named_struct("
+                f"'k', CAST(k AS BIGINT), "
+                f"'sk', aggregate(slice({q}, 1, k), 0L, (a, x) -> a + x * x), "
+                f"'sf', aggregate({q}, 0L, (a, x) -> a + x * x)))"
+            )
+        ).alias("u")
+    ).select("u.k", "u.sk", "u.sf")
+    r = rows.select(
+        "k",
+        F.expr(
+            "CASE WHEN sf = 0 THEN 1000000L"
+            " ELSE (1000000 * sk) div sf END"
+        ).alias("r_e6"),
+    )
+    return (
+        r.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.expr("CAST(SUM(r_e6) div COUNT(*) AS BIGINT)").alias(
+                "avg_fidelity_e6"
+            ),
+            F.min("r_e6").cast("bigint").alias("min_fidelity_e6"),
+            F.max("r_e6").cast("bigint").alias("max_fidelity_e6"),
+        )
+        .orderBy("k")
     )

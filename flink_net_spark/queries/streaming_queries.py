@@ -567,8 +567,9 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").desc(), F.col("event_type")
     )
     return (
-        drained.withColumn("rk", F.row_number().over(w).cast("long"))
+        drained.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
+        .withColumn("rk", F.col("rk").cast("long"))
         .orderBy("window_start_ms", "rk")
     )
 

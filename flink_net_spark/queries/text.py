@@ -401,8 +401,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(df_ln, "term")
         .crossJoin(F.broadcast(st_ln))
         .withColumn("bm25", F.expr(_BM25_SCORE_EXPR))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
+        .withColumn("rank", F.col("rank").cast("long"))
         .select(
             "doc_id",
             "term",
@@ -1784,4 +1785,223 @@ def text_zipf_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("zipf_slope_e6"),
         )
         .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Word entropy — the Dolma/RedPajama-class lexical-diversity quality signal.
+# --------------------------------------------------------------------------
+# Exact per-document unigram entropy H = ln n − (Σ c·ln c)/n over the doc's
+# own token distribution, in micro-nats: low-entropy docs are repetitive
+# boilerplate / keyword stuffing, high-entropy docs are natural prose.
+# Determinism: every ln is the det-ln chain; each term's c·ln c is
+# quantized to micro-nats BEFORE the per-doc integer sum (order-free), and
+# the division by n is integer floor over non-negative operands.  Tokens
+# travel as char-polyhashes (the family contract: a hash collision merges
+# identical counts on both engines).
+
+
+@query(
+    "text_word_entropy",
+    oracle=f"""
+    WITH tc AS (
+        SELECT doc_id, tok AS h, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id,
+                     unnest([{H.duckdb_char_polyhash('w')}
+                             for w in list_filter(string_split(text, ' '),
+                                                  x -> x <> '')]) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok
+    ),
+    per AS (
+        SELECT doc_id, c, {DM.duckdb_det_ln_select("c", "wc")} FROM tc
+    ),
+    perq AS (
+        SELECT doc_id, c,
+               CAST(ROUND(1000000 * (c * wc_ln)) AS BIGINT) AS cl_e6
+        FROM per
+    ),
+    doc AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT)     AS n_tokens,
+               CAST(COUNT(*) AS BIGINT)   AS n_types,
+               CAST(SUM(cl_e6) AS BIGINT) AS s_e6
+        FROM perq GROUP BY doc_id
+    ),
+    docln AS (
+        SELECT doc_id, n_tokens, n_types, s_e6,
+               {DM.duckdb_det_ln_select("n_tokens", "nn")}
+        FROM doc
+    )
+    SELECT doc_id, n_tokens, n_types,
+           CAST(CAST(ROUND(1000000 * nn_ln) AS BIGINT) - (s_e6 // n_tokens)
+                AS BIGINT) AS entropy_e6
+    FROM docln ORDER BY doc_id
+    """,
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact unigram entropy in micro-nats (see the section
+    comment).  Docs with zero tokens have no distribution and are omitted.
+
+    Scale: ONE (doc_id, token-hash) exchange with map-side combine builds
+    the per-doc counts; the det-ln / quantize work runs on that counts
+    table (linear, never wider than the token stream) and the per-doc
+    reduction is partial-aggregated.  No joins, no windows."""
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    ph = H.spark_char_polyhash("w")
+    tc = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(filter(split(text, ' '), x -> x <> ''), w -> {ph})"
+                )
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    per = DM.spark_with_det_ln(tc, "c", "wc").select(
+        "doc_id",
+        "c",
+        F.expr("CAST(ROUND(1000000 * (c * wc_ln)) AS BIGINT)").alias("cl_e6"),
+    )
+    doc = per.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("cl_e6").cast("bigint").alias("s_e6"),
+    )
+    return (
+        DM.spark_with_det_ln(doc, "n_tokens", "nn")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            F.expr(
+                "CAST(CAST(ROUND(1000000 * nn_ln) AS BIGINT)"
+                " - (s_e6 div n_tokens) AS BIGINT)"
+            ).alias("entropy_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# LM predictability gain — contextual information content per document.
+# --------------------------------------------------------------------------
+# For each held-out transition, the UNIGRAM cost of the target token
+# (ln U − ln u(w2), OOV floored at count 1) minus the KN-lite bigram cost
+# is the empirical pointwise mutual information I(w2; w1): how much the
+# one-word context reduces surprisal.  Per document, the mean gain
+# separates syntactically coherent prose (high gain — context predicts)
+# from shuffled/keyword text (≈0 gain) even when both have healthy
+# unigram statistics — the signal unigram-only quality filters miss.
+# Rides the shared LM build end to end: the unigram table, the KN score
+# tables and the transition stream are all shared_lm_tables artifacts.
+
+
+@query(
+    "text_lm_gain",
+    oracle=f"""
+    WITH {_KN_CTES},
+    uni AS (
+        SELECT tok AS h2, CAST(COUNT(*) AS BIGINT) AS u
+        FROM (SELECT unnest(h) AS tok FROM toks WHERE doc_id % 10 <> 0)
+        GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(u) AS BIGINT) AS big_u FROM uni),
+    tot_ln AS (SELECT {DM.duckdb_det_ln_select("big_u", "bt")} FROM tot),
+    utest AS (
+        SELECT g.doc_id,
+               GREATEST(COALESCE(uni.u, 0), 1) AS ue
+        FROM (SELECT doc_id, k12 FROM bg WHERE doc_id % 10 = 0) g
+        LEFT JOIN uni ON uni.h2 = g.k12 % {_TRI_MOD}
+    ),
+    uq AS (
+        SELECT doc_id,
+               {DM.duckdb_det_ln_select("ue", "bu")},
+               CAST(ROUND(1000000 * (bt_ln - bu_ln)) AS BIGINT) AS u_e6
+        FROM utest CROSS JOIN tot_ln
+    ),
+    udoc AS (
+        SELECT doc_id, CAST(SUM(u_e6) AS BIGINT) AS sum_uni_e6
+        FROM uq GROUP BY doc_id
+    ),
+    kdoc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT)    AS n_transitions,
+               CAST(SUM(nll_e6) AS BIGINT) AS sum_kn_e6
+        FROM kn_scored WHERE doc_id % 10 = 0 GROUP BY doc_id
+    )
+    SELECT k.doc_id AS doc_id, k.n_transitions, u.sum_uni_e6, k.sum_kn_e6,
+           CAST(u.sum_uni_e6 - k.sum_kn_e6 AS BIGINT) AS gain_e6
+    FROM kdoc k JOIN udoc u ON u.doc_id = k.doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_lm_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-held-out-document LM predictability gain (see section comment):
+    summed unigram NLL minus summed KN-lite bigram NLL over the same
+    transitions, all in exact micro-nats.
+
+    Scale: zero new corpus-level shuffles — the transition stream, the
+    unigram table and the KN score tables are the shared session build;
+    this query adds only vocab-bounded det-ln work (cached as a shared
+    slot) and two per-doc partial aggregations."""
+    t = shared_lm_tables(spark, sf_dir)
+
+    def _build() -> dict:
+        tot = t["uni"].agg(F.sum("u").cast("bigint").alias("big_u"))
+        tot_ln = DM.spark_with_det_ln(tot, "big_u", "bt").select("bt_ln")
+        ucost = DM.spark_with_det_ln(
+            t["uni"].crossJoin(F.broadcast(tot_ln)), "u", "bu"
+        ).select(
+            F.col("h3").alias("h2"),
+            F.expr("CAST(ROUND(1000000 * (bt_ln - bu_ln)) AS BIGINT)").alias(
+                "u_e6"
+            ),
+        )
+        floor = DM.spark_with_det_ln(
+            tot_ln.withColumn("ue", F.lit(1).cast("bigint")), "ue", "bu"
+        ).select(
+            F.expr("CAST(ROUND(1000000 * (bt_ln - bu_ln)) AS BIGINT)").alias(
+                "ufloor_e6"
+            )
+        )
+        return {"ux_cost": ucost, "ux_floor": floor}
+
+    _shared_slot(t, "ux_cost", _build, ("ux_cost",))
+    ux_floor = t["ux_floor"]  # 1-row OOV constant
+    udoc = (
+        t["bg_all"]
+        .filter(F.col("doc_id") % 10 == 0)
+        .withColumn("h2", F.expr(f"k12 % {_TRI_MOD}"))
+        .join(t["ux_cost"], "h2", "left")
+        .crossJoin(F.broadcast(ux_floor))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("COALESCE(u_e6, ufloor_e6)"))
+            .cast("bigint")
+            .alias("sum_uni_e6")
+        )
+    )
+    scored, _k0row, _caches = kn_scored_transitions(spark, sf_dir)
+    kdoc = (
+        scored.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.sum("nll_e6").cast("bigint").alias("sum_kn_e6"),
+        )
+    )
+    return (
+        kdoc.join(udoc, "doc_id")
+        .select(
+            "doc_id",
+            "n_transitions",
+            "sum_uni_e6",
+            "sum_kn_e6",
+            F.expr("CAST(sum_uni_e6 - sum_kn_e6 AS BIGINT)").alias("gain_e6"),
+        )
+        .orderBy("doc_id")
     )

@@ -85,6 +85,10 @@ NESTED_LOOP_ALLOWED = {
     # 1-row corpus count; the covariance build is a map-side pair
     # expansion + groupBy, never a corpus self-join.
     "emb_pca_power",
+    # text_lm_gain — crossJoins against the 1-row train-token total and
+    # the 1-row OOV unigram-floor constant; the unigram/KN score joins
+    # are equi on h2/k12.
+    "text_lm_gain",
 }
 
 # Queries machine-tagged as deliberate non-scale-safe ground truth (META)
@@ -220,7 +224,7 @@ def test_no_sf_scaled_broadcast_hints():
             # (78-doc) LSH-audit sample key set (dedup_lsh_recall_audit);
             # bo_floor/tri_k0 = 1-row backoff floor constants of the
             # shared-LM rungs (text.py)
-            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok", "btln", "btot", "k0row", "nrow", "wts", "shift", "xs", "ys", "mrow", "nn", "keys", "bo_floor", "tri_k0"}:
+            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok", "btln", "btot", "k0row", "nrow", "wts", "shift", "xs", "ys", "mrow", "nn", "keys", "bo_floor", "tri_k0", "ux_floor"}:
                 offenders.append(f"{path.name}: F.broadcast({target}")
     assert not offenders, offenders
 
