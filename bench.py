@@ -392,6 +392,14 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     "dedup_source_overlap": (["documents"], 0.7),  # measured 0.430
     # partition-count-bounded numerator (see the single-file comment):
     "emb_pca_power": (["embeddings"], 3.0),  # measured 1.983
+    # round-10 additions:
+    # entropy counts are map-side run lengths over the sorted token-hash
+    # array — only the one-row-per-doc reduction shuffles (measured 0.358;
+    # the naive (doc, token) groupBy measured 2.39)
+    "text_word_entropy": (["documents"], 0.6),
+    "text_lm_gain": (["documents"], 0.5),  # measured 0.241 (shared-LM warm)
+    "emb_matryoshka_fidelity": (["embeddings"], 0.1),  # measured 0.014
+    "dedup_prefix_clusters": (["documents"], 0.5),  # measured 0.217
 }
 
 

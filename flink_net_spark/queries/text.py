@@ -1843,24 +1843,34 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document exact unigram entropy in micro-nats (see the section
     comment).  Docs with zero tokens have no distribution and are omitted.
 
-    Scale: ONE (doc_id, token-hash) exchange with map-side combine builds
-    the per-doc counts; the det-ln / quantize work runs on that counts
-    table (linear, never wider than the token stream) and the per-doc
-    reduction is partial-aggregated.  No joins, no windows."""
+    Scale: ZERO token-level exchanges — a document's tokens are already
+    co-located in its scan split, so the per-doc count multiset is
+    computed map-side as run lengths over the SORTED token-hash array
+    (one aggregate HOF inside codegen); the det-ln / quantize work runs
+    on the exploded counts (still map-side) and the only exchange is the
+    partial-aggregated one-row-per-doc reduction.  No joins, no windows.
+    Measured @mf: 0.1-class vs 2.39 for the naive (doc, token) groupBy."""
     d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     ph = H.spark_char_polyhash("w")
-    tc = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(filter(split(text, ' '), x -> x <> ''), w -> {ph})"
-                )
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "h")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    toks = f"transform(filter(split(text, ' '), x -> x <> ''), w -> {ph})"
+    runs = d.select(
+        "doc_id",
+        F.expr(
+            f"""aggregate(
+                array_sort({toks}),
+                named_struct('prev', CAST(-1 AS BIGINT), 'c', 0L,
+                             'cs', CAST(array() AS array<bigint>)),
+                (a, x) -> CASE
+                    WHEN a.c = 0L THEN named_struct('prev', x, 'c', 1L, 'cs', a.cs)
+                    WHEN x = a.prev THEN
+                        named_struct('prev', x, 'c', a.c + 1L, 'cs', a.cs)
+                    ELSE named_struct('prev', x, 'c', 1L,
+                                      'cs', a.cs || array(a.c)) END,
+                a -> CASE WHEN a.c = 0L THEN a.cs
+                          ELSE a.cs || array(a.c) END)"""
+        ).alias("cs"),
     )
+    tc = runs.select("doc_id", F.explode("cs").alias("c"))
     per = DM.spark_with_det_ln(tc, "c", "wc").select(
         "doc_id",
         "c",
