@@ -226,6 +226,9 @@ SCALE_SMOKE_100 = [
     # collect_set exchange must stay linear in tokens while the pair
     # aggregates stay S²-bounded:
     "dedup_source_overlap",
+    # round-10: the restructured one-field df build must stay linear in
+    # tokens at any corpus size:
+    "dedup_substring_stats",
 ]
 
 # Shuffle audit: per query, the tables it scans and the max allowed
