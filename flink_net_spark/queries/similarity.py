@@ -1381,3 +1381,104 @@ def emb_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --------------------------------------------------------------------------
+# ANN recall audit — the accuracy contract for the ANN family (round-10).
+# --------------------------------------------------------------------------
+# The approx-sketch accuracy-contract pattern (Bloom emits checked FP
+# counts, CMS its overestimates, LSH banding its recall/precision)
+# extended to the three ANN variants: against the exact brute-force
+# top-{K} ground truth for the probe-query set, emit each method's
+# candidate count, hit count and e6-quantized recall@{K}.  This is the
+# "measure, don't guess" number that justifies the table/probe/cell
+# configs at any corpus: recall is a per-query property of the hash
+# geometry, so the probe-set estimate is what production monitors.
+#
+# scale_safe=False like the other audits: the ground truth deliberately
+# reuses the brute-force oracle shape (linear in corpus × bounded probe
+# set) — the audited ANN paths themselves stay the scale paths.
+
+
+def _ann_recall_oracle() -> str:
+    from flink_net_spark.queries import ORACLES
+
+    def pairs(name: str) -> str:
+        return f"(SELECT query_id, neighbor_id FROM ({ORACLES[name]}))"
+
+    def leg(method: str, name: str) -> str:
+        return f"""
+        SELECT '{method}' AS method,
+               CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+               CAST((SELECT COUNT(*) FROM {method}_p) AS BIGINT) AS n_ann_pairs,
+               CAST((SELECT COUNT(*) FROM truth t
+                     JOIN {method}_p a USING (query_id, neighbor_id))
+                    AS BIGINT) AS n_caught
+        """
+
+    return f"""
+    WITH truth AS MATERIALIZED {pairs("sim_cosine_topk")},
+    ivf_p AS MATERIALIZED {pairs("sim_ann_ivf")},
+    lsh_p AS MATERIALIZED {pairs("sim_ann_lsh")},
+    multiprobe_p AS MATERIALIZED {pairs("sim_ann_multiprobe")},
+    legs AS (
+        {leg("ivf", "sim_ann_ivf")}
+        UNION ALL
+        {leg("lsh", "sim_ann_lsh")}
+        UNION ALL
+        {leg("multiprobe", "sim_ann_multiprobe")}
+    )
+    SELECT method, n_true_pairs, n_ann_pairs, n_caught,
+           CAST(CASE WHEN n_true_pairs > 0
+                THEN (1000000 * n_caught) // n_true_pairs END AS BIGINT)
+               AS recall_e6
+    FROM legs ORDER BY method
+    """
+
+
+@query("sim_ann_recall_audit", oracle=_ann_recall_oracle(), scale_safe=False)
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of each ANN variant against the exact brute-force top-k
+    (section comment).  Every leg reuses the registered query itself, so
+    the audit measures the EXACT production plans, not re-derivations.
+
+    Reading the absolute numbers: the synthetic embeddings are random —
+    near-isotropic vectors with no cluster structure are the WORST case
+    for any locality-sensitive method (all cosines concentrate near 0, so
+    "nearest" is barely localized).  The audit's value is the RELATIVE
+    ordering (multi-table/multi-probe > single-table; IVF's nprobe sweep)
+    and regression tracking, exactly like production ANN monitoring."""
+    truth = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    legs = []
+    for method, fn in (
+        ("ivf", sim_ann_ivf),
+        ("lsh", sim_ann_lsh),
+        ("multiprobe", sim_ann_multiprobe),
+    ):
+        ann = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+        na = ann.agg(F.count(F.lit(1)).cast("bigint").alias("n_ann_pairs"))
+        nc = ann.join(truth, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_caught")
+        )
+        legs.append(
+            nt.crossJoin(na)
+            .crossJoin(nc)
+            .select(
+                F.lit(method).alias("method"),
+                "n_true_pairs",
+                "n_ann_pairs",
+                "n_caught",
+            )
+        )
+    out = legs[0].unionAll(legs[1]).unionAll(legs[2])
+    return out.select(
+        "method",
+        "n_true_pairs",
+        "n_ann_pairs",
+        "n_caught",
+        F.expr(
+            "CAST(CASE WHEN n_true_pairs > 0"
+            " THEN (1000000 * n_caught) div n_true_pairs END AS BIGINT)"
+        ).alias("recall_e6"),
+    ).orderBy("method")

@@ -42,7 +42,11 @@ def test_registry_metadata_complete():
     assert not_scale_safe == {
         "dedup_embedding_cosine",
         "sim_cosine_topk",
-        # round-9: ground truth is a deliberate all-pairs over the bounded
-        # 12.5% hash sample (the audited LSH path is the scale path)
+        # round-9/10: ground truth is a deliberate bounded all-pairs over
+        # the fixed-COUNT hash sample (the audited LSH path is the scale
+        # path)
         "dedup_lsh_recall_audit",
+        # round-10: ground truth reuses the brute-force top-k oracle shape
+        # (the audited ANN variants are the scale paths)
+        "sim_ann_recall_audit",
     }
