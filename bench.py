@@ -135,6 +135,7 @@ HEADLINE = [
     "text_lm_gain",
     "emb_matryoshka_fidelity",
     "dedup_prefix_clusters",
+    "emb_pq_quantize",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
@@ -403,6 +404,9 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     "text_lm_gain": (["documents"], 0.5),  # measured 0.241 (shared-LM warm)
     "emb_matryoshka_fidelity": (["embeddings"], 0.1),  # measured 0.014
     "dedup_prefix_clusters": (["documents"], 0.5),  # measured 0.217
+    # partition-count-bounded numerator (32 tasks x <=M*K partial-agg
+    # census rows each; the codes themselves never shuffle):
+    "emb_pq_quantize": (["embeddings"], 0.5),  # measured 0.268
 }
 
 

@@ -1482,3 +1482,283 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN (1000000 * n_caught) div n_true_pairs END AS BIGINT)"
         ).alias("recall_e6"),
     ).orderBy("method")
+
+
+# --------------------------------------------------------------------------
+# Product quantization (round-10) — the vector-compression half of
+# large-scale ANN serving (IVF-PQ): split the 64-dim vector into M=8
+# contiguous 8-dim subspaces, quantize each sub-vector to its nearest of
+# K=16 per-subspace centroids, so a vector stores as an M×4-bit code.
+# Public technique: Jegou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search" (TPAMI 2011); same codebook-assign step as
+# FAISS's IndexPQ train/encode.  Reference parity: extends the engine's
+# embedding toolkit (emb_quantize_int8 / emb_kmeans_*) the way the
+# reference's operator surface composes map+aggregate primitives.
+# --------------------------------------------------------------------------
+PQ_M = 8         # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 16        # centroids per subspace (4-bit codes)
+
+
+@query(
+    "emb_pq_quantize",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               [CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS vq
+        FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id AS k, vq AS cv FROM e WHERE vec_id < {PQ_K}
+    ),
+    d AS (
+        SELECT e.vec_id, u.m AS m, c.k AS k,
+               list_sum([(e.vq[u.m * {PQ_SUBDIM} + i] - c.cv[u.m * {PQ_SUBDIM} + i])
+                         * (e.vq[u.m * {PQ_SUBDIM} + i] - c.cv[u.m * {PQ_SUBDIM} + i])
+                         for i in range(1, {PQ_SUBDIM + 1})]) AS dist
+        FROM e
+        CROSS JOIN c
+        CROSS JOIN unnest(range(0, {PQ_M})) AS u(m)
+    ),
+    a AS (
+        SELECT vec_id, m, k, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+        FROM d
+    )
+    SELECT m, k AS cid,
+           COUNT(*)                    AS n_vecs,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids,
+           CAST(MIN(vec_id) AS BIGINT) AS min_member,
+           CAST(MAX(vec_id) AS BIGINT) AS max_member,
+           CAST(SUM(dist) AS BIGINT)   AS sum_sqdist_q
+    FROM a WHERE rn = 1
+    GROUP BY m, k
+    ORDER BY m, cid
+    """,
+)
+def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: per-subspace nearest-centroid codes for
+    every vector, reported as the (subspace, centroid) codebook census —
+    member count, id checksums and total squared distortion — which pins
+    every individual 4-bit code assignment.
+
+    Exactness: vectors are quantized to 1e-3 integers FIRST (the
+    emb_kmeans_iterate discipline), so sub-distances are exact BIGINTs and
+    the argmin (ties -> lower centroid id) is engine-independent — the fold
+    below visits centroids in ascending-id order and replaces only on
+    strictly smaller distance.
+
+    Scale: the K={PQ_K} codebook rows collapse to a 1-row broadcast array;
+    codes for all M={PQ_M} subspaces are computed in ONE projection inside
+    whole-stage codegen (no join expansion, no per-(vec, subspace) shuffle);
+    posexplode emits M rows per vector map-side and the only exchange is the
+    partial-aggregated (m, cid) census — at most {PQ_M}x{PQ_K} rows per
+    task.  At 100 TB this is one linear pass, the same shape FAISS's encode
+    step distributes."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("vq"),
+    )
+    cents = (
+        e.filter(F.col("vec_id") < PQ_K)
+        .select(F.struct(F.col("vec_id").alias("k"), F.col("vq").alias("cv")).alias("c"))
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    sub_dist = (
+        f"aggregate(zip_with(slice(vq, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}), "
+        f"slice(c.cv, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}), "
+        "(x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"
+    )
+    codes = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        f"aggregate(cents, named_struct('d', 9223372036854775807L, 'k', -1L), "
+        f"(acc, c) -> CASE WHEN {sub_dist} < acc.d "
+        f"THEN named_struct('d', {sub_dist}, 'k', c.k) ELSE acc END))"
+    )
+    return (
+        spread_small_scan(e)
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", F.posexplode(F.expr(codes)).alias("m", "best"))
+        .groupBy(F.col("m").cast("long").alias("m"), F.col("best.k").alias("cid"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("vec_id").alias("sum_vec_ids"),
+            F.min("vec_id").alias("min_member"),
+            F.max("vec_id").alias("max_member"),
+            F.sum("best.d").alias("sum_sqdist_q"),
+        )
+        .orderBy("m", "cid")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval via reciprocal rank fusion (round-10) — fuse a lexical
+# (idf-weighted term-overlap) ranking with the embedding-cosine ranking.
+# Public technique: Cormack, Clarke, Buettcher, "Reciprocal Rank Fusion
+# outperforms Condorcet and individual rank learning methods" (SIGIR 2009);
+# the default fusion in every hybrid (BM25 + dense) retrieval stack.
+# RRF(d) = sum over rankings r of 1/(K + rank_r(d)), K=60 — computed here
+# in exact integer micro-units (1e6 div (K + rank)) so the fused score and
+# ordering are bit-identical across engines with no float in sight.
+# --------------------------------------------------------------------------
+RRF_K = 60
+RRF_POOL = 50   # per-modality candidate pool depth
+
+
+@query(
+    "sim_rrf_hybrid",
+    scale_safe=False,
+    oracle=f"""
+    WITH terms AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE text <> ''
+    ),
+    df AS (
+        SELECT term, 1000000 // COUNT(*) AS w
+        FROM terms WHERE term <> '' GROUP BY term
+    ),
+    lex AS (
+        SELECT q.doc_id AS query_id, n.doc_id AS neighbor_id,
+               CAST(SUM(df.w) AS BIGINT) AS lex_score
+        FROM terms q
+        JOIN terms n ON n.term = q.term AND n.doc_id <> q.doc_id
+        JOIN df ON df.term = q.term
+        WHERE q.doc_id < {N_QUERIES} AND q.term <> ''
+        GROUP BY q.doc_id, n.doc_id
+    ),
+    lex_r AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY lex_score DESC, neighbor_id) AS lex_rank
+        FROM lex QUALIFY lex_rank <= {RRF_POOL}
+    ),
+    e AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+        FROM embeddings
+        WHERE list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]) > 0
+    ),
+    emb AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               list_sum([q.v[i] * n.v[i] for i in range(1, {DIM + 1})]) / (q.nrm * n.nrm) AS cosine
+        FROM e q JOIN e n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    emb_r AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS emb_rank
+        FROM emb QUALIFY emb_rank <= {RRF_POOL}
+    ),
+    fused AS (
+        SELECT COALESCE(l.query_id, m.query_id) AS query_id,
+               COALESCE(l.neighbor_id, m.neighbor_id) AS neighbor_id,
+               CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+               CAST(COALESCE(m.emb_rank, 0) AS BIGINT) AS emb_rank,
+               CAST(COALESCE(1000000 // ({RRF_K} + l.lex_rank), 0)
+                    + COALESCE(1000000 // ({RRF_K} + m.emb_rank), 0) AS BIGINT) AS rrf_e6
+        FROM lex_r l
+        FULL OUTER JOIN emb_r m
+          ON m.query_id = l.query_id AND m.neighbor_id = l.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, lex_rank, emb_rank, rrf_e6
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_e6 DESC, neighbor_id) AS rank
+        FROM fused
+    )
+    WHERE rank <= {TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: top-{TOPK} fused neighbors per probe document from
+    a lexical leg (idf-weighted distinct-term overlap, exact integer
+    weights 1e6 div df) and a dense leg (embedding cosine), combined by
+    reciprocal rank fusion over the two top-{RRF_POOL} pools.  A neighbor
+    missing from one pool simply contributes nothing from that leg
+    (lex_rank/emb_rank reported as 0) — standard RRF semantics.
+
+    Exactness: every fused quantity is integer arithmetic (ranks, 1e6 div
+    (60 + rank)); the only doubles are the dense leg's cosines, whose
+    comparisons reuse the proven sim_cosine_topk expression shape.
+
+    Scale: the lexical leg is an inverted-index equi-join on term — the
+    scalable retrieval shape (production prunes stopword-grade terms whose
+    1e6 div df weight rounds to 0; kept exact here for the oracle).  The
+    dense leg deliberately reuses the brute-force ground-truth shape
+    (hence scale_safe=False); at corpus scale it swaps 1:1 for any of the
+    audited ANN variants (sim_ann_lsh/multiprobe/ivf) since RRF consumes
+    only (query, neighbor, rank) tuples."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    terms = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    terms = scoped_persist(terms, terms)
+    df_w = terms.groupBy("term").agg(
+        F.expr("1000000 div COUNT(*)").alias("w")
+    )
+    q_terms = terms.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    lex = (
+        q_terms.join(df_w, "term")
+        .join(
+            terms.select(F.col("doc_id").alias("neighbor_id"), "term"),
+            "term",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("w").alias("lex_score"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("lex_score").desc(), F.col("neighbor_id")
+    )
+    lex_r = (
+        lex.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= RRF_POOL)
+        .select("query_id", "neighbor_id", F.col("lex_rank").cast("long").alias("lex_rank"))
+    )
+    e = _emb_with_norm(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), F.col("nrm").alias("nn"))
+    we = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    emb_r = (
+        F.broadcast(q)
+        .join(n, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
+        .withColumn("emb_rank", F.row_number().over(we))
+        .filter(F.col("emb_rank") <= RRF_POOL)
+        .select("query_id", "neighbor_id", F.col("emb_rank").cast("long").alias("emb_rank"))
+    )
+    fused = (
+        lex_r.join(emb_r, ["query_id", "neighbor_id"], "full_outer")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.coalesce(F.col("lex_rank"), F.lit(0)).alias("lex_rank"),
+            F.coalesce(F.col("emb_rank"), F.lit(0)).alias("emb_rank"),
+        )
+        .withColumn(
+            "rrf_e6",
+            F.expr(
+                f"CASE WHEN lex_rank > 0 THEN 1000000 div ({RRF_K} + lex_rank) ELSE 0L END"
+                f" + CASE WHEN emb_rank > 0 THEN 1000000 div ({RRF_K} + emb_rank) ELSE 0L END"
+            ),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf_e6").desc(), F.col("neighbor_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= TOPK)
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("query_id", "neighbor_id", "rank", "lex_rank", "emb_rank", "rrf_e6")
+        .orderBy("query_id", "rank")
+    )

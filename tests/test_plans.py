@@ -89,6 +89,10 @@ NESTED_LOOP_ALLOWED = {
     # the 1-row OOV unigram-floor constant; the unigram/KN score joins
     # are equi on h2/k12.
     "text_lm_gain",
+    # emb_pq_quantize — crossJoin against the 1-row broadcast codebook
+    # array (M*K centroids collapse to one row); codes are computed in
+    # one projection, never a per-(vec, subspace) join expansion.
+    "emb_pq_quantize",
 }
 
 # Queries machine-tagged as deliberate non-scale-safe ground truth (META)
@@ -222,9 +226,11 @@ def test_no_sf_scaled_broadcast_hints():
             # (dedup_source_overlap); mrow/nn = the 1-row dim-mean array
             # resp. corpus count (emb_pca_power); keys = the fixed-COUNT
             # (78-doc) LSH-audit sample key set (dedup_lsh_recall_audit);
+            # cents = the 1-row PQ codebook array (M*K sub-centroids,
+            # constant size by construction — emb_pq_quantize);
             # bo_floor/tri_k0 = 1-row backoff floor constants of the
             # shared-LM rungs (text.py)
-            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok", "btln", "btot", "k0row", "nrow", "wts", "shift", "xs", "ys", "mrow", "nn", "keys", "bo_floor", "tri_k0", "ux_floor"}:
+            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok", "btln", "btot", "k0row", "nrow", "wts", "shift", "xs", "ys", "mrow", "nn", "keys", "bo_floor", "tri_k0", "ux_floor", "cents"}:
                 offenders.append(f"{path.name}: F.broadcast({target}")
     assert not offenders, offenders
 

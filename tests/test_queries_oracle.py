@@ -49,4 +49,8 @@ def test_registry_metadata_complete():
         # round-10: ground truth reuses the brute-force top-k oracle shape
         # (the audited ANN variants are the scale paths)
         "sim_ann_recall_audit",
+        # round-10: the dense leg deliberately reuses the brute-force
+        # ground-truth shape; at scale it swaps 1:1 for an audited ANN
+        # variant (RRF consumes only (query, neighbor, rank) tuples)
+        "sim_rrf_hybrid",
     }
