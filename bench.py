@@ -136,6 +136,7 @@ HEADLINE = [
     "emb_matryoshka_fidelity",
     "dedup_prefix_clusters",
     "emb_pq_quantize",
+    "sim_ann_ivfpq",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
@@ -407,6 +408,9 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # partition-count-bounded numerator (32 tasks x <=M*K partial-agg
     # census rows each; the codes themselves never shuffle):
     "emb_pq_quantize": (["embeddings"], 0.5),  # measured 0.268
+    # the shuffle carries (cell, m, 4-bit code) index rows + the
+    # (query, neighbor) partial sums — compressed-domain scoring:
+    "sim_ann_ivfpq": (["embeddings"], 0.4),  # measured 0.171
 }
 
 

@@ -1384,107 +1384,6 @@ def emb_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# ANN recall audit — the accuracy contract for the ANN family (round-10).
-# --------------------------------------------------------------------------
-# The approx-sketch accuracy-contract pattern (Bloom emits checked FP
-# counts, CMS its overestimates, LSH banding its recall/precision)
-# extended to the three ANN variants: against the exact brute-force
-# top-{K} ground truth for the probe-query set, emit each method's
-# candidate count, hit count and e6-quantized recall@{K}.  This is the
-# "measure, don't guess" number that justifies the table/probe/cell
-# configs at any corpus: recall is a per-query property of the hash
-# geometry, so the probe-set estimate is what production monitors.
-#
-# scale_safe=False like the other audits: the ground truth deliberately
-# reuses the brute-force oracle shape (linear in corpus × bounded probe
-# set) — the audited ANN paths themselves stay the scale paths.
-
-
-def _ann_recall_oracle() -> str:
-    from flink_net_spark.queries import ORACLES
-
-    def pairs(name: str) -> str:
-        return f"(SELECT query_id, neighbor_id FROM ({ORACLES[name]}))"
-
-    def leg(method: str, name: str) -> str:
-        return f"""
-        SELECT '{method}' AS method,
-               CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
-               CAST((SELECT COUNT(*) FROM {method}_p) AS BIGINT) AS n_ann_pairs,
-               CAST((SELECT COUNT(*) FROM truth t
-                     JOIN {method}_p a USING (query_id, neighbor_id))
-                    AS BIGINT) AS n_caught
-        """
-
-    return f"""
-    WITH truth AS MATERIALIZED {pairs("sim_cosine_topk")},
-    ivf_p AS MATERIALIZED {pairs("sim_ann_ivf")},
-    lsh_p AS MATERIALIZED {pairs("sim_ann_lsh")},
-    multiprobe_p AS MATERIALIZED {pairs("sim_ann_multiprobe")},
-    legs AS (
-        {leg("ivf", "sim_ann_ivf")}
-        UNION ALL
-        {leg("lsh", "sim_ann_lsh")}
-        UNION ALL
-        {leg("multiprobe", "sim_ann_multiprobe")}
-    )
-    SELECT method, n_true_pairs, n_ann_pairs, n_caught,
-           CAST(CASE WHEN n_true_pairs > 0
-                THEN (1000000 * n_caught) // n_true_pairs END AS BIGINT)
-               AS recall_e6
-    FROM legs ORDER BY method
-    """
-
-
-@query("sim_ann_recall_audit", oracle=_ann_recall_oracle(), scale_safe=False)
-def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of each ANN variant against the exact brute-force top-k
-    (section comment).  Every leg reuses the registered query itself, so
-    the audit measures the EXACT production plans, not re-derivations.
-
-    Reading the absolute numbers: the synthetic embeddings are random —
-    near-isotropic vectors with no cluster structure are the WORST case
-    for any locality-sensitive method (all cosines concentrate near 0, so
-    "nearest" is barely localized).  The audit's value is the RELATIVE
-    ordering (multi-table/multi-probe > single-table; IVF's nprobe sweep)
-    and regression tracking, exactly like production ANN monitoring."""
-    truth = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    legs = []
-    for method, fn in (
-        ("ivf", sim_ann_ivf),
-        ("lsh", sim_ann_lsh),
-        ("multiprobe", sim_ann_multiprobe),
-    ):
-        ann = fn(spark, sf_dir).select("query_id", "neighbor_id")
-        nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
-        na = ann.agg(F.count(F.lit(1)).cast("bigint").alias("n_ann_pairs"))
-        nc = ann.join(truth, ["query_id", "neighbor_id"]).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_caught")
-        )
-        legs.append(
-            nt.crossJoin(na)
-            .crossJoin(nc)
-            .select(
-                F.lit(method).alias("method"),
-                "n_true_pairs",
-                "n_ann_pairs",
-                "n_caught",
-            )
-        )
-    out = legs[0].unionAll(legs[1]).unionAll(legs[2])
-    return out.select(
-        "method",
-        "n_true_pairs",
-        "n_ann_pairs",
-        "n_caught",
-        F.expr(
-            "CAST(CASE WHEN n_true_pairs > 0"
-            " THEN (1000000 * n_caught) div n_true_pairs END AS BIGINT)"
-        ).alias("recall_e6"),
-    ).orderBy("method")
-
-
-# --------------------------------------------------------------------------
 # Product quantization (round-10) — the vector-compression half of
 # large-scale ANN serving (IVF-PQ): split the 64-dim vector into M=8
 # contiguous 8-dim subspaces, quantize each sub-vector to its nearest of
@@ -1762,3 +1661,320 @@ def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", "lex_rank", "emb_rank", "rrf_e6")
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ (round-10) — the production ANN serving architecture: IVF coarse
+# cells prune the corpus, PQ codes compress the residuals, and queries
+# score candidates by Asymmetric Distance Computation (ADC) — a per-query
+# lookup table over the codebook, never the raw vectors.  Public
+# technique: Jegou 2011 §IV (IVFADC); FAISS IndexIVFPQ.  Composes the
+# engine's sim_ann_ivf (coarse probing) and emb_pq_quantize (codebook
+# assign) primitives into the shape that actually serves billion-vector
+# corpora.
+# --------------------------------------------------------------------------
+IVFPQ_CB_LO = 200  # vec_id 200..215's residuals seed the PQ codebook
+
+
+@query(
+    "sim_ann_ivfpq",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               [CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS vq
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT vec_id AS cell_id, vq AS cv FROM e
+        WHERE vec_id >= {CENTROID_ID_LO} AND vec_id < {CENTROID_ID_LO + N_CENTROIDS}
+    ),
+    asg AS MATERIALIZED (
+        SELECT vec_id, cell_id,
+               [vq[i] - cv[i] for i in range(1, {DIM + 1})] AS res
+        FROM (
+            SELECT e.vec_id, cells.cell_id, e.vq, cells.cv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_sum([(e.vq[i] - cells.cv[i]) * (e.vq[i] - cells.cv[i])
+                                          for i in range(1, {DIM + 1})]), cells.cell_id) AS rn
+            FROM e CROSS JOIN cells
+        ) WHERE rn = 1
+    ),
+    cb AS (
+        SELECT vec_id - {IVFPQ_CB_LO} AS k, res AS cres FROM asg
+        WHERE vec_id >= {IVFPQ_CB_LO} AND vec_id < {IVFPQ_CB_LO + PQ_K}
+    ),
+    codes AS (
+        SELECT vec_id, cell_id, m, k AS code FROM (
+            SELECT a.vec_id, a.cell_id, u.m, cb.k,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id, u.m
+                       ORDER BY list_sum([(a.res[u.m * {PQ_SUBDIM} + i] - cb.cres[u.m * {PQ_SUBDIM} + i])
+                                          * (a.res[u.m * {PQ_SUBDIM} + i] - cb.cres[u.m * {PQ_SUBDIM} + i])
+                                          for i in range(1, {PQ_SUBDIM + 1})]), cb.k) AS rn
+            FROM asg a CROSS JOIN cb CROSS JOIN unnest(range(0, {PQ_M})) AS u(m)
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell_id, qres FROM (
+            SELECT q.vec_id AS query_id, cells.cell_id,
+                   [q.vq[i] - cells.cv[i] for i in range(1, {DIM + 1})] AS qres,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_sum([(q.vq[i] - cells.cv[i]) * (q.vq[i] - cells.cv[i])
+                                          for i in range(1, {DIM + 1})]), cells.cell_id) AS rn
+            FROM (SELECT * FROM e WHERE vec_id < {N_QUERIES}) q CROSS JOIN cells
+        ) WHERE rn <= {NPROBE}
+    ),
+    adc AS (
+        SELECT p.query_id, p.cell_id, u.m, cb.k AS code,
+               list_sum([(p.qres[u.m * {PQ_SUBDIM} + i] - cb.cres[u.m * {PQ_SUBDIM} + i])
+                         * (p.qres[u.m * {PQ_SUBDIM} + i] - cb.cres[u.m * {PQ_SUBDIM} + i])
+                         for i in range(1, {PQ_SUBDIM + 1})]) AS adc_d
+        FROM probes p CROSS JOIN cb CROSS JOIN unnest(range(0, {PQ_M})) AS u(m)
+    ),
+    scored AS (
+        SELECT adc.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(adc.adc_d) AS BIGINT) AS adc_dist_q
+        FROM codes c
+        JOIN adc ON adc.cell_id = c.cell_id AND adc.m = c.m AND adc.code = c.code
+        WHERE c.vec_id <> adc.query_id
+        GROUP BY adc.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, adc_dist_q
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist_q, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= {TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with ADC scoring: vectors quantize to their nearest of
+    {N_CENTROIDS} coarse cells; each residual encodes as M={PQ_M} 4-bit PQ
+    codes against a residual codebook (seeded from vec_id
+    {IVFPQ_CB_LO}..{IVFPQ_CB_LO + PQ_K - 1}'s residuals); a query probes
+    its {NPROBE} nearest cells and ranks candidates by the SUM of
+    per-subspace codebook-distance lookups (ADC) — compressed-domain
+    scoring, never a raw-vector distance against the corpus.
+
+    Exactness: everything runs on 1e-3-quantized integer vectors, so every
+    distance is an exact BIGINT and every argmin/rank tie (-> lower id) is
+    engine-independent — no float anywhere in this query.
+
+    Scale: this is the architecture's point — the corpus-side work is ONE
+    linear encode pass (coarse argmin + PQ codes, both folds over 1-row
+    broadcast codebooks inside codegen, exactly emb_pq_quantize's shape);
+    candidate scoring is a broadcast-hash EQUI-join of the exploded codes
+    against the tiny per-query ADC table (queries x {NPROBE} x {PQ_M} x
+    {PQ_K} rows) followed by a partial-aggregated (query, neighbor) sum.
+    No corpus self-join, no raw vectors past the encode stage: the shuffle
+    carries (cell, m, 4-bit code) rows — the compressed index, which is
+    why FAISS serves billions of vectors this way."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("vq"),
+    )
+    cells = e.filter(
+        (F.col("vec_id") >= CENTROID_ID_LO)
+        & (F.col("vec_id") < CENTROID_ID_LO + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cell_id"), F.col("vq").alias("cv"))
+    cells1 = cells.select(
+        F.struct(F.col("cell_id").alias("k"), F.col("cv").alias("cv")).alias("c")
+    ).groupBy().agg(F.sort_array(F.collect_list("c")).alias("cells"))
+
+    cell_dist = "aggregate(zip_with(vq, c.cv, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"
+    best_cell = (
+        f"aggregate(cells, named_struct('d', 9223372036854775807L, 'k', -1L), "
+        f"(acc, c) -> CASE WHEN {cell_dist} < acc.d "
+        f"THEN named_struct('d', {cell_dist}, 'k', c.k) ELSE acc END)"
+    )
+    asg = (
+        spread_small_scan(e)
+        .crossJoin(F.broadcast(cells1))
+        .withColumn("bc", F.expr(best_cell))
+        .select(
+            "vec_id",
+            F.col("bc.k").alias("cell_id"),
+            F.expr(
+                "zip_with(vq, element_at(filter(cells, c -> c.k = bc.k), 1).cv, "
+                "(x, y) -> x - y)"
+            ).alias("res"),
+        )
+    )
+    cb = asg.filter(
+        (F.col("vec_id") >= IVFPQ_CB_LO) & (F.col("vec_id") < IVFPQ_CB_LO + PQ_K)
+    ).select((F.col("vec_id") - IVFPQ_CB_LO).alias("k"), F.col("res").alias("cres"))
+    cb1 = cb.select(F.struct("k", "cres").alias("c")).groupBy().agg(
+        F.sort_array(F.collect_list("c")).alias("cb")
+    )
+    sub_res_dist = (
+        f"aggregate(zip_with(slice(res, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}), "
+        f"slice(c.cres, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}), "
+        "(x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"
+    )
+    code_folds = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        f"aggregate(cb, named_struct('d', 9223372036854775807L, 'k', -1L), "
+        f"(acc, c) -> CASE WHEN {sub_res_dist} < acc.d "
+        f"THEN named_struct('d', {sub_res_dist}, 'k', c.k) ELSE acc END).k)"
+    )
+    codes = (
+        asg.crossJoin(F.broadcast(cb1))
+        .select("vec_id", "cell_id", F.posexplode(F.expr(code_folds)).alias("m", "code"))
+        .select("vec_id", "cell_id", F.col("m").cast("long").alias("m"), "code")
+    )
+
+    wq = Window.partitionBy("query_id").orderBy("cdist", "cell_id")
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "vq")
+        .crossJoin(F.broadcast(cells))
+        .withColumn(
+            "cdist",
+            F.expr("aggregate(zip_with(vq, cv, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= NPROBE)
+        .select("query_id", "cell_id", F.expr("zip_with(vq, cv, (x, y) -> x - y)").alias("qres"))
+    )
+    adc = (
+        probes.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id", "cell_id", F.col("k").alias("code"), "qres", "cres",
+            F.explode(F.expr(f"sequence(0L, {PQ_M - 1}L)")).alias("m"),
+        )
+        .select(
+            "query_id", "cell_id", "m", "code",
+            F.expr(
+                f"aggregate(zip_with(slice(qres, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}), "
+                f"slice(cres, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}), "
+                "(x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"
+            ).alias("adc_d"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy("adc_dist_q", "neighbor_id")
+    return (
+        codes.join(F.broadcast(adc), ["cell_id", "m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("adc_d").alias("adc_dist_q"))
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= TOPK)
+        .withColumn("rank", F.col("rank").cast("long"))
+        .select("query_id", "neighbor_id", "rank", "adc_dist_q")
+        .orderBy("query_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN recall audit — the accuracy contract for the ANN family (round-10).
+# --------------------------------------------------------------------------
+# The approx-sketch accuracy-contract pattern (Bloom emits checked FP
+# counts, CMS its overestimates, LSH banding its recall/precision)
+# extended to the four ANN variants: against the exact brute-force
+# top-{K} ground truth for the probe-query set, emit each method's
+# candidate count, hit count and e6-quantized recall@{K}.  This is the
+# "measure, don't guess" number that justifies the table/probe/cell
+# configs at any corpus: recall is a per-query property of the hash
+# geometry, so the probe-set estimate is what production monitors.
+#
+# scale_safe=False like the other audits: the ground truth deliberately
+# reuses the brute-force oracle shape (linear in corpus × bounded probe
+# set) — the audited ANN paths themselves stay the scale paths.
+
+
+def _ann_recall_oracle() -> str:
+    from flink_net_spark.queries import ORACLES
+
+    def pairs(name: str) -> str:
+        return f"(SELECT query_id, neighbor_id FROM ({ORACLES[name]}))"
+
+    def leg(method: str, name: str) -> str:
+        return f"""
+        SELECT '{method}' AS method,
+               CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+               CAST((SELECT COUNT(*) FROM {method}_p) AS BIGINT) AS n_ann_pairs,
+               CAST((SELECT COUNT(*) FROM truth t
+                     JOIN {method}_p a USING (query_id, neighbor_id))
+                    AS BIGINT) AS n_caught
+        """
+
+    return f"""
+    WITH truth AS MATERIALIZED {pairs("sim_cosine_topk")},
+    ivf_p AS MATERIALIZED {pairs("sim_ann_ivf")},
+    ivfpq_p AS MATERIALIZED {pairs("sim_ann_ivfpq")},
+    lsh_p AS MATERIALIZED {pairs("sim_ann_lsh")},
+    multiprobe_p AS MATERIALIZED {pairs("sim_ann_multiprobe")},
+    legs AS (
+        {leg("ivf", "sim_ann_ivf")}
+        UNION ALL
+        {leg("ivfpq", "sim_ann_ivfpq")}
+        UNION ALL
+        {leg("lsh", "sim_ann_lsh")}
+        UNION ALL
+        {leg("multiprobe", "sim_ann_multiprobe")}
+    )
+    SELECT method, n_true_pairs, n_ann_pairs, n_caught,
+           CAST(CASE WHEN n_true_pairs > 0
+                THEN (1000000 * n_caught) // n_true_pairs END AS BIGINT)
+               AS recall_e6
+    FROM legs ORDER BY method
+    """
+
+
+@query("sim_ann_recall_audit", oracle=_ann_recall_oracle(), scale_safe=False)
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of each ANN variant against the exact brute-force top-k
+    (section comment).  Every leg reuses the registered query itself, so
+    the audit measures the EXACT production plans, not re-derivations.
+
+    Reading the absolute numbers: the synthetic embeddings are random —
+    near-isotropic vectors with no cluster structure are the WORST case
+    for any locality-sensitive method (all cosines concentrate near 0, so
+    "nearest" is barely localized).  The audit's value is the RELATIVE
+    ordering (exact-rerank IVF > multi-probe > compressed-domain IVF-PQ >
+    single-table LSH — ADC's quantization distortion costs recall vs
+    IVF's exact in-cell rerank, the textbook trade) and regression
+    tracking, exactly like production ANN monitoring."""
+    truth = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    legs = []
+    for method, fn in (
+        ("ivf", sim_ann_ivf),
+        ("ivfpq", sim_ann_ivfpq),
+        ("lsh", sim_ann_lsh),
+        ("multiprobe", sim_ann_multiprobe),
+    ):
+        ann = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+        na = ann.agg(F.count(F.lit(1)).cast("bigint").alias("n_ann_pairs"))
+        nc = ann.join(truth, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_caught")
+        )
+        legs.append(
+            nt.crossJoin(na)
+            .crossJoin(nc)
+            .select(
+                F.lit(method).alias("method"),
+                "n_true_pairs",
+                "n_ann_pairs",
+                "n_caught",
+            )
+        )
+    out = legs[0]
+    for lg in legs[1:]:
+        out = out.unionAll(lg)
+    return out.select(
+        "method",
+        "n_true_pairs",
+        "n_ann_pairs",
+        "n_caught",
+        F.expr(
+            "CAST(CASE WHEN n_true_pairs > 0"
+            " THEN (1000000 * n_caught) div n_true_pairs END AS BIGINT)"
+        ).alias("recall_e6"),
+    ).orderBy("method")

@@ -93,6 +93,11 @@ NESTED_LOOP_ALLOWED = {
     # array (M*K centroids collapse to one row); codes are computed in
     # one projection, never a per-(vec, subspace) join expansion.
     "emb_pq_quantize",
+    # sim_ann_ivfpq — crossJoins against the 1-row coarse-cell /
+    # PQ-codebook arrays and the 16-row cell/codebook dims (query side);
+    # candidate scoring itself is a broadcast-hash EQUI-join of codes
+    # against the bounded per-query ADC table.
+    "sim_ann_ivfpq",
 }
 
 # Queries machine-tagged as deliberate non-scale-safe ground truth (META)
@@ -230,7 +235,7 @@ def test_no_sf_scaled_broadcast_hints():
             # constant size by construction — emb_pq_quantize);
             # bo_floor/tri_k0 = 1-row backoff floor constants of the
             # shared-LM rungs (text.py)
-            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok", "btln", "btot", "k0row", "nrow", "wts", "shift", "xs", "ys", "mrow", "nn", "keys", "bo_floor", "tri_k0", "ux_floor", "cents"}:
+            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok", "btln", "btot", "k0row", "nrow", "wts", "shift", "xs", "ys", "mrow", "nn", "keys", "bo_floor", "tri_k0", "ux_floor", "cents", "cells", "cells1", "cb", "cb1", "adc"}:
                 offenders.append(f"{path.name}: F.broadcast({target}")
     assert not offenders, offenders
 
