@@ -213,6 +213,13 @@ SCALE_SMOKE = [
     # covariance exchange and the driver-side eigensolve are corpus-size
     # independent:
     "emb_pca_power",
+    # round-10 PQ family: the encode pass is the linear hot loop (two
+    # codebook folds per vector); pq's census exchange is constant-size
+    # and ivfpq's ADC scoring must grow only with the probed cells'
+    # candidate lists (replica vectors collapse into ONE mega-cell — the
+    # worst-case inverted-list skew):
+    "emb_pq_quantize",
+    "sim_ann_ivfpq",
 ]
 
 # One more decade for the five most expensive shapes (opt-in:

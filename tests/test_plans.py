@@ -447,6 +447,19 @@ def test_dsir_scoring_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in p, p
 
 
+def test_ivfpq_scoring_join_is_equi_on_cell_m_code(spark):
+    """sim_ann_ivfpq's candidate scoring must meet the bounded per-query
+    ADC table through a hash EQUI-join on (cell_id, m, code) — the
+    compressed-domain shape that scales to billion-vector corpora; the
+    only nested-loops are the bounded codebook broadcasts (1-row coarse/
+    PQ codebook arrays + the 16-row cell/codebook dims on the query
+    side).  No cartesian anywhere."""
+    p = plan_of(entry.queries()["sim_ann_ivfpq"](spark, SF_DIR))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "cell_id#" in p and "code#" in p, p
+
+
 def test_salted_topk_windows_are_two_phase(spark):
     """sample_reservoir_per_key, text_zipf_ttr and vocab_topk_cms bound
     their per-group sort with the salted two-phase rank: the plan must
