@@ -1518,13 +1518,14 @@ RRF_POOL = 50   # per-modality candidate pool depth
     df AS (
         SELECT term, 1000000 // COUNT(*) AS w
         FROM terms WHERE term <> '' GROUP BY term
+        HAVING 1000000 // COUNT(*) > 0
     ),
     lex AS (
         SELECT q.doc_id AS query_id, n.doc_id AS neighbor_id,
                CAST(SUM(df.w) AS BIGINT) AS lex_score
         FROM terms q
-        JOIN terms n ON n.term = q.term AND n.doc_id <> q.doc_id
         JOIN df ON df.term = q.term
+        JOIN terms n ON n.term = q.term AND n.doc_id <> q.doc_id
         WHERE q.doc_id < {N_QUERIES} AND q.term <> ''
         GROUP BY q.doc_id, n.doc_id
     ),
@@ -1580,6 +1581,8 @@ def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     reciprocal rank fusion over the two top-{RRF_POOL} pools.  A neighbor
     missing from one pool simply contributes nothing from that leg
     (lex_rank/emb_rank reported as 0) — standard RRF semantics.
+    Stopword-grade terms (weight 1e6 div df rounds to 0, i.e. df > 1e6
+    docs) are pruned before the posting-list join on BOTH engines.
 
     Exactness: every fused quantity is integer arithmetic (ranks, 1e6 div
     (60 + rank)); the only doubles are the dense leg's cosines, whose
@@ -1599,9 +1602,14 @@ def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     terms = scoped_persist(terms, terms)
+    # stopword guard: a term whose idf-ish weight rounds to 0 (df > 1e6
+    # docs — stopword-grade at corpus scale) is pruned BEFORE the
+    # inverted-index join, so the hottest posting lists never join at
+    # all; a no-op at test SFs (every df <= corpus size < 1e6), and the
+    # oracle applies the identical HAVING cut.
     df_w = terms.groupBy("term").agg(
         F.expr("1000000 div COUNT(*)").alias("w")
-    )
+    ).filter(F.col("w") > 0)
     q_terms = terms.filter(F.col("doc_id") < N_QUERIES).select(
         F.col("doc_id").alias("query_id"), "term"
     )
