@@ -137,6 +137,7 @@ HEADLINE = [
     "dedup_prefix_clusters",
     "emb_pq_quantize",
     "sim_ann_ivfpq",
+    "sample_priority_weighted",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
@@ -418,6 +419,9 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # the shuffle carries (cell, m, 4-bit code) index rows + the
     # (query, neighbor) partial sums — compressed-domain scoring:
     "sim_ann_ivfpq": (["embeddings"], 0.4),  # measured 0.171
+    # priority sampling: the exchange carries only the <= SALT*(K+1)
+    # salted-top-k survivors + the presentation sort of K rows:
+    "sample_priority_weighted": (["documents"], 0.5),  # measured 0.257
 }
 
 

@@ -1501,3 +1501,98 @@ def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "source", "rk", "doc_id", "rank_hash")
         .orderBy("lang", "source", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Priority sampling (round-10) — weighted sampling WITHOUT replacement with
+# unbiased subset-sum estimation: item i draws a deterministic uniform u_i
+# and gets priority q_i = w_i / u_i; the sample is the top-K priorities and
+# each sampled item's Horvitz-Thompson weight estimate is max(w_i, tau)
+# where tau is the (K+1)-th priority.  Public technique: Duffield, Lund,
+# Thorup, "Priority sampling" (JACM 2007) — the standard way a curation
+# pipeline subsamples a corpus proportional to a per-document weight
+# (length, quality score) while keeping totals estimable.
+#
+# Exactness: u_i = charpolyhash('pri:' || doc_id) + 1 in [1, MOD] (the
+# engine-agnostic integer hash, functions/hashing.py), and the priority is
+# quantized to q_i = (w_i * MOD) div u_i — an exact BIGINT in weight units
+# (q_i >= w_i since u_i <= MOD), ties broken by doc_id.  w_i = n_chars + 1
+# (+1 keeps zero-length docs sampleable with minimal weight).
+# --------------------------------------------------------------------------
+PRI_K = 200
+PRI_SALT = 8
+
+
+@query(
+    "sample_priority_weighted",
+    oracle=f"""
+    WITH pri AS (
+        SELECT doc_id, n_chars + 1 AS w,
+               ((n_chars + 1) * {H.MOD})
+                   // ({H.duckdb_char_polyhash("'pri:' || CAST(doc_id AS VARCHAR)")} + 1)
+                   AS priority_q
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, w, priority_q,
+               ROW_NUMBER() OVER (ORDER BY priority_q DESC, doc_id) AS rank
+        FROM pri
+    ),
+    tau AS (
+        SELECT COALESCE(MAX(priority_q), 0) AS tau_q FROM ranked
+        WHERE rank = {PRI_K + 1}
+    )
+    SELECT rank, doc_id, w, priority_q,
+           CAST(GREATEST(w, tau_q) AS BIGINT) AS w_est
+    FROM ranked CROSS JOIN tau
+    WHERE rank <= {PRI_K}
+    ORDER BY rank
+    """,
+)
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PRI_K} priority sample over the corpus, weighted by document
+    length, with each sampled doc's unbiased Horvitz-Thompson weight
+    estimate max(w, tau) (section comment: Duffield-Lund-Thorup 2007 —
+    SUM(w_est) over the sample is an unbiased estimator of the corpus'
+    total weight, which is what makes priority samples auditable).
+
+    Scale: the priority is a scan-side projection (no corpus sort); the
+    global top-(K+1) rides the salted two-phase top-k (the provable
+    union-of-per-salt-tops bound, module comment), so no single task ever
+    sorts the corpus; tau is a 1-row broadcast."""
+    u_expr = H.spark_char_polyhash("concat('pri:', CAST(doc_id AS STRING))")
+    pri = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("n_chars") + 1).alias("w"),
+        F.expr(f"((n_chars + 1) * {H.MOD}) div ({u_expr} + 1)").alias(
+            "priority_q"
+        ),
+    )
+    w1 = Window.partitionBy(F.col("doc_id") % PRI_SALT).orderBy(
+        F.col("priority_q").desc(), "doc_id"
+    )
+    survivors = (
+        pri.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= PRI_K + 1)
+        .drop("r1")
+    )
+    w2 = Window.orderBy(F.col("priority_q").desc(), "doc_id")
+    ranked = (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= PRI_K + 1)
+    )
+    tau = ranked.filter(F.col("rank") == PRI_K + 1).agg(
+        F.coalesce(F.max("priority_q"), F.lit(0)).cast("long").alias("tau_q")
+    )
+    return (
+        ranked.filter(F.col("rank") <= PRI_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "rank",
+            "doc_id",
+            "w",
+            "priority_q",
+            F.greatest("w", "tau_q").cast("long").alias("w_est"),
+        )
+        .orderBy("rank")
+    )

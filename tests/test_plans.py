@@ -98,6 +98,10 @@ NESTED_LOOP_ALLOWED = {
     # candidate scoring itself is a broadcast-hash EQUI-join of codes
     # against the bounded per-query ADC table.
     "sim_ann_ivfpq",
+    # sample_priority_weighted — crossJoin against the 1-row broadcast
+    # tau (the (K+1)-th priority) scalar; the sample itself rides the
+    # salted two-phase top-k.
+    "sample_priority_weighted",
 }
 
 # Queries machine-tagged as deliberate non-scale-safe ground truth (META)
@@ -235,7 +239,7 @@ def test_no_sf_scaled_broadcast_hints():
             # constant size by construction — emb_pq_quantize);
             # bo_floor/tri_k0 = 1-row backoff floor constants of the
             # shared-LM rungs (text.py)
-            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok", "btln", "btot", "k0row", "nrow", "wts", "shift", "xs", "ys", "mrow", "nn", "keys", "bo_floor", "tri_k0", "ux_floor", "cents", "cells", "cells1", "cb", "cb1", "adc"}:
+            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok", "btln", "btot", "k0row", "nrow", "wts", "shift", "xs", "ys", "mrow", "nn", "keys", "bo_floor", "tri_k0", "ux_floor", "cents", "cells", "cells1", "cb", "cb1", "adc", "tau"}:
                 offenders.append(f"{path.name}: F.broadcast({target}")
     assert not offenders, offenders
 
@@ -468,9 +472,17 @@ def test_salted_topk_windows_are_two_phase(spark):
     scalar crossJoin(broadcast(n_tokens)) legitimately plans as a
     BroadcastNestedLoopJoin (80 rows × 1 row), so only the unbounded BNLJ
     shapes are rejected for it."""
-    for name in ("sample_reservoir_per_key", "text_zipf_ttr", "vocab_topk_cms"):
+    # sample_priority_weighted's 1-row tau scalar crossJoin is the same
+    # legitimately-bounded BNLJ shape as vocab_topk_cms's token total.
+    bounded_bnlj = {"vocab_topk_cms", "sample_priority_weighted"}
+    for name in (
+        "sample_reservoir_per_key",
+        "text_zipf_ttr",
+        "vocab_topk_cms",
+        "sample_priority_weighted",
+    ):
         p = plan_of(entry.queries()[name](spark, SF_DIR))
         assert "CartesianProduct" not in p, (name, p)
-        if name != "vocab_topk_cms":
+        if name not in bounded_bnlj:
             assert "BroadcastNestedLoopJoin" not in p, (name, p)
         assert p.count("Window") >= 2, (name, p)
