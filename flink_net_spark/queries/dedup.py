@@ -226,9 +226,20 @@ def dedup_resolve_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     un-truncated loop compiles a 1000+-join plan and recomputes from
     scratch on any cache eviction).  The oracle walks the same components
     with a recursive CTE."""
-    from flink_net_spark.tables import checkpoint_tracked, release_rdd_ids, release_rdds_with_result
+    from flink_net_spark.tables import (
+        acquire_persisted,
+        checkpoint_tracked,
+        release_acquired,
+        release_rdd_ids,
+        release_rdds_with_result,
+    )
 
     mp, mp_caches = _minhash_pairs(spark, sf_dir)
+    # Refcounted use: a live dedup_minhash_lsh result may be scoped (same
+    # semantic plan key) to these caches — releasing through _PLAN_REFS
+    # instead of a direct unpersist() leaves its cache alive until BOTH
+    # users are done (r10 ADVICE).
+    mp_keys = acquire_persisted(*mp_caches)
     pairs = mp.select("doc_a", "doc_b")
     edge_ids: list[int] = []
     edges = checkpoint_tracked(
@@ -273,8 +284,7 @@ def dedup_resolve_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # behind the pair generation and the edge checkpoint are no longer
     # referenced — release them now.  The FINAL label checkpoint backs the
     # returned plan, so it rides the result handle's lifetime.
-    for cached in mp_caches:
-        cached.unpersist()
+    release_acquired(mp_keys)
     release_rdd_ids(spark, edge_ids)
     return release_rdds_with_result(
         labels.select(

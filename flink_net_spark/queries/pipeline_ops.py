@@ -1561,7 +1561,7 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     union-of-per-salt-tops bound, module comment), so no single task ever
     sorts the corpus; tau is a 1-row broadcast."""
     u_expr = H.spark_char_polyhash("concat('pri:', CAST(doc_id AS STRING))")
-    pri = load_table(spark, sf_dir, "documents").select(
+    pri = spread_small_scan(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         (F.col("n_chars") + 1).alias("w"),
         F.expr(f"((n_chars + 1) * {H.MOD}) div ({u_expr} + 1)").alias(

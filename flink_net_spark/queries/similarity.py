@@ -1595,13 +1595,15 @@ def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hence scale_safe=False); at corpus scale it swaps 1:1 for any of the
     audited ANN variants (sim_ann_lsh/multiprobe/ivf) since RRF consumes
     only (query, neighbor, rank) tuples."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text") != ""
+    )
     terms = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term") != "")
         .distinct()
+        .persist()
     )
-    terms = scoped_persist(terms, terms)
     # stopword guard: a term whose idf-ish weight rounds to 0 (df > 1e6
     # docs — stopword-grade at corpus scale) is pruned BEFORE the
     # inverted-index join, so the hottest posting lists never join at
@@ -1662,12 +1664,18 @@ def sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wf = Window.partitionBy("query_id").orderBy(F.col("rrf_e6").desc(), F.col("neighbor_id"))
-    return (
+    # Cache lifetime: `terms` backs three legs of the fused plan, so its
+    # release is scoped to the RETURNED result, not to the intermediate
+    # handle (scoping it to `terms` itself ties the finalizer to the same
+    # object _PLAN_REFS strongly references — the finalizer could never
+    # fire and the distinct (doc_id, term) cache leaked for the session).
+    return scoped_persist(
         fused.withColumn("rank", F.row_number().over(wf))
         .filter(F.col("rank") <= TOPK)
         .withColumn("rank", F.col("rank").cast("long"))
         .select("query_id", "neighbor_id", "rank", "lex_rank", "emb_rank", "rrf_e6")
-        .orderBy("query_id", "rank")
+        .orderBy("query_id", "rank"),
+        terms,
     )
 
 

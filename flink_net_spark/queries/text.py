@@ -837,6 +837,31 @@ def _tri_toks_duckdb() -> str:
 # scoped_persist's result-scoped caches.  Bounded: token arrays + two
 # count tables.  release_shared_lm() drops them explicitly.
 _LM_SHARED: dict[tuple, dict] = {}
+_LM_TOKENS = __import__("itertools").count(1)
+
+
+def _session_token(spark: SparkSession) -> int:
+    """Stable per-session cache token.  ``id(spark)`` can be reused by
+    CPython after a stopped session is GC'd, aliasing a stale _LM_SHARED
+    entry onto a brand-new session (r10 ADVICE); a token ATTACHED to the
+    session object is unique per live object by construction."""
+    tok = getattr(spark, "_fns_lm_token", None)
+    if tok is None:
+        tok = next(_LM_TOKENS)
+        try:
+            spark._fns_lm_token = tok
+        except Exception:  # pragma: no cover - unsettable session object
+            tok = id(spark)
+    return tok
+
+
+def _purge_dead_lm_entries() -> None:
+    """Drop _LM_SHARED entries whose SparkSession has been GC'd — their
+    JVM caches died with the session; only the Python dict entry leaks."""
+    for key in list(_LM_SHARED):
+        ref = _LM_SHARED[key].get("_session_ref")
+        if ref is not None and ref() is None:
+            _LM_SHARED.pop(key, None)
 
 
 def shared_lm_tables(spark: SparkSession, sf_dir: str) -> dict:
@@ -851,7 +876,8 @@ def shared_lm_tables(spark: SparkSession, sf_dir: str) -> dict:
         app = spark.sparkContext.applicationId
     except Exception:  # pragma: no cover - stopped session
         app = None
-    key = (app, id(spark), sf_dir)
+    _purge_dead_lm_entries()
+    key = (app, _session_token(spark), sf_dir)
     t = _LM_SHARED.get(key)
     if t is None:
         d = spread_small_scan(load_table(spark, sf_dir, "documents"))
@@ -909,6 +935,8 @@ def shared_lm_tables(spark: SparkSession, sf_dir: str) -> dict:
             .groupBy("h3")
             .agg(F.sum("c").cast("bigint").alias("u"))
         )
+        import weakref
+
         t = {
             "toks": toks,
             "bg_all": bg_all,
@@ -916,6 +944,7 @@ def shared_lm_tables(spark: SparkSession, sf_dir: str) -> dict:
             "c2b": c2b,
             "c3": c3,
             "uni": uni,
+            "_session_ref": weakref.ref(spark),
         }
         _LM_SHARED[key] = t
     # Idempotent re-registration: a clearCache()/eviction drops the entry;
@@ -943,8 +972,9 @@ def release_shared_lm(spark: SparkSession | None = None) -> None:
     bounded-pool callers); no-op for sessions with no shared build."""
     from pyspark.sql import DataFrame as _DF
 
+    tok = None if spark is None else _session_token(spark)
     for key in list(_LM_SHARED):
-        if spark is None or key[1] == id(spark):
+        if spark is None or key[1] == tok:
             t = _LM_SHARED.pop(key)
             for v in t.values():
                 if isinstance(v, _DF):

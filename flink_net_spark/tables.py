@@ -132,6 +132,38 @@ def _plan_key(df: DataFrame) -> int:
         return id(df)
 
 
+def acquire_persisted(*cached: DataFrame) -> list[int]:
+    """Register a refcounted use of already-persisted DataFrames and return
+    the plan keys.  For builders whose use of a shared cache ends MID-query
+    (e.g. an eager iterative loop) rather than with the returned result:
+    pair with ``release_acquired(keys)`` instead of calling ``unpersist()``
+    directly, so a semantically-identical cache scoped to another live
+    result (same _PLAN_REFS key) is not evicted out from under it."""
+    keys = []
+    for df in cached:
+        k = _plan_key(df)
+        ent = _PLAN_REFS.setdefault(k, [0, df])
+        ent[0] += 1
+        keys.append(k)
+    return keys
+
+
+def release_acquired(keys: list[int]) -> None:
+    """Drop one refcount per key; unpersist a cache only when the LAST
+    scoped user releases it (idempotent against missing keys)."""
+    for k in keys:
+        ent = _PLAN_REFS.get(k)
+        if ent is None:
+            continue
+        ent[0] -= 1
+        if ent[0] <= 0:
+            _PLAN_REFS.pop(k, None)
+            try:
+                ent[1].unpersist()
+            except Exception:
+                pass
+
+
 def scoped_persist(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Tie persisted intermediates' cache lifetime to the RESULT handle.
 
@@ -147,27 +179,8 @@ def scoped_persist(result: DataFrame, *cached: DataFrame) -> DataFrame:
     session is already gone there is nothing left to free."""
     import weakref
 
-    keys = []
-    for df in cached:
-        k = _plan_key(df)
-        ent = _PLAN_REFS.setdefault(k, [0, df])
-        ent[0] += 1
-        keys.append(k)
-
-    def _release(keys=keys) -> None:
-        for k in keys:
-            ent = _PLAN_REFS.get(k)
-            if ent is None:
-                continue
-            ent[0] -= 1
-            if ent[0] <= 0:
-                _PLAN_REFS.pop(k, None)
-                try:
-                    ent[1].unpersist()
-                except Exception:
-                    pass
-
-    fin = weakref.finalize(result, _release)
+    keys = acquire_persisted(*cached)
+    fin = weakref.finalize(result, release_acquired, keys)
     # Explicit-release handle: weakref.finalize objects are idempotent
     # callables, so release_persisted() after collect() is deterministic
     # and the GC backstop then no-ops.  Consumers that transform `result`

@@ -33,7 +33,11 @@ def test_scoped_persist_releases_cache_on_handle_drop(spark):
     shared: set[int] = set()
     for name in ("text_backoff_nll", "text_bigram_nll", "dedup_minhash_lsh",
                  "dedup_simhash_pairs", "dedup_substring_pairs",
-                 "dedup_substring_stats", "dedup_resolve_groups", "sim_semdedup"):
+                 "dedup_substring_stats", "dedup_resolve_groups", "sim_semdedup",
+                 # r10 ADVICE: sim_rrf_hybrid persisted its (doc_id, term)
+                 # inverted index scoped to ITSELF (finalizer could never
+                 # fire); pinned here now that it scopes to the result
+                 "sim_rrf_hybrid"):
         df = QUERIES[name](spark, sf)
         df.collect()
         del df

@@ -239,7 +239,32 @@ def test_no_sf_scaled_broadcast_hints():
             # constant size by construction — emb_pq_quantize);
             # bo_floor/tri_k0 = 1-row backoff floor constants of the
             # shared-LM rungs (text.py)
-            if target not in {"r", "n", "n1", "n2", "region", "nation", "planes", "_st_planes_df", "q", "qe", "probes", "thr", "mx", "cent", "converted", "c", "st", "eval_sh", "tot", "tot_ln", "st_ln", "sizes", "bloom_words", "bw", "cells", "ntok", "btln", "btot", "k0row", "nrow", "wts", "shift", "xs", "ys", "mrow", "nn", "keys", "bo_floor", "tri_k0", "ux_floor", "cents", "cells", "cells1", "cb", "cb1", "adc", "tau"}:
+            # Scoped per FILE (r10 ADVICE): the names are short and generic
+            # (c, q, keys, cells, ...), so a flat allowlist would let a
+            # future F.broadcast(keys) of a corpus-scaled frame in ANY
+            # module pass silently.  A new broadcast target must be
+            # justified here for its specific file.
+            allowed = {
+                "dedup.py": {"keys", "xs", "ys"},
+                "pipeline_ops.py": {
+                    "bw", "cells", "eval_sh", "k0row", "nrow", "ntok",
+                    "shift", "tau", "thr", "tot", "wts",
+                },
+                "relational.py": {"n", "r"},
+                "similarity.py": {
+                    "_st_planes_df", "adc", "c", "cb", "cb1", "cells",
+                    "cells1", "cent", "cents", "mrow", "nn", "planes",
+                    "probes", "q", "sizes", "st",
+                },
+                "streaming_queries.py": {"nation"},
+                "temporal.py": {"converted"},
+                "text.py": {
+                    "bo_floor", "btln", "btot", "k0row", "st_ln", "tot_ln",
+                    "tri_k0", "ux_floor",
+                },
+                "tpch_extra.py": {"mx", "n", "n1", "n2", "r", "thr"},
+            }
+            if target not in allowed.get(path.name, set()):
                 offenders.append(f"{path.name}: F.broadcast({target}")
     assert not offenders, offenders
 
