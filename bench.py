@@ -284,7 +284,7 @@ SHUFFLE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # shape) — 0.83 MB of it is the spread exchange moving raw text once;
     # the real-layout number is the @mf entry below (bound 1.0, verdict #2)
     "dedup_substring_winnow": (["documents"], 3.5),
-    "dedup_substring_stats": (["documents"], 7.0),  # measured 4.9 cold
+    "dedup_substring_stats": (["documents"], 7.0),  # measured 5.2 cold (spread-dominated; see @mf)
     # round-9 LM/curation additions.  Trigram: cold includes the ONE
     # trigram-stream shuffle that builds the LM (bigram/unigram tables
     # re-aggregate from it, text.py) — measured 7.49 cold / 2.60 warm;
@@ -382,15 +382,17 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     "dedup_exact": (["documents"], 0.8),
     "text_repetition_stats": (["documents"], 1.0),  # presentation sort only
     "sim_range_search_blocked": (["embeddings"], 0.5),  # block equi-join only
-    # round-10 (r9 verdict #6, was 3.14): measured 2.46 after the one-field
-    # restructure — n_windows comes from the scan-side array size (zero
-    # shuffle), the df build repartitions the BARE 32-bit gram column
-    # (~92% of remaining bytes: 6.5 B/row compressed × one row per token,
-    # the communication floor for exact global df), and only the df>=2
-    # subset (~9% of instances) joins back.  Linear in corpus size by
-    # construction; the winnowed variant above (bound 1.0) is the 100 TB
-    # scale path, cutting the exchange 2/(w+1).
-    "dedup_substring_stats": (["documents"], 3.0),
+    # round-11 (r10 verdict #1, was 2.46): measured 1.87 after the
+    # packed-bucket restructure — grams travel as 4 B elements inside
+    # map-side collect_list arrays keyed by pmod(gram, NBUCK) instead of
+    # one 16 B UnsafeRow each, and the post-shuffle count adds no second
+    # exchange (hashpartitioning(bkt) satisfies the (bkt, gram)
+    # clustering).  Exact same oracle/result; measured df build 1.55
+    # against the hard 4 B/gram communication floor of 1.39 on this
+    # corpus — accounting in bench_out/SUBSTRING_STATS_FLOOR.md.  The
+    # winnowed variant above (bound 1.0) remains the 100 TB scale path
+    # for degenerate single-span replication.
+    "dedup_substring_stats": (["documents"], 2.0),
     # round-9 additions on the real layout (warm, like the other persist
     # queries: the @mf row measures the query's own joins, the cold
     # LM-build exchange is the single-file row above)
