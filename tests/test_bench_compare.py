@@ -151,3 +151,48 @@ def test_markdown_renders_both_sections():
     md = to_markdown(compare(old, new))
     assert "REGRESSION" in md and "SHUFFLE-REGRESSION" in md
     assert "| q |" in md
+
+
+def test_adjudication_verdict_protocol():
+    """The self-adjudicating drift gate (VERDICT r10 #3): a solo re-measure
+    that re-enters the old spread envelope, or whose session-normalized
+    ratio falls back under the suspect threshold, is session noise; a solo
+    median that stays outside both persists."""
+    from bench import adjudication_verdict
+
+    # solo back inside the old envelope -> noise
+    assert adjudication_verdict(1.0, 1.2, 1.15, 1.0) == "session-noise"
+    # solo above the envelope but normalized ratio <= 1.25 -> noise
+    assert adjudication_verdict(1.0, 1.2, 1.3, 1.1) == "session-noise"
+    # solo stays 1.6x normalized above: persists
+    assert adjudication_verdict(1.0, 1.2, 1.6, 1.0) == "persists"
+
+
+def test_adjudications_render_in_markdown():
+    """bench_compare's markdown must carry the machine-generated solo-rep
+    evidence rows (so BENCH_COMPARE_r*_r* needs zero hand-written
+    adjudication), pulled from the NEW sidecar's compare section."""
+    from tools.bench_compare import attach_adjudications
+
+    old = detail({"q": 1.0}, {"q": [0.9, 1.1]})
+    new = detail({"q": 1.4}, {"q": [1.3, 1.5]})
+    new["compare"] = {
+        "adjudications": [
+            {
+                "query": "q",
+                "status": "suspect",
+                "old": 1.0,
+                "bench_median": 1.4,
+                "solo_runs": [1.05, 1.1, 1.08],
+                "solo_median": 1.08,
+                "solo_norm": 1.08,
+                "src_unchanged": True,
+                "verdict": "session-noise",
+            }
+        ]
+    }
+    result = attach_adjudications(compare(old, new), new)
+    md = to_markdown(result)
+    assert "Drift adjudications" in md
+    assert "session-noise" in md and "unchanged" in md
+    assert "1.05, 1.10, 1.08" in md

@@ -206,6 +206,16 @@ def _null_spread_note() -> str:
         )
 
 
+def attach_adjudications(result: dict, new: dict) -> dict:
+    """Pull the machine-generated solo-rep adjudications bench.py embedded
+    in the NEW sidecar (VERDICT r10 #3) so the compare markdown carries
+    the evidence rows instead of hand-written argument."""
+    adjs = (new.get("compare") or {}).get("adjudications")
+    if adjs:
+        result["adjudications"] = adjs
+    return result
+
+
 def to_markdown(result: dict) -> str:
     old_l, new_l = result["old_label"], result["new_label"]
     v = result["verdict"]
@@ -232,6 +242,35 @@ def to_markdown(result: dict) -> str:
         )
     if result["only_new"]:
         lines += ["", f"New queries (no {old_l} datum): " + ", ".join(result["only_new"])]
+    adjs = result.get("adjudications")
+    if adjs:
+        lines += [
+            "",
+            "## Drift adjudications (machine-generated, bench.py)",
+            "",
+            "Every suspect/REGRESSION row whose query source is unchanged "
+            "(md5 of the function source, recorded per sidecar) was "
+            "re-measured SOLO in the same session — fresh caches, one "
+            "discarded warm, median of 3.  `session-noise` = the solo "
+            "median re-entered the old spread envelope or its normalized "
+            "ratio fell back under the suspect threshold; `persists` "
+            "needs a named cause.",
+            "",
+            "| query | status | old med | bench med | solo runs | solo med | solo norm | src | verdict |",
+            "|---|---|---|---|---|---|---|---|---|",
+        ]
+        for a in adjs:
+            runs = ", ".join(f"{x:.2f}" for x in a.get("solo_runs", [])) or "—"
+            sm = a.get("solo_median")
+            sn = a.get("solo_norm")
+            src = "unchanged" if a.get("src_unchanged") else "CHANGED"
+            lines.append(
+                f"| {a['query']} | {a['status']} | {a['old']:.3f} "
+                f"| {a['bench_median']:.3f} | {runs} "
+                f"| {f'{sm:.3f}' if sm is not None else '—'} "
+                f"| {f'{sn:.2f}' if sn is not None else '—'} "
+                f"| {src} | {a['verdict']} |"
+            )
     shuffle_rows = result.get("shuffle_rows", [])
     if shuffle_rows:
         lines += [
@@ -261,6 +300,7 @@ def main() -> int:
     with open(args.new) as f:
         new = json.load(f)
     result = compare(old, new, args.old.rsplit("/", 1)[-1], args.new.rsplit("/", 1)[-1])
+    attach_adjudications(result, new)
     md = to_markdown(result)
     if args.markdown:
         with open(args.markdown, "w") as f:
