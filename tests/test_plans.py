@@ -102,6 +102,11 @@ NESTED_LOOP_ALLOWED = {
     # tau (the (K+1)-th priority) scalar; the sample itself rides the
     # salted two-phase top-k.
     "sample_priority_weighted",
+    # sim_ann_planted_recall — crossJoins of the per-leg 1-row count
+    # aggregates (n_planted/n_ann/n_caught); each ANN leg keeps its own
+    # audited equi-join shape, and the fixture itself is one broadcast
+    # join against the N_QUERIES seed rows.
+    "sim_ann_planted_recall",
 }
 
 # Queries machine-tagged as deliberate non-scale-safe ground truth (META)
