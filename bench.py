@@ -138,6 +138,10 @@ HEADLINE = [
     "emb_pq_quantize",
     "sim_ann_ivfpq",
     "sample_priority_weighted",
+    # round-11 additions
+    "mm_phash_dedup",
+    "sim_ann_planted_recall",
+    "sim_rrf_hybrid_ann",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
@@ -424,6 +428,19 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # priority sampling: the exchange carries only the <= SALT*(K+1)
     # salted-top-k survivors + the presentation sort of K rows:
     "sample_priority_weighted": (["documents"], 0.5),  # measured 0.257
+    # round-11: perceptual-hash dedup — fingerprints computed in the
+    # Arrow decode stage (payloads never shuffle), the banded Hamming
+    # join moves (doc_id, phash, band_val) only:
+    "mm_phash_dedup": (["documents"], 0.1),  # measured 0.002
+    # round-11: IVF after the argmax-cell fold rewrite — assignment is a
+    # projection over the 1-row broadcast cells array (zero shuffle; the
+    # old max_by groupBy moved every raw vector once, 0.98 MB here) and
+    # the top-k window is pruned to (query, neighbor, cosine) first:
+    "sim_ann_ivf": (["embeddings"], 0.15),  # measured 0.082 (was 1.74)
+    # round-11: the hybrid on its audited ANN leg — lex posting join on
+    # BIGINT term hashes (0.30 MB) + the rewritten IVF leg (0.05 MB) +
+    # integer fusion of two bounded pools:
+    "sim_rrf_hybrid_ann": (["documents", "embeddings"], 0.5),  # measured 0.286
 }
 
 

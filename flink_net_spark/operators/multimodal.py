@@ -401,3 +401,81 @@ def fake_resize(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(resize, "doc_id BIGINT, payload BINARY, width INT, height INT")
+
+
+PHASH_BITS = 60  # 4 x 15-bit bands downstream (the dedup_simhash_pairs shape)
+
+
+def perceptual_hash(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perceptual fingerprint (aHash / blockhash family) with a REAL codec
+    hook — the image-dedup primitive (reference capability anchor: the
+    binary-payload POCO surface, SerializerRegistry.cs:20-28, which SURVEY
+    maps to multimodal columns).
+
+    - PIL importable and the payload decodable → real aHash: grayscale,
+      resample to 10×6 (= ``PHASH_BITS`` pixels), each bit = pixel above
+      the mean (``codec='pil'``).
+    - otherwise → the deterministic FNSB path over the decoded unit stream
+      (:func:`_frame_units` code points — the fake corpus's "pixels"):
+      position p of an n-unit body falls in block ``p*60 // n``; bit b =
+      block b's code-point mean above the body mean, compared in exact
+      integer cross-multiplication (``sum_b * n > total * n_b``) so a SQL
+      oracle reproduces every bit (``codec='fns'``/``'raw'``).
+
+    Near-duplicate payloads (small edits) move few block means across the
+    body mean, so they land within small Hamming distance — pair them with
+    the banded equi-join in queries/llm_ops.py::mm_phash_dedup, never a
+    cartesian.  Arrow-batched, numpy-vectorized per row-batch; payload
+    dropped from the output (shuffle hygiene)."""
+    from flink_net_spark.session import ship_package_to_executors
+
+    ship_package_to_executors(df.sparkSession)
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+
+        try:
+            import PIL.Image as _Image  # real codec, when present on this executor
+        except ImportError:
+            _Image = None
+        for pdf in batches:
+            ids, hashes, codecs = [], [], []
+            for i, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(raw)
+                ids.append(int(i))
+                if _Image is not None:
+                    try:
+                        img = _Image.open(io.BytesIO(b))
+                        img.load()
+                        px = np.asarray(
+                            img.convert("L").resize((10, 6)), dtype=np.int64
+                        ).ravel()
+                        bits = px * px.size > int(px.sum())
+                        hashes.append(int((np.int64(1) << np.nonzero(bits)[0]).sum()))
+                        codecs.append("pil")
+                        continue
+                    except Exception:
+                        pass  # not a real image — deterministic container path
+                ok = b[:4] == PAYLOAD_MAGIC
+                s = _frame_units(b[HEADER_LEN:] if ok else b)
+                n = len(s)
+                if n == 0:
+                    hashes.append(0)
+                    codecs.append("fns" if ok else "raw")
+                    continue
+                cp = np.fromiter(map(ord, s), dtype=np.int64, count=n)
+                blk = (np.arange(n, dtype=np.int64) * PHASH_BITS) // n
+                sums = np.bincount(blk, weights=cp, minlength=PHASH_BITS).astype(
+                    np.int64
+                )
+                cnts = np.bincount(blk, minlength=PHASH_BITS).astype(np.int64)
+                bits = sums * n > int(cp.sum()) * cnts
+                hashes.append(int((np.int64(1) << np.nonzero(bits)[0]).sum()))
+                codecs.append("fns" if ok else "raw")
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes, "codec": codecs})
+
+    return df.mapInPandas(phash, "doc_id BIGINT, phash BIGINT, codec STRING")

@@ -36,8 +36,9 @@ def test_scoped_persist_releases_cache_on_handle_drop(spark):
                  "dedup_substring_stats", "dedup_resolve_groups", "sim_semdedup",
                  # r10 ADVICE: sim_rrf_hybrid persisted its (doc_id, term)
                  # inverted index scoped to ITSELF (finalizer could never
-                 # fire); pinned here now that it scopes to the result
-                 "sim_rrf_hybrid"):
+                 # fire); pinned here now that it scopes to the result —
+                 # and its r11 ANN-leg variant + the phash index too
+                 "sim_rrf_hybrid", "sim_rrf_hybrid_ann", "mm_phash_dedup"):
         df = QUERIES[name](spark, sf)
         df.collect()
         del df

@@ -259,3 +259,59 @@ def test_fake_frame_sample_counts(spark):
         assert r["count"] == truth[r.doc_id], r
     # every doc with >= 1 complete frame appears
     assert {r.doc_id for r in got} == {i for i, n in truth.items() if n > 0}
+
+
+def test_perceptual_hash_near_dup_small_hamming(spark):
+    """perceptual_hash's dedup contract: identical payloads hash equal; a
+    small in-place edit (one character bumped, length preserved — the
+    shift-free case aHash serves, like a few changed pixels) moves few
+    block means across the body mean and lands within the banded-join
+    threshold; an unrelated payload is far away."""
+    from flink_net_spark.operators.multimodal import PHASH_BITS, perceptual_hash
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    edited = base[:100] + chr(ord(base[100]) + 1) + base[101:]
+    other = "zq" * 180
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, edited), (3, other)], "doc_id LONG, text STRING"
+    )
+    rows = {
+        r["doc_id"]: (r["phash"], r["codec"])
+        for r in perceptual_hash(attach_payloads(df)).collect()
+    }
+    assert rows[0][1] == "fns"
+    assert rows[0][0] == rows[1][0]  # exact duplicate -> hamming 0
+    h = bin(rows[0][0] ^ rows[2][0]).count("1")
+    assert 0 <= h <= 3, h  # one-char edit -> within the banded threshold
+    assert bin(rows[0][0] ^ rows[3][0]).count("1") > 10
+    assert all(0 <= v[0] < (1 << PHASH_BITS) for v in rows.values())
+
+
+def test_phash_dedup_finds_planted_pair(spark, tmp_path):
+    """End-to-end mm_phash_dedup over a corpus with a planted exact
+    duplicate (the edge-fixture shape): the pair must surface with
+    hamming 0 through the banded equi-join."""
+    import shutil as _shutil
+
+    from flink_net_spark.queries import QUERIES
+    from flink_net_spark.tables import TABLE_NAMES, table_path
+
+    out = tmp_path / "planted_sf"
+    out.mkdir()
+    docs = load_table(spark, SF_DIR, "documents")
+    dup = docs.filter(F.col("doc_id") == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    docs.unionByName(dup).coalesce(1).write.parquet(
+        table_path(str(out), "documents")
+    )
+    for t in TABLE_NAMES:
+        if t != "documents":
+            import os as _os
+
+            _os.symlink(table_path(SF_DIR, t), table_path(str(out), t))
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in QUERIES["mm_phash_dedup"](spark, str(out)).collect()
+    }
+    assert pairs.get((0, 1_000_000)) == 0, pairs

@@ -107,6 +107,12 @@ NESTED_LOOP_ALLOWED = {
     # audited equi-join shape, and the fixture itself is one broadcast
     # join against the N_QUERIES seed rows.
     "sim_ann_planted_recall",
+    # sim_ann_ivf (r11) — crossJoin against the 1-row broadcast cells
+    # array (the argmax-cell fold runs in the scan projection; the old
+    # max_by groupBy shuffled every raw vector once); candidate scoring
+    # stays the equi-join on cent_id.  sim_rrf_hybrid_ann composes it.
+    "sim_ann_ivf",
+    "sim_rrf_hybrid_ann",
 }
 
 # Queries machine-tagged as deliberate non-scale-safe ground truth (META)
@@ -256,10 +262,12 @@ def test_no_sf_scaled_broadcast_hints():
                     "shift", "tau", "thr", "tot", "wts",
                 },
                 "relational.py": {"n", "r"},
+                # seeds = the N_QUERIES (5-row) probe-query vectors backing
+                # the planted-neighbor fixture (sim_ann_planted_recall)
                 "similarity.py": {
                     "_st_planes_df", "adc", "c", "cb", "cb1", "cells",
                     "cells1", "cent", "cents", "mrow", "nn", "planes",
-                    "probes", "q", "sizes", "st",
+                    "probes", "q", "seeds", "sizes", "st",
                 },
                 "streaming_queries.py": {"nation"},
                 "temporal.py": {"converted"},
@@ -362,6 +370,13 @@ def test_minhash_lsh_shuffle_volume_bounded(spark):
     from flink_net_spark.metrics import measure_job_metrics
 
     fn = entry.queries()["dedup_minhash_lsh"]
+    # Clean-cache measurement (bench audit discipline): the module fixture
+    # holds live handles over every query plan, and since the r10
+    # refcounted-release fix an earlier test that executes a semantically
+    # identical shingle plan (resolve_groups' lineage check) legitimately
+    # leaves the shared cache alive — the scan would then read 0 parquet
+    # bytes and void the input-denominator assertion below.
+    spark.catalog.clearCache()
     m, _ = measure_job_metrics(spark, lambda: fn(spark, SF_DIR).collect())
     assert m.input_bytes > 0, m.as_dict()
     assert m.disk_spill_bytes == 0, m.as_dict()
