@@ -225,6 +225,12 @@ SCALE_SMOKE = [
     # worst-case inverted-list skew):
     "emb_pq_quantize",
     "sim_ann_ivfpq",
+    # round-11: the packed-bucket df build (one 4 B/gram exchange) must
+    # stay linear; phash fingerprints are map-side so only the banded
+    # pair join grows; the hybrid composes the audited IVF + lex legs:
+    "dedup_substring_stats",
+    "mm_phash_dedup",
+    "sim_rrf_hybrid_ann",
 ]
 
 # One more decade for the five most expensive shapes (opt-in:
@@ -880,7 +886,7 @@ def adjudication_verdict(
 
 def adjudicate_suspects(
     spark, queries, compare_rows: list[dict], prev_detail: dict,
-    session_factor: float, src_hashes: dict[str, str], limit: int = 8,
+    session_factor: float, src_hashes: dict[str, str], limit: int = 16,
 ) -> list[dict]:
     """Auto-adjudicate every suspect/REGRESSION compare row whose query
     source is unchanged vs the previous sidecar (VERDICT r10 #3): solo

@@ -526,13 +526,21 @@ def sim_ann_ivf(
         "(aggregate(zip_with(v, c.cv, (x, y) -> x * y), 0.0D, (a, x) -> a + x)"
         " / (nrm * c.cn))"
     )
+    # transform-then-argmax: each cosine is computed ONCE (a CASE that
+    # names the fold expression twice re-evaluates it — measured ~2x the
+    # assignment CPU), then the fold keeps the strictly-greater struct
     best_cell = (
-        f"aggregate(cells, named_struct('s', -2.0D, 'k', -1L), "
-        f"(acc, c) -> CASE WHEN {cell_cos} > acc.s "
-        f"THEN named_struct('s', {cell_cos}, 'k', c.k) ELSE acc END).k"
+        f"aggregate(transform(cells, c -> named_struct('s', {cell_cos}, 'k', c.k)), "
+        f"named_struct('s', -2.0D, 'k', -1L), "
+        f"(acc, x) -> CASE WHEN x.s > acc.s THEN x ELSE acc END).k"
     )
+    # spread the sub-splittable single-file scan BEFORE the argmax fold:
+    # the CPU-heavy assignment now lives in the scan stage (no more
+    # post-groupBy stage to parallelize it), so a 1-split input would
+    # serialize it on one core (no-op on real multi-split layouts)
     assign = (
-        e.crossJoin(F.broadcast(cells1))
+        spread_small_scan(e)
+        .crossJoin(F.broadcast(cells1))
         .select(
             "vec_id",
             F.expr(best_cell).alias("cent_id"),
@@ -1512,11 +1520,13 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"slice(c.cv, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}), "
         "(x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"
     )
+    # transform-then-argmin: each sub-distance computed ONCE (naming the
+    # fold expression twice in the CASE re-evaluates it)
     codes = (
         f"transform(sequence(0, {PQ_M - 1}), m -> "
-        f"aggregate(cents, named_struct('d', 9223372036854775807L, 'k', -1L), "
-        f"(acc, c) -> CASE WHEN {sub_dist} < acc.d "
-        f"THEN named_struct('d', {sub_dist}, 'k', c.k) ELSE acc END))"
+        f"aggregate(transform(cents, c -> named_struct('d', {sub_dist}, 'k', c.k)), "
+        f"named_struct('d', 9223372036854775807L, 'k', -1L), "
+        f"(acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END))"
     )
     return (
         spread_small_scan(e)
@@ -1931,10 +1941,11 @@ def sim_ann_ivfpq(
     ).groupBy().agg(F.sort_array(F.collect_list("c")).alias("cells"))
 
     cell_dist = "aggregate(zip_with(vq, c.cv, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"
+    # transform-then-argmin (each distance computed once, see emb_pq_quantize)
     best_cell = (
-        f"aggregate(cells, named_struct('d', 9223372036854775807L, 'k', -1L), "
-        f"(acc, c) -> CASE WHEN {cell_dist} < acc.d "
-        f"THEN named_struct('d', {cell_dist}, 'k', c.k) ELSE acc END)"
+        f"aggregate(transform(cells, c -> named_struct('d', {cell_dist}, 'k', c.k)), "
+        f"named_struct('d', 9223372036854775807L, 'k', -1L), "
+        f"(acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END)"
     )
     asg = (
         spread_small_scan(e)
@@ -1962,9 +1973,9 @@ def sim_ann_ivfpq(
     )
     code_folds = (
         f"transform(sequence(0, {PQ_M - 1}), m -> "
-        f"aggregate(cb, named_struct('d', 9223372036854775807L, 'k', -1L), "
-        f"(acc, c) -> CASE WHEN {sub_res_dist} < acc.d "
-        f"THEN named_struct('d', {sub_res_dist}, 'k', c.k) ELSE acc END).k)"
+        f"aggregate(transform(cb, c -> named_struct('d', {sub_res_dist}, 'k', c.k)), "
+        f"named_struct('d', 9223372036854775807L, 'k', -1L), "
+        f"(acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END).k)"
     )
     codes = (
         asg.crossJoin(F.broadcast(cb1))
@@ -2261,7 +2272,10 @@ def sim_ann_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     perturbation — the coarseness the multi-probe variant exists to fix);
     IVF-PQ's ADC quantization distortion may misrank a plant out of the
     top-k (the compression/recall trade, Jegou 2011 §IV)."""
-    emb = _planted_embeddings(spark, sf_dir)
+    # one planted-corpus materialization shared by all four legs (each leg
+    # scans it 2-3 times for queries/centroids/corpus); released with the
+    # returned result via scoped_persist
+    emb = _planted_embeddings(spark, sf_dir).persist()
     planted = (
         load_table(spark, sf_dir, "embeddings")
         .filter((F.col("vec_id") >= PLANT_LO) & (F.col("vec_id") < PLANT_HI))
@@ -2296,13 +2310,16 @@ def sim_ann_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = legs[0]
     for lg in legs[1:]:
         out = out.unionAll(lg)
-    return out.select(
-        "method",
-        "n_planted_pairs",
-        "n_ann_pairs",
-        "n_caught",
-        F.expr(
-            "CAST(CASE WHEN n_planted_pairs > 0"
-            " THEN (1000000 * n_caught) div n_planted_pairs END AS BIGINT)"
-        ).alias("recall_e6"),
-    ).orderBy("method")
+    return scoped_persist(
+        out.select(
+            "method",
+            "n_planted_pairs",
+            "n_ann_pairs",
+            "n_caught",
+            F.expr(
+                "CAST(CASE WHEN n_planted_pairs > 0"
+                " THEN (1000000 * n_caught) div n_planted_pairs END AS BIGINT)"
+            ).alias("recall_e6"),
+        ).orderBy("method"),
+        emb,
+    )
