@@ -140,6 +140,7 @@ HEADLINE = [
     "sample_priority_weighted",
     # round-11 additions
     "mm_phash_dedup",
+    "mm_audio_energy",
     "sim_ann_planted_recall",
     "sim_rrf_hybrid_ann",
 ]
@@ -438,6 +439,9 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # Arrow decode stage (payloads never shuffle), the banded Hamming
     # join moves (doc_id, phash, band_val) only:
     "mm_phash_dedup": (["documents"], 0.1),  # measured 0.002
+    # round-11: frame-energy analysis is map-side in the decode stage;
+    # only the 5-BIGINT per-clip summary rows reach the presentation sort:
+    "mm_audio_energy": (["documents"], 0.5),  # measured 0.282
     # round-11: IVF after the argmax-cell fold rewrite — assignment is a
     # projection over the 1-row broadcast cells array (zero shuffle; the
     # old max_by groupBy moved every raw vector once, 0.98 MB here) and

@@ -479,3 +479,66 @@ def perceptual_hash(
             yield pd.DataFrame({"doc_id": ids, "phash": hashes, "codec": codecs})
 
     return df.mapInPandas(phash, "doc_id BIGINT, phash BIGINT, codec STRING")
+
+
+AUDIO_FRAME = 32  # code points per analysis frame (the fake corpus's "samples")
+
+
+def audio_energy(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-frame audio-style energy analysis over the decoded payload — the
+    waveform-feature primitive (frame energy + activity detection), shaped
+    like a real PCM pipeline: decode → frame → per-frame reduction →
+    per-clip summary, all executor-side in Arrow batches.
+
+    Deterministic maths over the decoded unit stream (:func:`_frame_units`
+    code points standing in for PCM samples): the body frames into
+    ``AUDIO_FRAME``-unit windows (complete frames only, like
+    :func:`fake_frame_sample`); a frame's energy is the exact integer sum
+    of squared code points; a frame is "loud" when its energy strictly
+    exceeds the clip's mean frame energy (integer cross-multiplication:
+    ``e * n_frames > total_energy``).  A real audio decoder (PCM via
+    soundfile/av) swaps into the same schema: (doc_id, n_frames,
+    total_energy, n_loud, max_energy).  numpy-vectorized per row."""
+    from flink_net_spark.session import ship_package_to_executors
+
+    ship_package_to_executors(df.sparkSession)
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, nf, tot, loud, mx = [], [], [], [], []
+            for i, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(raw)
+                s = _frame_units(b[HEADER_LEN:] if b[:4] == PAYLOAD_MAGIC else b)
+                n = len(s) // AUDIO_FRAME
+                ids.append(int(i))
+                if n == 0:
+                    nf.append(0); tot.append(0); loud.append(0); mx.append(0)
+                    continue
+                cp = np.fromiter(
+                    map(ord, s[: n * AUDIO_FRAME]), dtype=np.int64, count=n * AUDIO_FRAME
+                )
+                e = (cp * cp).reshape(n, AUDIO_FRAME).sum(axis=1)
+                total = int(e.sum())
+                nf.append(n)
+                tot.append(total)
+                loud.append(int((e * n > total).sum()))
+                mx.append(int(e.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nf,
+                    "total_energy": tot,
+                    "n_loud": loud,
+                    "max_energy": mx,
+                }
+            )
+
+    return df.mapInPandas(
+        energy,
+        "doc_id BIGINT, n_frames BIGINT, total_energy BIGINT, n_loud BIGINT, "
+        "max_energy BIGINT",
+    )

@@ -291,3 +291,52 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_a", "doc_b"),
         ph,
     )
+
+
+@query(
+    "mm_audio_energy",
+    oracle="""
+    WITH frames AS (
+        SELECT doc_id,
+               UNNEST(range(0, length(text) // 32)) AS k,
+               text
+        FROM documents
+    ),
+    fe AS (
+        SELECT doc_id, k,
+               CAST(list_sum([ascii(substring(text, k * 32 + i, 1))
+                              * ascii(substring(text, k * 32 + i, 1))
+                              for i in range(1, 33)]) AS BIGINT) AS e
+        FROM frames
+    ),
+    clip AS (
+        SELECT doc_id, COUNT(*) AS n_frames, SUM(e) AS total_energy,
+               MAX(e) AS max_energy
+        FROM fe GROUP BY doc_id
+    )
+    SELECT d.doc_id AS doc_id,
+           CAST(COALESCE(c.n_frames, 0) AS BIGINT) AS n_frames,
+           CAST(COALESCE(c.total_energy, 0) AS BIGINT) AS total_energy,
+           CAST(COALESCE((SELECT COUNT(*) FROM fe
+                          WHERE fe.doc_id = d.doc_id
+                            AND fe.e * c.n_frames > c.total_energy), 0)
+                AS BIGINT) AS n_loud,
+           CAST(COALESCE(c.max_energy, 0) AS BIGINT) AS max_energy
+    FROM documents d
+    LEFT JOIN clip c ON c.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style waveform features over the multimodal payload: the body
+    frames into 32-unit windows, per-frame energy is the exact integer sum
+    of squared code points, and the clip summary reports frame count,
+    total/max energy and the count of frames whose energy strictly exceeds
+    the clip mean (integer cross-multiplication — activity detection).
+    Executor-side Arrow batches via operators/multimodal.py::audio_energy;
+    a real PCM decoder swaps into the same schema.  Clips shorter than one
+    frame report zeros (mirrored by the oracle's LEFT JOIN + COALESCE)."""
+    from flink_net_spark.operators.multimodal import audio_energy
+
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    return audio_energy(attach_payloads(d)).orderBy("doc_id")

@@ -315,3 +315,23 @@ def test_phash_dedup_finds_planted_pair(spark, tmp_path):
         for r in QUERIES["mm_phash_dedup"](spark, str(out)).collect()
     }
     assert pairs.get((0, 1_000_000)) == 0, pairs
+
+
+def test_audio_energy_frame_maths(spark):
+    """audio_energy's exact contract on a constructed clip: energies are
+    sums of squared code points over complete 32-unit frames, loud = frame
+    energy strictly above the clip mean, sub-frame clips report zeros."""
+    from flink_net_spark.operators.multimodal import audio_energy
+
+    quiet, loudc = "a" * 32, "z" * 32
+    df = spark.createDataFrame(
+        [(0, quiet + loudc), (1, "xy")], "doc_id LONG, text STRING"
+    )
+    rows = {r["doc_id"]: r.asDict() for r in audio_energy(attach_payloads(df)).collect()}
+    e_quiet, e_loud = 32 * ord("a") ** 2, 32 * ord("z") ** 2
+    assert rows[0]["n_frames"] == 2
+    assert rows[0]["total_energy"] == e_quiet + e_loud
+    assert rows[0]["max_energy"] == e_loud
+    assert rows[0]["n_loud"] == 1  # only the z-frame exceeds the mean
+    assert rows[1] == {"doc_id": 1, "n_frames": 0, "total_energy": 0,
+                       "n_loud": 0, "max_energy": 0}
