@@ -143,6 +143,7 @@ HEADLINE = [
     "mm_audio_energy",
     "sim_ann_planted_recall",
     "sim_rrf_hybrid_ann",
+    "dedup_incremental_minhash",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
@@ -232,6 +233,7 @@ SCALE_SMOKE = [
     "dedup_substring_stats",
     "mm_phash_dedup",
     "sim_rrf_hybrid_ann",
+    "dedup_incremental_minhash",
 ]
 
 # One more decade for the five most expensive shapes (opt-in:
@@ -442,6 +444,9 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # round-11: frame-energy analysis is map-side in the decode stage;
     # only the 5-BIGINT per-clip summary rows reach the presentation sort:
     "mm_audio_energy": (["documents"], 0.5),  # measured 0.282
+    # round-11: ingest-vs-index banded join — (doc_id, band_key) pairs
+    # only, candidates-only verify, batch-sized result:
+    "dedup_incremental_minhash": (["documents"], 0.15),  # measured 0.077
     # round-11: IVF after the argmax-cell fold rewrite — assignment is a
     # projection over the 1-row broadcast cells array (zero shuffle; the
     # old max_by groupBy moved every raw vector once, 0.98 MB here) and

@@ -1302,3 +1302,124 @@ def dedup_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id", "doc_id")
     )
+
+
+# -- incremental ingest dedup (round-11) --------------------------------------
+# The production ingestion shape: a new batch arrives and must dedup
+# AGAINST the existing corpus index, not within itself.  Batch membership
+# is deterministic here (doc_id % 10 == 0 ≈ a 10% daily delta); at scale
+# the (band, band_key) index side is precomputed and stored, the incoming
+# side is the small batch, and the candidate join is the same banded
+# equi-join as dedup_minhash_lsh — the shuffle carries (doc_id, band_key)
+# pairs, never text, and only candidates reach the exact-Jaccard verify.
+_INC_MOD = 10  # doc_id % 10 == 0 → the incoming batch
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM {_DUCK_TH_DOCS}
+    ),
+    sig AS (
+        SELECT doc_id, sh, {H.duckdb_minhash_sig("sh", MINHASH_K)} AS sig FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, b,
+               sig[2 * b + 1] * {H.MOD} + sig[2 * b + 2] AS band_key
+        FROM sig CROSS JOIN UNNEST(range(0, {LSH_BANDS})) AS t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM bands n JOIN bands o
+          ON n.b = o.b AND n.band_key = o.band_key
+        WHERE n.doc_id % {_INC_MOD} = 0 AND o.doc_id % {_INC_MOD} <> 0
+    ),
+    ver AS (
+        SELECT c.new_id, c.old_id,
+               len(list_intersect(x.sh, y.sh)) * 1.0
+                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.new_id
+        JOIN sh y ON y.doc_id = c.old_id
+    ),
+    ranked AS (
+        SELECT new_id, old_id, jaccard,
+               COUNT(*) OVER (PARTITION BY new_id) AS n_candidates,
+               ROW_NUMBER() OVER (PARTITION BY new_id
+                                  ORDER BY jaccard DESC, old_id) AS rn
+        FROM ver
+    )
+    SELECT d.doc_id AS doc_id,
+           CAST(COALESCE(r.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(r.old_id, -1) AS BIGINT) AS best_match_id,
+           ROUND(COALESCE(r.jaccard, 0.0), 4) AS best_jaccard,
+           COALESCE(r.jaccard >= {JACCARD_VERIFY_THRESHOLD}, FALSE) AS is_dup
+    FROM documents d
+    LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON r.new_id = d.doc_id
+    WHERE d.doc_id % {_INC_MOD} = 0
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (section comment): every incoming-batch doc
+    reports its banded-candidate count against the existing corpus index,
+    its best verified match (max Jaccard, tie → lowest existing doc_id)
+    and the is_dup decision at the pipeline threshold — docs with no band
+    collision report (0, -1, 0.0, false) via the LEFT JOIN on both
+    engines.  Same deterministic shingle→minhash→band pipeline as
+    dedup_minhash_lsh, asymmetric new→existing join instead of the
+    all-pairs self-join."""
+    sh = _spark_shingle_hash_df(spark, sf_dir).persist()
+    sig = sh.withColumn("sig", F.expr(H.spark_minhash_sig("sh", MINHASH_K)))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {LSH_BANDS - 1}), "
+                f"b -> struct(b AS b, sig[2*b] * {H.MOD}L + sig[2*b+1] AS band_key))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key"))
+    new_b = bands.filter(F.col("doc_id") % _INC_MOD == 0).select(
+        F.col("doc_id").alias("new_id"), "b", "band_key"
+    )
+    old_b = bands.filter(F.col("doc_id") % _INC_MOD != 0).select(
+        F.col("doc_id").alias("old_id"), "b", "band_key"
+    )
+    cand = new_b.join(old_b, ["b", "band_key"]).select("new_id", "old_id").distinct()
+    x = sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n"))
+    y = sh.select(F.col("doc_id").alias("old_id"), F.col("sh").alias("sh_o"))
+    inter = F.size(F.array_intersect("sh_n", "sh_o"))
+    union = F.size("sh_n") + F.size("sh_o") - inter
+    ver = (
+        cand.join(x, "new_id")
+        .join(y, "old_id")
+        .select("new_id", "old_id", (inter * F.lit(1.0) / union).alias("jaccard"))
+    )
+    from pyspark.sql.window import Window as _W
+
+    wc = _W.partitionBy("new_id")
+    wr = _W.partitionBy("new_id").orderBy(F.col("jaccard").desc(), F.col("old_id"))
+    best = (
+        ver.withColumn("n_candidates", F.count(F.lit(1)).over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+    )
+    incoming = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _INC_MOD == 0
+    ).select("doc_id")
+    return scoped_persist(
+        incoming.join(best, incoming.doc_id == best.new_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("old_id", F.lit(-1)).cast("long").alias("best_match_id"),
+            F.round(F.coalesce("jaccard", F.lit(0.0)), 4).alias("best_jaccard"),
+            F.coalesce(
+                F.col("jaccard") >= JACCARD_VERIFY_THRESHOLD, F.lit(False)
+            ).alias("is_dup"),
+        )
+        .orderBy("doc_id"),
+        sh,
+    )

@@ -38,7 +38,8 @@ def test_scoped_persist_releases_cache_on_handle_drop(spark):
                  # inverted index scoped to ITSELF (finalizer could never
                  # fire); pinned here now that it scopes to the result —
                  # and its r11 ANN-leg variant + the phash index too
-                 "sim_rrf_hybrid", "sim_rrf_hybrid_ann", "mm_phash_dedup"):
+                 "sim_rrf_hybrid", "sim_rrf_hybrid_ann", "mm_phash_dedup",
+                 "dedup_incremental_minhash"):
         df = QUERIES[name](spark, sf)
         df.collect()
         del df
