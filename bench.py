@@ -144,6 +144,7 @@ HEADLINE = [
     "sim_ann_planted_recall",
     "sim_rrf_hybrid_ann",
     "dedup_incremental_minhash",
+    "dedup_span_novelty",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
@@ -234,6 +235,7 @@ SCALE_SMOKE = [
     "mm_phash_dedup",
     "sim_rrf_hybrid_ann",
     "dedup_incremental_minhash",
+    "dedup_span_novelty",
 ]
 
 # One more decade for the five most expensive shapes (opt-in:
@@ -447,6 +449,15 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # round-11: ingest-vs-index banded join — (doc_id, band_key) pairs
     # only, candidates-only verify, batch-sized result:
     "dedup_incremental_minhash": (["documents"], 0.15),  # measured 0.077
+    # round-11: span novelty ships ONE packed (gram32 << 31 | doc_id)
+    # BIGINT per window (8 B/window in collect_list bucket arrays; the
+    # unpacked row form is 24 B) — the exact-novelty floor, since every
+    # window instance must reach its gram's owner WITH its doc id (unlike
+    # substring_stats' bare-gram df build).  No join-back: novel counts
+    # come from groupBy(first_doc) over the distinct-gram firsts.
+    # measured 3.02 ≈ W x 8.7 B / corpus; winnowed-fingerprint sampling
+    # (the dedup_substring_winnow density cut) is the path below it.
+    "dedup_span_novelty": (["documents"], 3.5),
     # round-11: IVF after the argmax-cell fold rewrite — assignment is a
     # projection over the 1-row broadcast cells array (zero shuffle; the
     # old max_by groupBy moved every raw vector once, 0.98 MB here) and

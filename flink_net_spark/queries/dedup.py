@@ -1423,3 +1423,100 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"),
         sh,
     )
+
+
+@query(
+    "dedup_span_novelty",
+    oracle=f"""
+    WITH {_DUCK_SUB_GRAMS},
+    g32 AS (SELECT doc_id, gram & 4294967295 AS g FROM gr),
+    firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM g32 GROUP BY g),
+    nov AS (SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+            FROM firsts GROUP BY first_doc),
+    nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM g32 GROUP BY doc_id)
+    SELECT d.doc_id AS doc_id,
+           CAST(COALESCE(nw.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(nov.n_novel, 0) AS BIGINT) AS n_novel,
+           ROUND(CASE WHEN COALESCE(nw.n_windows, 0) = 0 THEN 0.0
+                      ELSE COALESCE(nov.n_novel, 0) * 1.0 / nw.n_windows END, 4)
+               AS novelty_ratio
+    FROM documents d
+    LEFT JOIN nw ON nw.doc_id = d.doc_id
+    LEFT JOIN nov ON nov.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document span NOVELTY in ingestion order (doc_id as arrival
+    proxy): the fraction of a doc's k-token windows whose FIRST occurrence
+    in the corpus is this doc.  The dedup-aware freshness signal a
+    curation pipeline samples on (the dedup+diversify discipline — Tirumala
+    2023 "D4", Abbas 2023 SemDeDup): a doc that mostly re-states earlier
+    spans scores near 0, genuinely new material near 1.  Docs shorter than
+    k tokens have no windows and score 0.  Fingerprints are the unsigned
+    32-bit window hashes (collisions can only mark a window as seen
+    earlier — the conservative direction for a drop-decision — and the
+    oracle applies the identical mask).
+
+    Shuffle shape: the packed-bucket transport proven on
+    dedup_substring_stats, REUSED as a primitive — and here with NO
+    join-back at all: (gram32 << 31 | doc_id) packs window and owner into
+    one BIGINT, map-side collect_list buckets ship 8 B/window, the
+    post-shuffle decode + groupBy(bkt, gram) MIN(doc_id) adds no second
+    exchange (hashpartitioning(bkt) satisfies the clustering), and
+    per-doc novel counts come from groupBy(first_doc) over the
+    distinct-gram firsts — bounded by corpus docs, not windows.
+    ``n_windows`` is the scan-side array size (zero shuffle)."""
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    base = (
+        d.withColumn("th", F.expr(H.spark_token_hashes("text")))
+        .select(
+            "doc_id",
+            F.expr(H.spark_hashed_shingles("th", SUBSTR_WINDOW)).alias("sh"),
+        )
+        .persist()
+    )
+    # combined = unsigned-32-bit gram << 31 | doc_id  (doc_id < 2^31 in
+    # every corpus SF; total < 2^63, no sign games on either engine)
+    gr = base.select(
+        "doc_id", F.explode("sh").alias("g")
+    ).select(
+        F.expr("(g & 4294967295L) * 2147483648L + doc_id").alias("c")
+    )
+    nbuck = max(64, 2 * d.rdd.getNumPartitions())
+    packed = (
+        gr.withColumn("bkt", F.pmod(F.expr("c div 2147483648L"), F.lit(nbuck)))
+        .groupBy("bkt")
+        .agg(F.collect_list("c").alias("cs"))
+    )
+    firsts = (
+        packed.select("bkt", F.explode("cs").alias("c"))
+        .select(
+            "bkt",
+            F.expr("c div 2147483648L").alias("g"),
+            F.expr("c % 2147483648L").alias("doc_id"),
+        )
+        .groupBy("bkt", "g")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    nov = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    nw = base.select("doc_id", F.size("sh").cast("long").alias("n_windows"))
+    n_novel = F.coalesce("n_novel", F.lit(0).cast("long"))
+    return scoped_persist(
+        nw.join(nov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            n_novel.alias("n_novel"),
+            F.round(
+                F.when(F.col("n_windows") == 0, F.lit(0.0)).otherwise(
+                    n_novel * F.lit(1.0) / F.col("n_windows")
+                ),
+                4,
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("doc_id"),
+        base,
+    )

@@ -39,7 +39,7 @@ def test_scoped_persist_releases_cache_on_handle_drop(spark):
                  # fire); pinned here now that it scopes to the result —
                  # and its r11 ANN-leg variant + the phash index too
                  "sim_rrf_hybrid", "sim_rrf_hybrid_ann", "mm_phash_dedup",
-                 "dedup_incremental_minhash"):
+                 "dedup_incremental_minhash", "dedup_span_novelty"):
         df = QUERIES[name](spark, sf)
         df.collect()
         del df
