@@ -548,3 +548,14 @@ def test_substring_stats_df_build_is_packed_single_exchange(spark):
     assert "hashpartitioning(gram" not in p, p
     assert p.count("hashpartitioning(bkt") == 1, p
     assert "collect_list" in p and "ObjectHashAggregate" in p, p
+
+
+def test_span_novelty_packed_single_exchange(spark):
+    """dedup_span_novelty reuses the packed-bucket transport with no
+    join-back: ONE hashpartitioning(bkt) exchange of packed
+    (gram << 31 | doc_id) longs, no gram-keyed exchange, and the firsts
+    count adds no second exchange."""
+    p = plan_of(entry.queries()["dedup_span_novelty"](spark, SF_DIR))
+    assert "hashpartitioning(g#" not in p and "hashpartitioning(gram" not in p, p
+    assert p.count("hashpartitioning(bkt") == 1, p
+    assert "collect_list" in p, p
