@@ -141,6 +141,7 @@ HEADLINE = [
     # round-11 additions
     "mm_phash_dedup",
     "mm_audio_energy",
+    "mm_scene_cuts",
     "sim_ann_planted_recall",
     "sim_rrf_hybrid_ann",
     "dedup_incremental_minhash",
@@ -446,6 +447,8 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # round-11: frame-energy analysis is map-side in the decode stage;
     # only the 5-BIGINT per-clip summary rows reach the presentation sort:
     "mm_audio_energy": (["documents"], 0.5),  # measured 0.282
+    # round-11: scene-cut detection — same map-side decode-stage shape:
+    "mm_scene_cuts": (["documents"], 0.5),  # measured 0.239
     # round-11: ingest-vs-index banded join — (doc_id, band_key) pairs
     # only, candidates-only verify, batch-sized result:
     "dedup_incremental_minhash": (["documents"], 0.15),  # measured 0.077

@@ -542,3 +542,66 @@ def audio_energy(
         "doc_id BIGINT, n_frames BIGINT, total_energy BIGINT, n_loud BIGINT, "
         "max_energy BIGINT",
     )
+
+
+CUT_THRESHOLD = 256  # |Δ frame checksum| above this = a scene cut
+
+
+def scene_cuts(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Video scene-cut detection over consecutive decoded frames — the
+    shot-segmentation primitive (cut = adjacent-frame distance above a
+    threshold; real systems use histogram/SSIM distance, this deterministic
+    path uses the |Δ| of the FRAME_BYTES-code-point frame checksums, the
+    same frame stream :func:`fake_frame_sample` emits at every_n=1).
+
+    Per clip: frame count, cut count (|Δ| > ``CUT_THRESHOLD``), the first
+    cut's frame index (-1 when none) and the maximum adjacent-frame delta.
+    Clips shorter than two frames report (n, 0, -1, 0).  All maths exact
+    integers, numpy-vectorized per row, payload dropped from the output; a
+    real decoder (PyAV frame iterator + histogram distance) swaps into the
+    same schema."""
+    from flink_net_spark.session import ship_package_to_executors
+
+    ship_package_to_executors(df.sparkSession)
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, nf, nc, fc, mx = [], [], [], [], []
+            for i, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(raw)
+                s = _frame_units(b[HEADER_LEN:] if b[:4] == PAYLOAD_MAGIC else b)
+                n = len(s) // FRAME_BYTES
+                ids.append(int(i))
+                if n < 2:
+                    nf.append(n); nc.append(0); fc.append(-1); mx.append(0)
+                    continue
+                cp = np.fromiter(
+                    map(ord, s[: n * FRAME_BYTES]), dtype=np.int64,
+                    count=n * FRAME_BYTES,
+                )
+                cs = cp.reshape(n, FRAME_BYTES).sum(axis=1)
+                dd = np.abs(np.diff(cs))
+                cut_at = np.nonzero(dd > CUT_THRESHOLD)[0]
+                nf.append(n)
+                nc.append(int(cut_at.size))
+                fc.append(int(cut_at[0] + 1) if cut_at.size else -1)
+                mx.append(int(dd.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nf,
+                    "n_cuts": nc,
+                    "first_cut": fc,
+                    "max_delta": mx,
+                }
+            )
+
+    return df.mapInPandas(
+        cuts,
+        "doc_id BIGINT, n_frames BIGINT, n_cuts BIGINT, first_cut BIGINT, "
+        "max_delta BIGINT",
+    )

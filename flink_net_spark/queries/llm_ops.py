@@ -340,3 +340,57 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return audio_energy(attach_payloads(d)).orderBy("doc_id")
+
+
+@query(
+    "mm_scene_cuts",
+    oracle="""
+    WITH fr AS (
+        SELECT doc_id, k,
+               CAST(list_sum([ascii(substring(text, k * 32 + i, 1))
+                              for i in range(1, 33)]) AS BIGINT) AS cs
+        FROM (
+            SELECT doc_id, text, UNNEST(range(0, length(text) // 32)) AS k
+            FROM documents
+        )
+    ),
+    dd AS (
+        SELECT doc_id, k,
+               abs(cs - lag(cs) OVER (PARTITION BY doc_id ORDER BY k)) AS d
+        FROM fr
+    ),
+    clip AS (
+        SELECT doc_id,
+               SUM(CASE WHEN d > 256 THEN 1 ELSE 0 END) AS n_cuts,
+               MIN(CASE WHEN d > 256 THEN k END) AS first_cut,
+               MAX(d) AS max_delta
+        FROM dd WHERE d IS NOT NULL
+        GROUP BY doc_id
+    ),
+    nf AS (SELECT doc_id, COUNT(*) AS n FROM fr GROUP BY doc_id)
+    SELECT d.doc_id AS doc_id,
+           CAST(COALESCE(nf.n, 0) AS BIGINT) AS n_frames,
+           CAST(COALESCE(c.n_cuts, 0) AS BIGINT) AS n_cuts,
+           CAST(COALESCE(c.first_cut, -1) AS BIGINT) AS first_cut,
+           CAST(COALESCE(c.max_delta, 0) AS BIGINT) AS max_delta
+    FROM documents d
+    LEFT JOIN nf ON nf.doc_id = d.doc_id
+    LEFT JOIN clip c ON c.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shot segmentation over the multimodal payload: consecutive
+    frame checksums (every frame, the fake_frame_sample stream at
+    every_n=1) compare by exact integer |Δ|; a delta above 256 is a scene
+    cut (~p99 of adjacent-frame deltas on this corpus).  Per clip: frame
+    count, cut count, first cut index (-1 none) and max delta — all
+    computed map-side inside the Arrow decode stage
+    (operators/multimodal.py::scene_cuts), so nothing but the 5-BIGINT
+    per-clip rows ever shuffles; a real decoder (PyAV + histogram
+    distance) swaps into the same schema.  Sub-2-frame clips report
+    (n, 0, -1, 0) on both engines."""
+    from flink_net_spark.operators.multimodal import scene_cuts
+
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    return scene_cuts(attach_payloads(d)).orderBy("doc_id")

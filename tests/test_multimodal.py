@@ -335,3 +335,24 @@ def test_audio_energy_frame_maths(spark):
     assert rows[0]["n_loud"] == 1  # only the z-frame exceeds the mean
     assert rows[1] == {"doc_id": 1, "n_frames": 0, "total_energy": 0,
                        "n_loud": 0, "max_energy": 0}
+
+
+def test_scene_cuts_detects_planted_cut(spark):
+    """scene_cuts' exact contract on a constructed clip: two quiet frames,
+    then a loud frame — exactly one cut at the loud boundary; a flat clip
+    has none; a sub-2-frame clip reports (n, 0, -1, 0)."""
+    from flink_net_spark.operators.multimodal import scene_cuts
+
+    flat, loud = "a" * 32, "z" * 32
+    df = spark.createDataFrame(
+        [(0, flat + flat + loud), (1, flat + flat), (2, "xy")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in scene_cuts(attach_payloads(df)).collect()}
+    delta = 32 * (ord("z") - ord("a"))  # 800 > threshold 256
+    assert rows[0] == {"doc_id": 0, "n_frames": 3, "n_cuts": 1,
+                       "first_cut": 2, "max_delta": delta}
+    assert rows[1] == {"doc_id": 1, "n_frames": 2, "n_cuts": 0,
+                       "first_cut": -1, "max_delta": 0}
+    assert rows[2] == {"doc_id": 2, "n_frames": 0, "n_cuts": 0,
+                       "first_cut": -1, "max_delta": 0}
