@@ -196,3 +196,15 @@ def test_adjudications_render_in_markdown():
     assert "Drift adjudications" in md
     assert "session-noise" in md and "unchanged" in md
     assert "1.05, 1.10, 1.08" in md
+
+
+def test_adjudication_micro_floor():
+    """A sub-0.5s micro-query whose solo move stays under the calibrated
+    absolute floor is session noise even when its normalized ratio sits
+    above the suspect threshold — the same floor the compare gate applies
+    (observed: a 56 ms drift on a 0.2 s window query read norm 1.26)."""
+    from bench import adjudication_verdict
+
+    assert adjudication_verdict(0.205, 0.21, 0.261, 1.0) == "session-noise"
+    # a REAL move on a micro-query still persists once it clears the floor
+    assert adjudication_verdict(0.205, 0.21, 0.60, 1.0) == "persists"
