@@ -146,6 +146,8 @@ HEADLINE = [
     "sim_rrf_hybrid_ann",
     "dedup_incremental_minhash",
     "dedup_span_novelty",
+    # round-12 additions
+    "mm_phash_stats",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).

@@ -9,9 +9,13 @@ registers ``byte[]`` as a first-class record type).
 Decode/feature-extract run as Arrow-batched ``mapInPandas`` — the payload
 bytes stay executor-side, one Arrow batch per partition slice, never
 row-at-a-time and never on the driver.  Real codecs are a live hook:
-``decode_image`` / ``resize_image`` / ``frame_sample`` import-try PIL / av
-INSIDE the UDF (so availability is decided per executor, not on the
-driver) and fall back per row to the deterministic FNSB-container maths —
+``decode_image`` / ``resize_image`` / ``frame_sample`` / ``perceptual_hash``
+take a ``use_pil``/``use_av`` flag that is resolved ON THE DRIVER (probed
+there when left ``None``) and shipped with the plan, so every executor
+takes the same branch — a heterogeneous cluster (codec installed on some
+executors only) fails fast with an ImportError instead of silently mixing
+codec outputs in one result (round-11 ADVICE).  Rows the real codec cannot
+parse still fall back per row to the deterministic FNSB-container maths —
 one static output schema either way, with a ``codec`` column recording
 which path each row took.  ``fake_decode_stats`` / ``fake_resize`` /
 ``fake_frame_sample`` are the fallback maths exposed directly (stable
@@ -32,6 +36,27 @@ from pyspark.sql import functions as F
 
 PAYLOAD_MAGIC = b"FNSB"  # fake container header: magic | w:4 ascii | h:4 ascii | body
 HEADER_LEN = 12
+
+
+def _pil_available() -> bool:
+    """Driver-side PIL probe — the plan-shipped codec decision (see the
+    module docstring: one uniform branch for every executor)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _av_available() -> bool:
+    """Driver-side PyAV probe (same contract as :func:`_pil_available`)."""
+    try:
+        import av  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
 def attach_payloads(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -60,13 +85,17 @@ def attach_payloads(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def decode_image(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    use_pil: bool | None = None,
 ) -> DataFrame:
     """Image decode via Arrow-batched ``mapInPandas`` with a REAL codec hook.
 
-    The codec is probed EXECUTOR-SIDE (import-try inside the UDF), so on a
-    heterogeneous cluster each task uses whatever is installed where it
-    runs.  Per row:
+    The codec decision is made DRIVER-SIDE (``use_pil=None`` probes PIL on
+    the driver) and ships with the plan, so every executor takes the same
+    branch; an executor missing the promised codec raises instead of
+    silently diverging (round-11 ADVICE).  Per row:
 
     - PIL importable and the payload is a decodable image → real decode:
       ``width``/``height`` from the codec, ``body_checksum``/``body_bytes``
@@ -81,14 +110,16 @@ def decode_image(
     from flink_net_spark.session import ship_package_to_executors
 
     ship_package_to_executors(df.sparkSession)
+    if use_pil is None:
+        use_pil = _pil_available()
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
         import io
 
-        try:
-            import PIL.Image as _Image  # real codec, when present on this executor
-        except ImportError:
+        if use_pil:
+            import PIL.Image as _Image  # promised by the driver: missing = loud
+        else:
             _Image = None
         for pdf in batches:
             ids, widths, heights, sums, md5s, sizes, codecs = [], [], [], [], [], [], []
@@ -211,10 +242,16 @@ def payload_features(df: DataFrame, dim: int = 16, id_col: str = "doc_id") -> Da
     return df.mapInPandas(extract, f"doc_id BIGINT, features ARRAY<FLOAT>")
 
 
-def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "doc_id") -> DataFrame:
+def frame_sample(
+    df: DataFrame,
+    every_n: int = 10,
+    id_col: str = "doc_id",
+    use_av: bool | None = None,
+) -> DataFrame:
     """Video frame sampling (1 clip row → N frame rows) with a REAL codec
-    hook: ``av`` (PyAV/ffmpeg) is import-tried EXECUTOR-SIDE per task; rows
-    it can demux get every ``every_n``-th decoded video frame (checksum over
+    hook: ``av`` (PyAV/ffmpeg) availability is decided DRIVER-SIDE
+    (``use_av=None`` probes it there) and shipped with the plan; rows it
+    can demux get every ``every_n``-th decoded video frame (checksum over
     the frame's plane bytes, ``codec='av'``); everything else takes the
     deterministic FNSB path (``FRAME_BYTES``-sized pseudo-frames, identical
     maths to :func:`fake_frame_sample`, ``codec='fns'``).  One static output
@@ -222,13 +259,15 @@ def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "doc_id") -> Da
     from flink_net_spark.session import ship_package_to_executors
 
     ship_package_to_executors(df.sparkSession)
+    if use_av is None:
+        use_av = _av_available()
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        try:
-            import av as _av  # real demuxer/decoder, when present on this executor
-        except ImportError:
+        if use_av:
+            import av as _av  # promised by the driver: missing = loud
+        else:
             _av = None
         for pdf in batches:
             ids, idxs, sums, codecs = [], [], [], []
@@ -314,24 +353,30 @@ def fake_frame_sample(
 
 
 def resize_image(
-    df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    use_pil: bool | None = None,
 ) -> DataFrame:
     """Image resize to (``width``, ``height``) with a REAL codec hook: PIL
-    is import-tried EXECUTOR-SIDE; decodable rows are resampled and
-    re-encoded as PNG (``codec='pil'``); non-image rows take the
-    deterministic path — FNSB header rewritten to the target dims, body
-    byte-stride-downsampled (``codec='fns'``).  Bytes-in/bytes-out, payload
-    stays executor-side, one static output schema on both paths."""
+    availability is decided DRIVER-SIDE (plan-shipped flag); decodable rows
+    are resampled and re-encoded as PNG (``codec='pil'``); non-image rows
+    take the deterministic path — FNSB header rewritten to the target dims,
+    body byte-stride-downsampled (``codec='fns'``).  Bytes-in/bytes-out,
+    payload stays executor-side, one static output schema on both paths."""
     from flink_net_spark.session import ship_package_to_executors
 
     ship_package_to_executors(df.sparkSession)
+    if use_pil is None:
+        use_pil = _pil_available()
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        try:
-            import PIL.Image as _Image
-        except ImportError:
+        if use_pil:
+            import PIL.Image as _Image  # promised by the driver: missing = loud
+        else:
             _Image = None
         for pdf in batches:
             ids, payloads, widths, heights, codecs = [], [], [], [], []
@@ -407,14 +452,24 @@ PHASH_BITS = 60  # 4 x 15-bit bands downstream (the dedup_simhash_pairs shape)
 
 
 def perceptual_hash(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    use_pil: bool | None = None,
 ) -> DataFrame:
     """Perceptual fingerprint (aHash / blockhash family) with a REAL codec
     hook — the image-dedup primitive (reference capability anchor: the
     binary-payload POCO surface, SerializerRegistry.cs:20-28, which SURVEY
     maps to multimodal columns).
 
-    - PIL importable and the payload decodable → real aHash: grayscale,
+    The PIL decision is DRIVER-SIDE and plan-shipped (``use_pil=None``
+    probes the driver) so all executors agree — a cluster where only some
+    executors carry PIL raises instead of silently mixing pil- and
+    fns-coded fingerprints in one banded join (round-11 ADVICE); the
+    ``codec`` column additionally records the per-row path so any mix IS
+    data (queries/llm_ops.py::mm_phash_stats counts it under the oracle).
+
+    - ``use_pil`` and the payload decodable → real aHash: grayscale,
       resample to 10×6 (= ``PHASH_BITS`` pixels), each bit = pixel above
       the mean (``codec='pil'``).
     - otherwise → the deterministic FNSB path over the decoded unit stream
@@ -432,15 +487,17 @@ def perceptual_hash(
     from flink_net_spark.session import ship_package_to_executors
 
     ship_package_to_executors(df.sparkSession)
+    if use_pil is None:
+        use_pil = _pil_available()
 
     def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
         import numpy as np
 
-        try:
-            import PIL.Image as _Image  # real codec, when present on this executor
-        except ImportError:
+        if use_pil:
+            import PIL.Image as _Image  # promised by the driver: missing = loud
+        else:
             _Image = None
         for pdf in batches:
             ids, hashes, codecs = [], [], []

@@ -317,6 +317,114 @@ def test_phash_dedup_finds_planted_pair(spark, tmp_path):
     assert pairs.get((0, 1_000_000)) == 0, pairs
 
 
+def test_phash_stats_discriminates_bit_flips(spark):
+    """mm_phash_stats' whole point (round-12, VERDICT r11 #1): the driver-
+    visible row set must MOVE if any single fingerprint bit flips — unlike
+    the dedup pair set, which is empty (hence vacuous) on a corpus with no
+    near-duplicates.  Flip one bit of one doc's phash at several positions
+    (covering every band) and assert the stats change each time."""
+    import pyspark.sql.functions as FF
+
+    from flink_net_spark.queries.llm_ops import phash_band_stats
+
+    base = spark.createDataFrame(
+        [(i, (i * 2654435761) % (1 << 60), "fns") for i in range(20)],
+        "doc_id LONG, phash LONG, codec STRING",
+    )
+    ref = sorted(tuple(r) for r in phash_band_stats(base).collect())
+    assert len(ref) == 4 and all(r[1] == 20 for r in ref)  # 4 bands, n_docs
+    for bit in (0, 14, 17, 44, 59):  # band boundaries + interiors
+        flipped = base.withColumn(
+            "phash",
+            FF.when(
+                FF.col("doc_id") == 7,
+                FF.expr(f"phash ^ CAST({1 << bit} AS BIGINT)"),
+            ).otherwise(FF.col("phash")),
+        )
+        got = sorted(tuple(r) for r in phash_band_stats(flipped).collect())
+        assert got != ref, f"bit {bit} flip did not move the stats"
+    # the codec propagation contract: a pil-coded row is visible data
+    mixed = base.withColumn(
+        "codec", FF.when(FF.col("doc_id") == 3, "pil").otherwise("fns")
+    )
+    got = phash_band_stats(mixed).collect()
+    assert all(r.n_pil == 1 for r in got)
+
+
+def test_phash_stats_matches_oracle_on_planted_corpus(spark, tmp_path):
+    """The registered mm_phash_stats query vs its registered DuckDB oracle
+    on a corpus WITH near-duplicates (the driver-gate pair, on inputs the
+    friendly SFs don't produce) — plus the non-empty contract at any SF."""
+    import duckdb
+    import pandas as pd
+
+    from flink_net_spark.queries import ORACLES, QUERIES
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 4,
+        "the quick brown fox jumps over the lazy dog " * 4,  # exact dup
+        "pack my box with five dozen liquor jugs " * 5,
+        "héllo wörld 汉字テキスト🚀 multi-byte body",
+        "x",
+        "",  # filtered by length > 0 on both engines
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    sdf = QUERIES["mm_phash_stats"](spark, str(tmp_path))
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    assert len(srows) == 4  # non-empty at any SF — the whole point
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    res = con.execute(ORACLES["mm_phash_stats"])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    sorder = sorted(range(len(scols)), key=lambda i: scols[i])
+    dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    assert sorted(tuple(r[i] for i in sorder) for r in srows) == sorted(
+        tuple(r[i] for i in dorder) for r in drows
+    )
+
+
+def test_codec_flag_is_driver_side_and_plan_shipped(spark):
+    """The round-11 ADVICE contract: the codec decision is made ONCE on the
+    driver and shipped with the plan.  use_pil=False must run the
+    deterministic path even where PIL exists; use_pil=True on executors
+    without PIL must fail LOUDLY (ImportError), never silently fall back —
+    a heterogeneous cluster becomes an error, not a divergence."""
+    from py4j.protocol import Py4JJavaError
+
+    from flink_net_spark.operators.multimodal import perceptual_hash
+
+    d = attach_payloads(load_table(spark, SF_DIR, "documents").limit(5))
+    rows = perceptual_hash(d, use_pil=False).collect()
+    assert rows and all(r.codec in ("fns", "raw") for r in rows)
+
+    try:
+        import PIL.Image  # noqa: F401
+
+        pil_here = True
+    except ImportError:
+        pil_here = False
+    if not pil_here:
+        with pytest.raises((Py4JJavaError, Exception)) as ei:
+            perceptual_hash(d, use_pil=True).collect()
+        assert "PIL" in str(ei.value) or "ImportError" in str(ei.value)
+
+
 def test_audio_energy_frame_maths(spark):
     """audio_energy's exact contract on a constructed clip: energies are
     sums of squared code points over complete 32-unit frames, loud = frame
