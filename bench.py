@@ -302,7 +302,12 @@ SHUFFLE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # shape) — 0.83 MB of it is the spread exchange moving raw text once;
     # the real-layout number is the @mf entry below (bound 1.0, verdict #2)
     "dedup_substring_winnow": (["documents"], 3.5),
-    "dedup_substring_stats": (["documents"], 7.0),  # measured 5.2 cold (spread-dominated; see @mf)
+    # round-12 (VERDICT r11 #5): NBUCK now keyed on estimated window count
+    # via a filesystem stat (queries/dedup.py::_pack_nbuck) — the old
+    # max(64, 2×splits) needed d.rdd.getNumPartitions(), which finalizes
+    # the AQE plan and EXECUTES the spread exchange as an extra job
+    # (measured +1.59 ratio on this layout).  5.15 → 3.53 cold.
+    "dedup_substring_stats": (["documents"], 4.3),
     # round-9 LM/curation additions.  Trigram: cold includes the ONE
     # trigram-stream shuffle that builds the LM (bigram/unigram tables
     # re-aggregate from it, text.py) — measured 7.49 cold / 2.60 warm;
@@ -460,7 +465,8 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # window instance must reach its gram's owner WITH its doc id (unlike
     # substring_stats' bare-gram df build).  No join-back: novel counts
     # come from groupBy(first_doc) over the distinct-gram firsts.
-    # measured 3.02 ≈ W x 8.7 B / corpus; winnowed-fingerprint sampling
+    # measured 3.09 ≈ W x 8.7 B / corpus (r12: window-count-keyed NBUCK +
+    # the doc_id < 2^31 pack guard); winnowed-fingerprint sampling
     # (the dedup_substring_winnow density cut) is the path below it.
     "dedup_span_novelty": (["documents"], 3.5),
     # round-11: IVF after the argmax-cell fold rewrite — assignment is a

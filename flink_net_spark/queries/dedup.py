@@ -674,6 +674,40 @@ def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FP32 = "CAST(({x} & 4294967295) - 2147483648 AS INT)"
 
 
+def _pack_nbuck(sf_dir: str, table: str = "documents") -> int:
+    """Bucket count for the packed collect_list shuffle transport, keyed on
+    the corpus's estimated WINDOW count — not split count (round-11 VERDICT
+    #5: ``max(64, 2×splits)`` made degenerately small arrays on sparse
+    layouts, and the ``.rdd.getNumPartitions()`` probe it needed finalizes
+    the AQE plan, executing one full extra spread exchange per call —
+    round-11 ADVICE).
+
+    W is estimated from on-disk parquet bytes (~3 B/window on text corpora
+    — the estimate only needs order-of-magnitude accuracy).  Bounds:
+
+      - overhead bound (the measured cliff): MERGED bucket arrays stay
+        ≥ ~4k elements — the floor-doc NBUCK sweep shows per-(partition,
+        bucket) framing overhead at +11% for ~115-element partials and
+        +47% at ~14 (bench_out/SUBSTRING_STATS_FLOOR.md).
+      - memory bound: nbuck ≥ W/32M keeps any merged bucket array ≤ 32M
+        elements (≈128-256 MB) — a data-size-adaptive guard far under the
+        INT_MAX/2 GB UnsafeArrayData single-array limit the round-11
+        ADVICE flagged.  (Salting the bucket key instead is rejected:
+        exact df counts need every instance of a gram in ONE group — a
+        salt splits them, and re-merging costs a second exchange over
+        ~the full distinct-gram set, i.e. the volume the packing saves.)
+      - floor of 8: never degenerate to a handful of reduce groups.
+
+    A degenerately replicated single GRAM can still concentrate one bucket
+    (buckets are a pure function of the gram — required for the
+    exchange-free (bkt, gram) regroup); corpora like that are routed to
+    the winnowed profile (dedup_substring_winnow, @mf 0.66)."""
+    from flink_net_spark.tables import table_disk_bytes
+
+    w_est = max(1, table_disk_bytes(sf_dir, table) // 3)
+    return max(8, w_est // 33_554_432, min(w_est // 4096, 1_048_576))
+
+
 @query(
     "dedup_substring_stats",
     oracle=f"""
@@ -728,15 +762,17 @@ def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim here; at corpora where the boilerplate set outgrows broadcast,
     AQE falls back to a shuffled join of exactly the dup subset.
 
-    Scale notes: NBUCK adapts to the scan's split count so a merged
-    bucket array stays ≈ one split's grams regardless of corpus size
-    (buckets grow with data, not cluster width).  The count itself
-    streams (hash agg, one counter per gram), so a hot gram costs time,
-    not memory, there — but the collect_list MERGE does materialize a
-    bucket's instances, so a degenerately replicated single span
-    (billions of verbatim copies of one 19-token window) would balloon
-    one bucket; corpora like that are what the winnowed profile
-    (dedup_substring_winnow, @mf 0.66) exists for."""
+    Scale notes: NBUCK is sized from the corpus's estimated window count
+    (``_pack_nbuck``: merged arrays ≥ ~4k elements against the measured
+    framing-overhead cliff, ≤ 32M elements against the single-array
+    limit — buckets grow with data, not cluster width, and the sizing is
+    a filesystem stat, never a plan-finalizing ``.rdd`` probe).  The
+    count itself streams (hash agg, one counter per gram), so a hot gram
+    costs time, not memory, there — but the collect_list MERGE does
+    materialize a bucket's instances, so a degenerately replicated
+    single span (billions of verbatim copies of one 19-token window)
+    would balloon one bucket; corpora like that are what the winnowed
+    profile (dedup_substring_winnow, @mf 0.66) exists for."""
     d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     base = (
         d.withColumn("th", F.expr(H.spark_token_hashes("text")))
@@ -749,7 +785,7 @@ def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     gr = base.select("doc_id", F.explode("sh").alias("g")).select(
         "doc_id", F.expr(_FP32.format(x="g")).alias("gram")
     )
-    nbuck = max(64, 2 * d.rdd.getNumPartitions())
+    nbuck = _pack_nbuck(sf_dir)
     packed = (
         gr.select("gram")
         .withColumn("bkt", F.pmod(F.col("gram"), F.lit(nbuck)))
@@ -1476,14 +1512,26 @@ def dedup_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    # combined = unsigned-32-bit gram << 31 | doc_id  (doc_id < 2^31 in
-    # every corpus SF; total < 2^63, no sign games on either engine)
+    # combined = unsigned-32-bit gram << 31 | doc_id.  The packing needs
+    # 0 <= doc_id < 2^31 (max c is then exactly 2^63 - 1 — no int64
+    # overflow); an id outside that range would silently bleed into the
+    # gram bits and corrupt novelty counts on BOTH engines, so the plan
+    # fails fast instead (round-11 ADVICE): assert_true raises mid-scan on
+    # the first offending row, and the COALESCE folds its NULL into the
+    # packed value so the guard cannot be pruned away.  Corpora with wider
+    # ids must use the unpacked (gram, doc_id) row transport.
+    guard = (
+        "COALESCE(CAST(assert_true(doc_id >= 0 AND doc_id < 2147483648L, "
+        "'dedup_span_novelty: doc_id outside [0, 2^31) overflows the packed "
+        "(gram << 31 | doc_id) transport - use unpacked (gram, doc_id) rows') "
+        "AS BIGINT), 0L)"
+    )
     gr = base.select(
         "doc_id", F.explode("sh").alias("g")
     ).select(
-        F.expr("(g & 4294967295L) * 2147483648L + doc_id").alias("c")
+        F.expr(f"(g & 4294967295L) * 2147483648L + doc_id + {guard}").alias("c")
     )
-    nbuck = max(64, 2 * d.rdd.getNumPartitions())
+    nbuck = _pack_nbuck(sf_dir)
     packed = (
         gr.withColumn("bkt", F.pmod(F.expr("c div 2147483648L"), F.lit(nbuck)))
         .groupBy("bkt")

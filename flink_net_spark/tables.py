@@ -30,6 +30,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_disk_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet bytes of a table (file or directory-of-parts) — a
+    pure filesystem stat, no Spark job.  Used to SIZE plan knobs (e.g. the
+    packed-transport bucket count) from data volume: unlike
+    ``df.rdd.getNumPartitions()``, which on an AQE plan finalizes the
+    adaptive plan and EXECUTES its pending exchanges as a side-effect job
+    (measured: one full extra spread exchange per call on the single-file
+    layout), a stat costs nothing and scales with the corpus, not the
+    layout."""
+    p = table_path(sf_dir, name)
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _d, files in os.walk(p)
+            for f in files
+        )
+    return os.path.getsize(p) if os.path.exists(p) else 0
+
+
 # Runtime-settable SQLConfs required to read the testdata parquet correctly.
 # Set per-read (not only in get_spark) because the driver harness calls
 # queries with its OWN SparkSession whose builder we never see:

@@ -559,3 +559,81 @@ def test_span_novelty_packed_single_exchange(spark):
     assert "hashpartitioning(g#" not in p and "hashpartitioning(gram" not in p, p
     assert p.count("hashpartitioning(bkt") == 1, p
     assert "collect_list" in p, p
+
+
+def test_span_novelty_pack_guard_fails_fast_on_wide_doc_ids(spark, tmp_path):
+    """Round-11 ADVICE (medium): the (gram << 31 | doc_id) packing silently
+    corrupts once doc_id >= 2^31 — the id bleeds into the gram bits with no
+    error on either engine.  The plan now carries an assert_true guard
+    folded into the packed value (un-prunable): a doc_id at exactly 2^31
+    must fail the job loudly; 2^31 - 1 must still work."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from flink_net_spark.queries import QUERIES
+
+    def corpus(big_id: int) -> str:
+        out = tmp_path / f"c{big_id}"
+        out.mkdir()
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0, 1, big_id],
+                "text": ["alpha beta gamma delta " * 8] * 3,
+                "lang": ["en"] * 3,
+                "source": ["t"] * 3,
+                "n_chars": [len("alpha beta gamma delta " * 8)] * 3,
+            }
+        )
+        docs.to_parquet(out / "documents.parquet", index=False)
+        return str(out)
+
+    ok = QUERIES["dedup_span_novelty"](spark, corpus(2**31 - 1)).collect()
+    assert {r.doc_id for r in ok} == {0, 1, 2**31 - 1}
+
+    with _pytest.raises(Exception) as ei:
+        QUERIES["dedup_span_novelty"](spark, corpus(2**31)).collect()
+    assert "packed" in str(ei.value) or "assert_true" in str(ei.value).lower()
+
+
+def test_pack_nbuck_is_window_keyed_and_bounded():
+    """Round-11 VERDICT #5 + ADVICE: the packed-transport bucket count is a
+    pure function of estimated window count (filesystem stat — no Spark
+    plan finalization), with the measured-overhead floor and the merged-
+    array memory ceiling."""
+    from unittest import mock
+
+    from flink_net_spark.queries.dedup import _pack_nbuck
+
+    def at(bytes_: int) -> int:
+        with mock.patch(
+            "flink_net_spark.tables.table_disk_bytes", return_value=bytes_
+        ):
+            return _pack_nbuck("/nonexistent")
+
+    assert at(0) == 8 and at(10_000) == 8  # tiny corpora: floor
+    # sf0.1-ish (594 kB → W≈198k): merged arrays >= 4k elements
+    n = at(594_568)
+    assert 16 <= n <= 128 and (594_568 // 3) // n >= 4096
+    # monotone in corpus size; overhead cap at 2^20 buckets
+    assert at(594_568 * 100) > n
+    assert at(3 * (1 << 42)) == 1 << 20  # ~12 TB text: cap
+    # beyond ~100 TB the memory bound takes over (merged <= 32M elements)
+    big = 3 * (1 << 47)  # ~384 TB of text bytes
+    assert at(big) == (big // 3) // 33_554_432
+
+
+def test_substring_stats_audit_bounds_pinned():
+    """Round-11 VERDICT #7: the @mf <= 2 shuffle bound for
+    dedup_substring_stats is the round-11 win — pin the BOUND itself so a
+    future edit cannot silently loosen it (the bench audit fails a round
+    whose measured ratio exceeds it; this test fails a commit that raises
+    it).  Same for the round-12 single-file <= 4.3 target (VERDICT r11
+    #5)."""
+    import bench
+
+    tables, mf_bound = bench.MULTIFILE_AUDIT["dedup_substring_stats"]
+    assert tables == ["documents"] and mf_bound <= 2.0
+    tables, sf_bound = bench.SHUFFLE_AUDIT["dedup_substring_stats"]
+    assert tables == ["documents"] and sf_bound <= 4.3
+    _, nov_bound = bench.MULTIFILE_AUDIT["dedup_span_novelty"]
+    assert nov_bound <= 3.5
