@@ -54,6 +54,14 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out")
 STAGING_VERSION = "v4"  # v4: + hot-label embeddings replicas (range-search skew)
 
+# Stream-probe provenance (round-12, VERDICT r11 #2/#4): the r10→r11 jump
+# mixed an engine change with a staging change (×30→×60 replication, ~2M-row
+# micro-batches) and a protocol change (settle-seeking tightest-3 window).
+# Stamping both into the sidecar lets tools/bench_compare.py REFUSE stream
+# comparisons across versions instead of misreading a staging change as an
+# engine delta.  Bump these whenever stream_probe staging/protocol changes.
+STREAM_PROBE_VERSION = {"staging": "v2", "protocol": "settle-v1"}
+
 # Headline set: the flagship TPC-H shapes, the windowing/eventing surface,
 # and one representative per LLM-pipeline family.  Queries machine-tagged
 # scale_safe=False in the registry (O(n²) ground-truth oracles, e.g.
@@ -954,6 +962,13 @@ def adjudicate_suspects(
             rec["verdict"] = "no-query"
             out.append(rec)
             continue
+        if prev_hashes.get(name) is None:
+            # the previous sidecar never fingerprinted this query — that is
+            # a coverage gap, not evidence the source changed (round-11
+            # ADVICE: the old code mislabeled these 'source-changed')
+            rec["verdict"] = "no-prev-hash"
+            out.append(rec)
+            continue
         if not rec["src_unchanged"]:
             rec["verdict"] = "source-changed"
             out.append(rec)
@@ -1250,6 +1265,7 @@ def main() -> int:
         "stream_rows_per_sec_1m_keys": stream_rps_1m,
         "stream_probe_1k": probe_1k,
         "stream_probe_1m": probe_1m,
+        "stream_probe_version": STREAM_PROBE_VERSION,
         "families": families,
         "shuffle_audit": shuf,
         "sf1x10": sf1x10,
@@ -1257,8 +1273,12 @@ def main() -> int:
     if sf1x100 is not None:
         detail["sf1x100"] = sf1x100
 
-    # per-query source fingerprints: next round's drift gate keys on these
-    src_hashes = _query_src_hashes(queries, headline)
+    # per-query source fingerprints: next round's drift gate keys on these.
+    # EVERY registered query is hashed, not just the headline set (round-11
+    # ADVICE: a flagged query missing from the hash map was mislabeled
+    # 'source-changed' even when identical) — ~170 inspect.getsource md5s
+    # cost milliseconds.
+    src_hashes = _query_src_hashes(queries, list(queries))
     detail["query_src_hash"] = src_hashes
 
     # round-over-round verdict vs the previous committed sidecar, plus the

@@ -208,3 +208,60 @@ def test_adjudication_micro_floor():
     assert adjudication_verdict(0.205, 0.21, 0.261, 1.0) == "session-noise"
     # a REAL move on a micro-query still persists once it clears the floor
     assert adjudication_verdict(0.205, 0.21, 0.60, 1.0) == "persists"
+
+
+def test_stream_version_gate_refuses_cross_version_comparison():
+    """Round-11 VERDICT #2/#4: stream-probe staging/protocol are part of
+    the measurement — rows across different versions must read
+    VERSION-BREAK, never as an engine move; same-version rows are
+    like-for-like.  The one stamped-era-but-unstamped shape (round 11's
+    settle-seeking probe dicts) is inferred from the dict shape."""
+    from tools.bench_compare import _stream_version, compare_stream
+
+    v2 = {"staging": "v2", "protocol": "settle-v1"}
+    old_legacy = detail({"q": 1.0})
+    old_legacy["stream_rows_per_sec"] = 1_000_000
+    new = detail({"q": 1.0})
+    new["stream_rows_per_sec"] = 4_000_000
+    new["stream_probe_version"] = v2
+
+    s = compare_stream(old_legacy, new)
+    assert not s["comparable"]
+    assert all(r["status"] == "VERSION-BREAK" for r in s["rows"])
+
+    # r11 shape: no stamp, but settle-protocol probe dict => inferred v2
+    old_r11 = detail({"q": 1.0})
+    old_r11["stream_rows_per_sec"] = 2_000_000
+    old_r11["stream_probe_1k"] = {"rps": 2_000_000, "settled": True}
+    assert _stream_version(old_r11)["staging"] == "v2"
+    s = compare_stream(old_r11, new)
+    assert s["comparable"]
+    assert all(r["status"] == "like-for-like" for r in s["rows"])
+
+    c = compare(old_legacy, new)
+    assert c["verdict"]["stream_cmp"] == "version-break"
+    md = to_markdown(c)
+    assert "VERSION-BREAK" in md and "compare harnesses, not" in md
+
+
+def test_adjudication_no_prev_hash_verdict():
+    """Round-11 ADVICE: a flagged query the previous sidecar never
+    fingerprinted must read 'no-prev-hash' (a coverage gap), not
+    'source-changed' (an accusation)."""
+    import bench
+
+    rows = [
+        {"query": "qa", "status": "suspect", "old": 1.0, "new": 2.0,
+         "old_spread": [0.9, 1.1], "norm_ratio": 2.0},
+        {"query": "qb", "status": "suspect", "old": 1.0, "new": 2.0,
+         "old_spread": [0.9, 1.1], "norm_ratio": 2.0},
+    ]
+    prev = {"query_src_hash": {"qb": "deadbeef0000"}}
+    src = {"qa": "aaaaaaaaaaaa", "qb": "bbbbbbbbbbbb"}
+    dummy = lambda *a, **k: None  # noqa: E731 - never called for these verdicts
+    out = bench.adjudicate_suspects(
+        None, {"qa": dummy, "qb": dummy}, rows, prev, 1.0, src
+    )
+    by = {r["query"]: r["verdict"] for r in out}
+    assert by["qa"] == "no-prev-hash"
+    assert by["qb"] == "source-changed"

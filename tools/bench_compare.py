@@ -106,6 +106,58 @@ def compare_shuffle(old: dict, new: dict) -> list[dict]:
     return rows
 
 
+def _stream_version(detail: dict) -> dict:
+    """Stream-probe provenance of a sidecar.  Explicit stamp when present
+    (bench.py records ``stream_probe_version`` from round 12 on); for the
+    one stamped-era-but-unstamped artifact shape (round 11: settle-seeking
+    probe dicts carry a ``settled`` key and the ×60 staging) the version is
+    inferred from the dict shape; anything older is unknown."""
+    v = detail.get("stream_probe_version")
+    if isinstance(v, dict):
+        return v
+    p = detail.get("stream_probe_1k")
+    if isinstance(p, dict) and "settled" in p:
+        return {"staging": "v2", "protocol": "settle-v1", "inferred": True}
+    return {"staging": "unknown", "protocol": "unknown"}
+
+
+def compare_stream(old: dict, new: dict) -> dict:
+    """Round-over-round stream-probe rows, version-gated (round-11 VERDICT
+    #2/#4): the probes' staging (input replication / micro-batch sizing)
+    and protocol (settle-seeking window) are part of the measurement — a
+    cross-version ratio compares harnesses, not engines, so those rows are
+    marked VERSION-BREAK instead of being reported as a move."""
+    ov, nv = _stream_version(old), _stream_version(new)
+    comparable = (
+        ov.get("staging") == nv.get("staging")
+        and ov.get("protocol") == nv.get("protocol")
+        and ov.get("staging") != "unknown"
+    )
+    rows = []
+    for key, label in (
+        ("stream_rows_per_sec", "stream_1k_keys"),
+        ("stream_rows_per_sec_1m_keys", "stream_1m_keys"),
+    ):
+        o, n = old.get(key), new.get(key)
+        if o is None and n is None:
+            continue
+        rows.append(
+            {
+                "probe": label,
+                "old": o,
+                "new": n,
+                "ratio": round(n / o, 3) if o and n else None,
+                "status": "like-for-like" if comparable else "VERSION-BREAK",
+            }
+        )
+    return {
+        "old_version": ov,
+        "new_version": nv,
+        "comparable": comparable,
+        "rows": rows,
+    }
+
+
 def compare(old: dict, new: dict, old_label: str = "old", new_label: str = "new") -> dict:
     names = [n for n in new.get("queries", {}) if n in old.get("queries", {})]
     ratios = {
@@ -157,6 +209,7 @@ def compare(old: dict, new: dict, old_label: str = "old", new_label: str = "new"
     only_new = sorted(set(new.get("queries", {})) - set(old.get("queries", {})))
     shuffle_rows = compare_shuffle(old, new)
     shuffle_regs = [r["query"] for r in shuffle_rows if r["status"] == "SHUFFLE-REGRESSION"]
+    stream = compare_stream(old, new)
     verdict = {
         "vs": old_label,
         "n": len(rows),
@@ -165,6 +218,7 @@ def compare(old: dict, new: dict, old_label: str = "old", new_label: str = "new"
         "imp": len(improvements),
         "suspect": len(suspects),
         "shuf_reg": len(shuffle_regs),
+        "stream_cmp": "like-for-like" if stream["comparable"] else "version-break",
         "regressions": (regressions + shuffle_regs)[:8],
     }
     return {
@@ -172,6 +226,7 @@ def compare(old: dict, new: dict, old_label: str = "old", new_label: str = "new"
         "new_label": new_label,
         "rows": rows,
         "shuffle_rows": shuffle_rows,
+        "stream": stream,
         "only_new": only_new,
         "verdict": verdict,
     }
@@ -270,6 +325,34 @@ def to_markdown(result: dict) -> str:
                 f"| {f'{sm:.3f}' if sm is not None else '—'} "
                 f"| {f'{sn:.2f}' if sn is not None else '—'} "
                 f"| {src} | {a['verdict']} |"
+            )
+    stream = result.get("stream")
+    if stream and stream.get("rows"):
+        ov, nv = stream["old_version"], stream["new_version"]
+        note = (
+            "Same staging+protocol on both sides — ratios are engine deltas."
+            if stream["comparable"]
+            else f"**VERSION-BREAK**: {old_l} probe version "
+            f"{ov.get('staging')}/{ov.get('protocol')} vs {new_l} "
+            f"{nv.get('staging')}/{nv.get('protocol')} — the staging "
+            "(replication / micro-batch sizing) and settle protocol are part "
+            "of the measurement, so these ratios compare harnesses, not "
+            "engines; do not read them as an engine speedup/regression."
+        )
+        lines += [
+            "",
+            "## Streaming throughput probes (version-gated)",
+            "",
+            note,
+            "",
+            "| probe | old rec/s | new rec/s | ratio | status |",
+            "|---|---|---|---|---|",
+        ]
+        for r in stream["rows"]:
+            ratio = f"{r['ratio']:.2f}" if r["ratio"] is not None else "—"
+            lines.append(
+                f"| {r['probe']} | {r['old'] or '—'} | {r['new'] or '—'} "
+                f"| {ratio} | {r['status']} |"
             )
     shuffle_rows = result.get("shuffle_rows", [])
     if shuffle_rows:
