@@ -97,9 +97,16 @@ def decode_image(
     branch; an executor missing the promised codec raises instead of
     silently diverging (round-11 ADVICE).  Per row:
 
-    - PIL importable and the payload is a decodable image → real decode:
+    - PIL promised and the payload is a decodable image → real decode:
       ``width``/``height`` from the codec, ``body_checksum``/``body_bytes``
       over the decoded pixel buffer, ``codec = 'pil:<format>'``.
+    - no PIL but the payload sniffs as PNG → the bounded in-repo stdlib
+      decoder (:mod:`flink_net_spark.operators.png_stdlib` — 8-bit
+      gray/RGB/RGBA, all five filters, no interlace): same output fields
+      over the decoded RGB buffer, ``codec = 'png-stdlib'``.  Stdlib-only
+      and deterministic, so it is identical on every executor; unsupported
+      PNG variants raise inside the decoder and fall through — never a
+      wrong decode.
     - otherwise → the deterministic FNSB-container parse (identical maths to
       :func:`fake_decode_stats`), ``codec = 'fns'`` (or ``'raw'`` when the
       magic header is absent).
@@ -116,6 +123,8 @@ def decode_image(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
         import io
+
+        from flink_net_spark.operators.png_stdlib import PNG_SIG, decode_png_rgb8
 
         if use_pil:
             import PIL.Image as _Image  # promised by the driver: missing = loud
@@ -140,6 +149,18 @@ def decode_image(
                         continue
                     except Exception:
                         pass  # not a real image — deterministic container path
+                elif b[:8] == PNG_SIG:
+                    try:
+                        w0, h0, px = decode_png_rgb8(b)
+                        widths.append(w0)
+                        heights.append(h0)
+                        sums.append(int(sum(px) % 1_000_000_007))
+                        md5s.append(hashlib.md5(px).hexdigest())
+                        sizes.append(len(px))
+                        codecs.append("png-stdlib")
+                        continue
+                    except ValueError:
+                        pass  # unsupported variant — deterministic path
                 ok = b[:4] == PAYLOAD_MAGIC
                 widths.append(int(b[4:8]) if ok else -1)
                 heights.append(int(b[8:12]) if ok else -1)
@@ -472,6 +493,13 @@ def perceptual_hash(
     - ``use_pil`` and the payload decodable → real aHash: grayscale,
       resample to 10×6 (= ``PHASH_BITS`` pixels), each bit = pixel above
       the mean (``codec='pil'``).
+    - no PIL but the payload sniffs as PNG → the same aHash pipeline over
+      the bounded in-repo stdlib decoder (``codec='png-stdlib'``): PIL's
+      exact integer luma formula, box-average resample to 10×6 (PIL's
+      default resize is bicubic, so cross-codec fingerprints are NOT
+      comparable — fingerprints are codec-scoped, which is exactly why the
+      codec column propagates), threshold in integer cross-multiplication.
+      Deterministic and stdlib-only: identical on every executor.
     - otherwise → the deterministic FNSB path over the decoded unit stream
       (:func:`_frame_units` code points — the fake corpus's "pixels"):
       position p of an n-unit body falls in block ``p*60 // n``; bit b =
@@ -495,6 +523,12 @@ def perceptual_hash(
 
         import numpy as np
 
+        from flink_net_spark.operators.png_stdlib import (
+            PNG_SIG,
+            decode_png_rgb8,
+            grayscale_rgb8,
+        )
+
         if use_pil:
             import PIL.Image as _Image  # promised by the driver: missing = loud
         else:
@@ -517,6 +551,25 @@ def perceptual_hash(
                         continue
                     except Exception:
                         pass  # not a real image — deterministic container path
+                elif b[:8] == PNG_SIG:
+                    try:
+                        w0, h0, px3 = decode_png_rgb8(b)
+                        lum = grayscale_rgb8(px3, w0, h0)
+                        # box-average resample to 10×6: pixel (y, x) lands in
+                        # cell (y*6//h, x*10//w); bit = cell mean above the
+                        # image mean, in exact integer cross-multiplication
+                        ys = (np.arange(h0, dtype=np.int64) * 6) // h0
+                        xs = (np.arange(w0, dtype=np.int64) * 10) // w0
+                        cells = np.zeros((6, 10), dtype=np.int64)
+                        cnts = np.zeros((6, 10), dtype=np.int64)
+                        np.add.at(cells, (ys[:, None], xs[None, :]), lum)
+                        np.add.at(cnts, (ys[:, None], xs[None, :]), 1)
+                        bits = (cells * lum.size > int(lum.sum()) * cnts).ravel()
+                        hashes.append(int((np.int64(1) << np.nonzero(bits)[0]).sum()))
+                        codecs.append("png-stdlib")
+                        continue
+                    except ValueError:
+                        pass  # unsupported variant — deterministic path
                 ok = b[:4] == PAYLOAD_MAGIC
                 s = _frame_units(b[HEADER_LEN:] if ok else b)
                 n = len(s)

@@ -61,6 +61,53 @@ def edge_duck(edge_dir):
     con.close()
 
 
+def test_edge_corpus_planted_near_duplicates_surface(spark, edge_dir):
+    """Round-12 (VERDICT r11 #2): the exact duplicate only exercises the
+    hamming-0 / Jaccard-1 paths; the fixture now plants TRUE near-dups and
+    the banded family must surface them as non-trivial matches:
+      - mm_phash_dedup: the 1-char-edited copy of doc 2 within 0 < hamming
+        <= 3 (near-miss banding, not just identical fingerprints);
+      - dedup_minhash_lsh: the tail-rewritten copy of doc 1 at
+        0.3 < jaccard < 1.0;
+      - dedup_incremental_minhash: both planted ids are ≡ 0 (mod 10), so
+        the incoming batch must report them as verified non-exact dups of
+        their ≢ 0 sources."""
+    ph_near, mh_near = _edge_near_ids(edge_dir)
+
+    ph = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in QUERIES["mm_phash_dedup"](spark, edge_dir).collect()
+    }
+    assert 1 <= ph[(2, ph_near)] <= 3, ph.get((2, ph_near))
+
+    mh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["dedup_minhash_lsh"](spark, edge_dir).collect()
+    }
+    assert 0.3 < mh[(1, mh_near)] < 1.0, mh.get((1, mh_near))
+
+    inc = {
+        r.doc_id: r
+        for r in QUERIES["dedup_incremental_minhash"](spark, edge_dir).collect()
+    }
+    assert inc[mh_near].best_match_id == 1 and inc[mh_near].is_dup
+    assert 0.3 < inc[mh_near].best_jaccard < 1.0
+    assert inc[ph_near].is_dup and inc[ph_near].best_jaccard < 1.0
+
+
+def _edge_near_ids(edge_dir: str) -> tuple[int, int]:
+    """(phash_near_id, minhash_near_id) — the two src_near docs, in id
+    order (the fixture assigns the phash near-dup the lower id)."""
+    import duckdb as _duck
+
+    rows = _duck.sql(
+        f"SELECT doc_id FROM read_parquet('{edge_dir}/documents.parquet') "
+        "WHERE source = 'src_near' ORDER BY doc_id"
+    ).fetchall()
+    assert len(rows) == 2, rows
+    return rows[0][0], rows[1][0]
+
+
 @pytest.mark.parametrize("name", EDGE_QUERIES)
 def test_edge_corpus_matches_oracle(spark, edge_dir, edge_duck, name):
     from tests.conftest import _canon_rows

@@ -79,6 +79,71 @@ def main() -> None:
             "n_chars": [len(t) for t in edge_texts],
         }
     )
+
+    # --- planted NEAR-duplicates (round-12, VERDICT r11 #2) ---------------
+    # The exact duplicate above exercises only the hamming-0 / Jaccard-1
+    # paths: a corpus where every banded match is an identical doc stays
+    # green even if near-miss banding were broken.  Plant two true
+    # near-dups, ids ≡ 0 (mod 10) so dedup_incremental_minhash's incoming
+    # batch contains them (their source docs are ≢ 0 mod 10):
+    #   - phash near-dup: one in-place char edit of doc 2's text, SEARCHED
+    #     at build time to land at Hamming 1..3 of the 60-bit fns
+    #     fingerprint (exact mirror of operators/multimodal.py::
+    #     perceptual_hash's deterministic path) → mm_phash_dedup must
+    #     surface a pair with 0 < hamming <= 3;
+    #   - minhash near-dup: doc 1's text with its final 8 tokens replaced
+    #     (3-token shingle Jaccard ~0.7, well above the 0.3 verify
+    #     threshold but below 1.0) → dedup_minhash_lsh /
+    #     dedup_incremental_minhash must surface a NON-exact match.
+    import numpy as np
+
+    def _phash60(text: str) -> int:
+        n = len(text)
+        if n == 0:
+            return 0
+        cp = np.fromiter(map(ord, text), dtype=np.int64, count=n)
+        blk = (np.arange(n, dtype=np.int64) * 60) // n
+        sums = np.bincount(blk, weights=cp, minlength=60).astype(np.int64)
+        cnts = np.bincount(blk, minlength=60).astype(np.int64)
+        bits = sums * n > int(cp.sum()) * cnts
+        return int((np.int64(1) << np.nonzero(bits)[0]).sum())
+
+    ph_src = str(docs.loc[docs["doc_id"] == 2, "text"].iloc[0])
+    base_h = _phash60(ph_src)
+    near_ph = None
+    for pos in range(len(ph_src)):
+        for delta in (1, 2, -1, -2):
+            c = ord(ph_src[pos]) + delta
+            if not (33 <= c < 127):
+                continue
+            cand = ph_src[:pos] + chr(c) + ph_src[pos + 1 :]
+            if 1 <= bin(base_h ^ _phash60(cand)).count("1") <= 3:
+                near_ph = cand
+                break
+        if near_ph is not None:
+            break
+    assert near_ph is not None, "no 1-char edit of doc 2 lands at hamming 1..3"
+
+    mh_src = str(docs.loc[docs["doc_id"] == 1, "text"].iloc[0])
+    toks = [t for t in mh_src.split(" ") if t]
+    near_mh = " ".join(toks[:-8] + [f"zn{i}" for i in range(8)])
+    sh = lambda ts: {tuple(ts[i : i + 3]) for i in range(len(ts) - 2)}
+    a, b = sh(toks), sh([t for t in near_mh.split(" ") if t])
+    jac = len(a & b) / len(a | b)
+    assert 0.3 < jac < 1.0, f"minhash near-dup jaccard {jac} outside (0.3, 1)"
+    print(f"near-dups: phash hamming {bin(base_h ^ _phash60(near_ph)).count('1')}"
+          f" (vs doc 2), shingle jaccard {jac:.3f} (vs doc 1)")
+
+    nbase = ((base + len(edge_texts) + 9) // 10) * 10
+    near = pd.DataFrame(
+        {
+            "doc_id": [nbase, nbase + 10],
+            "text": [near_ph, near_mh],
+            "lang": ["en", "en"],
+            "source": ["src_near", "src_near"],
+            "n_chars": [len(near_ph), len(near_mh)],
+        }
+    )
     # --- quantization-boundary docs (round-8 VERDICT #5) -----------------
     # Engineer the corpus so one token's unigram-NLL value
     # 1e6·(ln N − ln c) lands as close to a .5 rounding boundary as this
@@ -94,7 +159,7 @@ def main() -> None:
     import numpy as np
     from decimal import Decimal, getcontext
 
-    tok_df = pd.concat([docs, extra], ignore_index=True)
+    tok_df = pd.concat([docs, extra, near], ignore_index=True)
     n0 = int(
         duckdb.sql(
             "SELECT SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))"
@@ -118,7 +183,7 @@ def main() -> None:
     print(f"boundary docs: m={m} f={f} N={n0 + 50 * m + f} c={50 * m} "
           f"|v-boundary|={float(prox):.3e}")
 
-    bbase = base + len(edge_texts)
+    bbase = nbase + 11  # past the near-dup ids (nbase, nbase + 10)
     btexts = [" ".join(["zqb"] * 50) for _ in range(m)]
     btexts += [
         " ".join(f"zf{j}" for j in range(i, min(i + 50, f)))
@@ -134,7 +199,7 @@ def main() -> None:
         }
     )
 
-    out_docs = pd.concat([docs, extra, boundary], ignore_index=True)
+    out_docs = pd.concat([docs, extra, near, boundary], ignore_index=True)
     out_docs.to_parquet(OUT / "documents.parquet", index=False)
 
     emb = con.execute(f"SELECT * FROM read_parquet('{SRC}/embeddings.parquet')").df()
