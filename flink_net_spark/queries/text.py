@@ -838,30 +838,64 @@ def _tri_toks_duckdb() -> str:
 # count tables.  release_shared_lm() drops them explicitly.
 _LM_SHARED: dict[tuple, dict] = {}
 _LM_TOKENS = __import__("itertools").count(1)
+# Fallback token registry for session objects that reject attribute
+# assignment: keyed by the OBJECT (weakly), so a token can never alias a
+# different live session the way id() reuse can (r11 ADVICE).
+_LM_TOKEN_FALLBACK = __import__("weakref").WeakKeyDictionary()
 
 
 def _session_token(spark: SparkSession) -> int:
     """Stable per-session cache token.  ``id(spark)`` can be reused by
     CPython after a stopped session is GC'd, aliasing a stale _LM_SHARED
     entry onto a brand-new session (r10 ADVICE); a token ATTACHED to the
-    session object is unique per live object by construction."""
+    session object is unique per live object by construction.  When the
+    attribute is unsettable the token comes from a WeakKeyDictionary on
+    the object itself; if even weakrefs fail, a FRESH token is minted per
+    call — that forfeits memoization for such exotic sessions but can
+    never alias (r11 ADVICE: the old ``id(spark)`` fallback reintroduced
+    exactly the reuse bug the attribute fixes)."""
     tok = getattr(spark, "_fns_lm_token", None)
     if tok is None:
         tok = next(_LM_TOKENS)
         try:
             spark._fns_lm_token = tok
         except Exception:  # pragma: no cover - unsettable session object
-            tok = id(spark)
+            try:
+                tok = _LM_TOKEN_FALLBACK.setdefault(spark, tok)
+            except TypeError:  # pragma: no cover - unweakrefable: fresh token
+                pass
     return tok
 
 
 def _purge_dead_lm_entries() -> None:
-    """Drop _LM_SHARED entries whose SparkSession has been GC'd — their
-    JVM caches died with the session; only the Python dict entry leaks."""
+    """Drop _LM_SHARED entries whose session is gone or stopped.  Before
+    dropping, unpersist THROUGH the entry's own DataFrame handles: in the
+    ``newSession`` case the creating session's death does not kill the
+    shared SparkContext, whose JVM-side caches would otherwise become
+    unreleasable the moment the dict entry vanished (r11 ADVICE).  The
+    handles work from any live sibling session; on a stopped context the
+    unpersist raises and is swallowed — nothing left to free."""
+    from pyspark.sql import DataFrame as _DF
+
     for key in list(_LM_SHARED):
-        ref = _LM_SHARED[key].get("_session_ref")
-        if ref is not None and ref() is None:
-            _LM_SHARED.pop(key, None)
+        t = _LM_SHARED[key]
+        ref = t.get("_session_ref")
+        sess = ref() if ref is not None else None
+        alive = False
+        if sess is not None:
+            try:
+                alive = not sess.sparkContext._jsc.sc().isStopped()
+            except Exception:
+                alive = False
+        if alive:
+            continue
+        for v in t.values():
+            if isinstance(v, _DF):
+                try:
+                    v.unpersist()
+                except Exception:
+                    pass
+        _LM_SHARED.pop(key, None)
 
 
 def shared_lm_tables(spark: SparkSession, sf_dir: str) -> dict:

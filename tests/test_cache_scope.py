@@ -54,3 +54,29 @@ def test_scoped_persist_releases_cache_on_handle_drop(spark):
     # the shared set is released explicitly, not by handle lifetime
     release_shared_lm(spark)
     assert _persistent_rdd_ids(spark) - baseline == set()
+
+
+def test_purge_dead_lm_entries_unpersists_through_handles(spark):
+    """Round-11 ADVICE: when a shared-LM entry's creating session is gone
+    but the SparkContext still lives (the newSession case), purging must
+    release the JVM caches THROUGH the stored DataFrame handles before
+    dropping the dict entry — not leak them.  And the token fallback must
+    never be id()-based (aliasing after GC reuse)."""
+    import weakref
+
+    from flink_net_spark.queries import text as T
+
+    df = spark.range(10).persist()
+    df.count()
+    assert df.storageLevel.useMemory
+
+    class Ephemeral:
+        pass
+
+    ghost = Ephemeral()
+    key = ("test-app", -1, "test-dir")
+    T._LM_SHARED[key] = {"toks": df, "_session_ref": weakref.ref(ghost)}
+    del ghost  # CPython refcount: the weakref is dead immediately
+    T._purge_dead_lm_entries()
+    assert key not in T._LM_SHARED
+    assert not df.storageLevel.useMemory  # unpersisted, not leaked
