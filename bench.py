@@ -459,6 +459,12 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # Arrow decode stage (payloads never shuffle), the banded Hamming
     # join moves (doc_id, phash, band_val) only:
     "mm_phash_dedup": (["documents"], 0.1),  # measured 0.002
+    # round-12: per-band fingerprint stats — the exchange carries the
+    # (band, band_val[, distinct-expand]) partial-agg rows, bounded at
+    # ≤ 4·32768·2 keys PER TASK regardless of corpus size (map-side
+    # combine dedupes band values), so the ratio only shrinks at scale;
+    # measured 0.81 on this corpus where docs compress to ~100 B each:
+    "mm_phash_stats": (["documents"], 1.0),
     # round-11: frame-energy analysis is map-side in the decode stage;
     # only the 5-BIGINT per-clip summary rows reach the presentation sort:
     "mm_audio_energy": (["documents"], 0.5),  # measured 0.282

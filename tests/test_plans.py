@@ -263,11 +263,13 @@ def test_no_sf_scaled_broadcast_hints():
                 },
                 "relational.py": {"n", "r"},
                 # seeds = the N_QUERIES (5-row) probe-query vectors backing
-                # the planted-neighbor fixture (sim_ann_planted_recall)
+                # the planted-neighbor fixture (sim_ann_planted_recall);
+                # planted = its fixed 40-row (PLANT_HI - PLANT_LO) truth id
+                # set — corpus-size-independent by construction
                 "similarity.py": {
                     "_st_planes_df", "adc", "c", "cb", "cb1", "cells",
                     "cells1", "cent", "cents", "mrow", "nn", "planes",
-                    "probes", "q", "seeds", "sizes", "st",
+                    "planted", "probes", "q", "seeds", "sizes", "st",
                 },
                 "streaming_queries.py": {"nation"},
                 "temporal.py": {"converted"},
