@@ -156,6 +156,7 @@ HEADLINE = [
     "dedup_span_novelty",
     # round-12 additions
     "mm_phash_stats",
+    "dedup_containment",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
@@ -473,6 +474,10 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # round-11: ingest-vs-index banded join — (doc_id, band_key) pairs
     # only, candidates-only verify, batch-sized result:
     "dedup_incremental_minhash": (["documents"], 0.15),  # measured 0.077
+    # round-12: asymmetric containment over the same banded-LSH candidate
+    # shape as dedup_minhash_lsh (shingle arrays join in for candidates
+    # only):
+    "dedup_containment": (["documents"], 0.25),  # measured 0.094
     # round-11: span novelty ships ONE packed (gram32 << 31 | doc_id)
     # BIGINT per window (8 B/window in collect_list bucket arrays; the
     # unpacked row form is 24 B) — the exact-novelty floor, since every

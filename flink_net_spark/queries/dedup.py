@@ -113,19 +113,13 @@ _DUCK_MINHASH_PAIR_CTES = f"""
 """
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFrame]]:
-    """Verified near-dup pairs (doc_a < doc_b, jaccard ≥ threshold), plus
-    the list of persisted intermediates backing them — an explicit
-    ``(pairs, caches)`` tuple (the ``kn_scored_transitions`` contract;
-    the r9 ADVICE minor: an ad-hoc attribute on the DataFrame broke
-    silently for any consumer that transformed it first).  Consumers pass
-    the caches to ``scoped_persist`` with their FINAL result, or release
-    them directly once their eager work is done.
-
-    The shingle DF feeds three subtrees (signatures + both verify sides);
-    persist() shares one scan/compute across them — Catalyst does not
-    dedupe common subtrees on its own."""
-    sh = _spark_shingle_hash_df(spark, sf_dir).persist()
+def _lsh_candidates(sh: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs (doc_a < doc_b, distinct) from a
+    (doc_id, sh) shingle frame: {MINHASH_K} minhashes → {LSH_BANDS} bands
+    of 2 rows → equi-join on (band, band_key).  The shared candidate
+    generator behind dedup_minhash_lsh / dedup_resolve_groups /
+    dedup_containment — the shuffle carries (doc_id, band_key) pairs,
+    never shingle arrays."""
     sig = sh.withColumn("sig", F.expr(H.spark_minhash_sig("sh", MINHASH_K)))
     bands = sig.select(
         "doc_id",
@@ -139,7 +133,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[Da
 
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.b") == F.col("b.b"))
@@ -149,6 +143,22 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[Da
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFrame]]:
+    """Verified near-dup pairs (doc_a < doc_b, jaccard ≥ threshold), plus
+    the list of persisted intermediates backing them — an explicit
+    ``(pairs, caches)`` tuple (the ``kn_scored_transitions`` contract;
+    the r9 ADVICE minor: an ad-hoc attribute on the DataFrame broke
+    silently for any consumer that transformed it first).  Consumers pass
+    the caches to ``scoped_persist`` with their FINAL result, or release
+    them directly once their eager work is done.
+
+    The shingle DF feeds three subtrees (signatures + both verify sides);
+    persist() shares one scan/compute across them — Catalyst does not
+    dedupe common subtrees on its own."""
+    sh = _spark_shingle_hash_df(spark, sf_dir).persist()
+    cand = _lsh_candidates(sh)
     x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -183,6 +193,93 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b"),
         *caches,
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.7  # max-directional containment to report a pair
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_DUCK_MINHASH_PAIR_CTES},
+    cont AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(x.sh, y.sh)) AS i,
+               len(x.sh) AS na, len(y.sh) AS nb
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               CASE WHEN na = 0 THEN 0.0 ELSE i * 1.0 / na END AS ca,
+               CASE WHEN nb = 0 THEN 0.0 ELSE i * 1.0 / nb END AS cb,
+               CASE WHEN na + nb - i = 0 THEN 0.0
+                    ELSE i * 1.0 / (na + nb - i) END AS j
+        FROM cont
+    )
+    SELECT doc_a, doc_b,
+           ROUND(ca, 4) AS cont_a,
+           ROUND(cb, 4) AS cont_b,
+           ROUND(j, 4) AS jaccard,
+           CASE WHEN ca >= cb THEN doc_a ELSE doc_b END AS contained_doc
+    FROM scored
+    WHERE GREATEST(ca, cb) >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (Broder 1997, "On the resemblance and
+    containment of documents"): for each banded-LSH candidate pair report
+    both directional containments C(A,B) = |A∩B|/|A| and the symmetric
+    Jaccard, keeping pairs whose MAX directional containment clears
+    {CONTAINMENT_THRESHOLD} — the superset/quotation signal Jaccard
+    misses (a short doc fully embedded in a long one has containment ≈ 1
+    but Jaccard ≈ |A|/|B|).  ``contained_doc`` names the subset side
+    (tie → doc_a, deterministic on both engines: exact IEEE comparison of
+    the same division).
+
+    Candidate recall follows the MinHash index (collision probability
+    tracks JACCARD, not containment), so extreme-asymmetry pairs below
+    Jaccard ~0.2 are out of reach of this index — the standard trade for
+    reusing one LSH index across both signals (a dedicated containment
+    index is prefix filtering, a different partitioning of the same
+    shingle stream).  Scoring is exact for every surfaced candidate; docs
+    with zero shingles score 0 on both engines (no divide-by-zero, the
+    edge-corpus lesson).
+
+    Scale: identical shape to dedup_minhash_lsh — the shuffle carries
+    (doc_id, band_key) pairs and the bounded candidate set; shingle
+    arrays join in only for candidates."""
+    sh = _spark_shingle_hash_df(spark, sf_dir).persist()
+    cand = _lsh_candidates(sh)
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    ca = F.when(na == 0, F.lit(0.0)).otherwise(inter * F.lit(1.0) / na)
+    cb = F.when(nb == 0, F.lit(0.0)).otherwise(inter * F.lit(1.0) / nb)
+    j = F.when(na + nb - inter == 0, F.lit(0.0)).otherwise(
+        inter * F.lit(1.0) / (na + nb - inter)
+    )
+    return scoped_persist(
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", ca.alias("ca"), cb.alias("cb"), j.alias("j"))
+        .filter(F.greatest("ca", "cb") >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("ca", 4).alias("cont_a"),
+            F.round("cb", 4).alias("cont_b"),
+            F.round("j", 4).alias("jaccard"),
+            F.when(F.col("ca") >= F.col("cb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+        .orderBy("doc_a", "doc_b"),
+        sh,
     )
 
 

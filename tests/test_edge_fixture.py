@@ -72,7 +72,7 @@ def test_edge_corpus_planted_near_duplicates_surface(spark, edge_dir):
       - dedup_incremental_minhash: both planted ids are ≡ 0 (mod 10), so
         the incoming batch must report them as verified non-exact dups of
         their ≢ 0 sources."""
-    ph_near, mh_near = _edge_near_ids(edge_dir)
+    ph_near, mh_near, chunk_near = _edge_near_ids(edge_dir)
 
     ph = {
         (r.doc_a, r.doc_b): r.hamming
@@ -94,18 +94,30 @@ def test_edge_corpus_planted_near_duplicates_surface(spark, edge_dir):
     assert 0.3 < inc[mh_near].best_jaccard < 1.0
     assert inc[ph_near].is_dup and inc[ph_near].best_jaccard < 1.0
 
+    # the asymmetric pair: the 65%-prefix chunk of doc 3 is fully CONTAINED
+    # (containment 1.0) at Jaccard < 0.7 — exactly the superset/quotation
+    # signal a symmetric threshold misses
+    cont = {
+        (r.doc_a, r.doc_b): r
+        for r in QUERIES["dedup_containment"](spark, edge_dir).collect()
+    }
+    r = cont[(3, chunk_near)]
+    assert r.contained_doc == chunk_near
+    assert max(r.cont_a, r.cont_b) >= 0.99
+    assert r.jaccard < 0.7, r
 
-def _edge_near_ids(edge_dir: str) -> tuple[int, int]:
-    """(phash_near_id, minhash_near_id) — the two src_near docs, in id
-    order (the fixture assigns the phash near-dup the lower id)."""
+
+def _edge_near_ids(edge_dir: str) -> tuple[int, int, int]:
+    """(phash_near_id, minhash_near_id, containment_chunk_id) — the three
+    src_near docs, in id order (the fixture assigns them ascending)."""
     import duckdb as _duck
 
     rows = _duck.sql(
         f"SELECT doc_id FROM read_parquet('{edge_dir}/documents.parquet') "
         "WHERE source = 'src_near' ORDER BY doc_id"
     ).fetchall()
-    assert len(rows) == 2, rows
-    return rows[0][0], rows[1][0]
+    assert len(rows) == 3, rows
+    return rows[0][0], rows[1][0], rows[2][0]
 
 
 @pytest.mark.parametrize("name", EDGE_QUERIES)

@@ -131,17 +131,28 @@ def main() -> None:
     a, b = sh(toks), sh([t for t in near_mh.split(" ") if t])
     jac = len(a & b) / len(a | b)
     assert 0.3 < jac < 1.0, f"minhash near-dup jaccard {jac} outside (0.3, 1)"
+
+    # containment pair: the first 65% of doc 3's tokens — a strict prefix
+    # chunk, so containment(chunk ⊆ doc 3) = 1.0 while Jaccard ≈ 0.6 (the
+    # asymmetric superset/quotation signal dedup_containment exists for,
+    # which NO symmetric-Jaccard threshold at 0.7 would flag).
+    c_src = [t for t in str(docs.loc[docs["doc_id"] == 3, "text"].iloc[0]).split(" ") if t]
+    chunk = " ".join(c_src[: (len(c_src) * 65) // 100])
+    ja, jb = sh(c_src), sh([t for t in chunk.split(" ") if t])
+    cont_j = len(ja & jb) / len(ja | jb)
+    assert jb <= ja and 0.3 < cont_j < 0.7, f"containment-pair jaccard {cont_j}"
     print(f"near-dups: phash hamming {bin(base_h ^ _phash60(near_ph)).count('1')}"
-          f" (vs doc 2), shingle jaccard {jac:.3f} (vs doc 1)")
+          f" (vs doc 2), shingle jaccard {jac:.3f} (vs doc 1), "
+          f"containment chunk jaccard {cont_j:.3f} (vs doc 3)")
 
     nbase = ((base + len(edge_texts) + 9) // 10) * 10
     near = pd.DataFrame(
         {
-            "doc_id": [nbase, nbase + 10],
-            "text": [near_ph, near_mh],
-            "lang": ["en", "en"],
-            "source": ["src_near", "src_near"],
-            "n_chars": [len(near_ph), len(near_mh)],
+            "doc_id": [nbase, nbase + 10, nbase + 20],
+            "text": [near_ph, near_mh, chunk],
+            "lang": ["en", "en", "en"],
+            "source": ["src_near", "src_near", "src_near"],
+            "n_chars": [len(near_ph), len(near_mh), len(chunk)],
         }
     )
     # --- quantization-boundary docs (round-8 VERDICT #5) -----------------
@@ -183,7 +194,7 @@ def main() -> None:
     print(f"boundary docs: m={m} f={f} N={n0 + 50 * m + f} c={50 * m} "
           f"|v-boundary|={float(prox):.3e}")
 
-    bbase = nbase + 11  # past the near-dup ids (nbase, nbase + 10)
+    bbase = nbase + 21  # past the near-dup ids (nbase, nbase + 10, nbase + 20)
     btexts = [" ".join(["zqb"] * 50) for _ in range(m)]
     btexts += [
         " ".join(f"zf{j}" for j in range(i, min(i + 50, f)))
