@@ -157,6 +157,7 @@ HEADLINE = [
     # round-12 additions
     "mm_phash_stats",
     "dedup_containment",
+    "dedup_containment_prefix",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
@@ -478,6 +479,12 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # shape as dedup_minhash_lsh (shingle arrays join in for candidates
     # only):
     "dedup_containment": (["documents"], 0.25),  # measured 0.094
+    # round-12: exact-recall prefix filtering — the prefix is a map-side
+    # slice of the sorted shingle array, the candidate join broadcasts the
+    # prefix side (falls back to ONE fp-keyed stream shuffle at corpus
+    # scale), and the distinct runs on the post-threshold survivors, not
+    # the raw candidate stream (that dedup exchange alone measured 9.4×):
+    "dedup_containment_prefix": (["documents"], 0.15),  # measured 0.067
     # round-11: span novelty ships ONE packed (gram32 << 31 | doc_id)
     # BIGINT per window (8 B/window in collect_list bucket arrays; the
     # unpacked row form is 24 B) — the exact-novelty floor, since every

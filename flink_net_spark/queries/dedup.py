@@ -196,6 +196,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 61-bit polyhash fingerprints → 32-bit INTs before the shuffle: substring
+# candidates are exact-verified downstream in a real pipeline, so fingerprint
+# collisions cost a spurious candidate, never a missed span — and halving
+# the key bytes is the difference between shuffling more or less than the
+# corpus itself (round-5 verdict #2).  The shift to signed range keeps the
+# value inside INT32 on both engines (no silent wrap semantics to match).
+_FP32 = "CAST(({x} & 4294967295) - 2147483648 AS INT)"
+
+
 CONTAINMENT_THRESHOLD = 0.7  # max-directional containment to report a pair
 
 
@@ -253,7 +262,20 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, band_key) pairs and the bounded candidate set; shingle
     arrays join in only for candidates."""
     sh = _spark_shingle_hash_df(spark, sf_dir).persist()
-    cand = _lsh_candidates(sh)
+    return scoped_persist(_containment_verify(_lsh_candidates(sh), sh), sh)
+
+
+def _containment_verify(cand: DataFrame, sh: DataFrame, dedupe: bool = False) -> DataFrame:
+    """Exact containment/Jaccard scoring of candidate (doc_a < doc_b)
+    pairs against the shingle frame, thresholded on max directional
+    containment — the shared verify step of dedup_containment (LSH
+    candidates) and dedup_containment_prefix (prefix-filter candidates).
+    Zero-shingle docs score 0 on both engines.  ``dedupe=True`` drops
+    duplicate candidate rows AFTER the threshold filter: verify is
+    deterministic per pair, so distinct-then-verify ≡ verify-then-
+    distinct — and deduping the small surviving set costs a tiny
+    exchange where deduping the raw candidate stream costs a corpus-
+    scaled one."""
     x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -263,7 +285,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = F.when(na + nb - inter == 0, F.lit(0.0)).otherwise(
         inter * F.lit(1.0) / (na + nb - inter)
     )
-    return scoped_persist(
+    out = (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
         .select("doc_a", "doc_b", ca.alias("ca"), cb.alias("cb"), j.alias("j"))
@@ -278,9 +300,135 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("doc_b"))
             .alias("contained_doc"),
         )
-        .orderBy("doc_a", "doc_b"),
-        sh,
     )
+    if dedupe:
+        out = out.distinct()
+    return out.orderBy("doc_a", "doc_b")
+
+
+# the shared DuckDB verify/score tail over a `cand(doc_a, doc_b)` CTE
+_DUCK_CONTAINMENT_TAIL = f"""
+    cont AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(x.sh, y.sh)) AS i,
+               len(x.sh) AS na, len(y.sh) AS nb
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               CASE WHEN na = 0 THEN 0.0 ELSE i * 1.0 / na END AS ca,
+               CASE WHEN nb = 0 THEN 0.0 ELSE i * 1.0 / nb END AS cb,
+               CASE WHEN na + nb - i = 0 THEN 0.0
+                    ELSE i * 1.0 / (na + nb - i) END AS j
+        FROM cont
+    )
+    SELECT doc_a, doc_b,
+           ROUND(ca, 4) AS cont_a,
+           ROUND(cb, 4) AS cont_b,
+           ROUND(j, 4) AS jaccard,
+           CASE WHEN ca >= cb THEN doc_a ELSE doc_b END AS contained_doc
+    FROM scored
+    WHERE GREATEST(ca, cb) >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_containment_prefix",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM {_DUCK_TH_DOCS}
+    ),
+    pref AS (
+        SELECT doc_id, {_FP32.format(x="g")} AS fp
+        FROM (
+            SELECT doc_id,
+                   UNNEST(list_sort(sh)[1 : (3 * len(sh)) // 10 + 1]) AS g
+            FROM sh
+        )
+    ),
+    tok AS (
+        SELECT doc_id, {_FP32.format(x="g")} AS fp
+        FROM (SELECT doc_id, UNNEST(sh) AS g FROM sh)
+    ),
+    cand AS (
+        SELECT DISTINCT LEAST(p.doc_id, t.doc_id) AS doc_a,
+                        GREATEST(p.doc_id, t.doc_id) AS doc_b
+        FROM pref p JOIN tok t ON t.fp = p.fp AND t.doc_id <> p.doc_id
+    ),
+    {_DUCK_CONTAINMENT_TAIL}
+    """,
+)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup with EXACT recall at the threshold, via prefix
+    filtering (Chaudhuri et al. 2006 "A Primitive Operator for Similarity
+    Joins"; Bayardo et al. 2007 "Scaling Up All Pairs Similarity Search")
+    — the dedicated containment index dedup_containment's docstring
+    points to.  Pigeonhole guarantee: if C(A,B) = |A∩B|/|A| ≥ t then A
+    misses at most ⌊(1−t)·|A|⌋ of its shingles from B, so A's first
+    ⌊(1−t)·|A|⌋+1 shingles in a canonical total order MUST hit B —
+    candidates from an equi-join of each doc's prefix against the full
+    inverted token index can never miss a qualifying pair in either
+    direction (each doc plays the probe role once).  The canonical order
+    is ASCENDING 61-bit shingle hash, so the prefix is a map-side
+    ``slice(sort_array(sh))`` in the scan projection — ZERO extra
+    exchanges (a global-df "rarest-first" order, the PPJoin refinement
+    for skew-vocabulary corpora, measured 14.9× the parquet input here:
+    it costs the token stream a df-count exchange, a df join and a
+    per-doc rank window; hash order ≈ a random permutation, the standard
+    randomized variant, and is 4.5× cheaper on this corpus).
+    t = {CONTAINMENT_THRESHOLD}; the prefix length is the exact integer
+    form (3·n) div 10 + 1 — no float boundary to disagree on
+    cross-engine.  The join key is the 32-bit fingerprint (_FP32): a
+    collision can only ADD a spurious candidate (exact-verified away),
+    never lose one.  Output schema and verify maths are identical to
+    dedup_containment; on any corpus this result is a SUPERSET of the
+    LSH-indexed variant's (recall 1.0 vs Jaccard-tracked) — pinned by
+    tests/test_plans.py on a low-Jaccard planted containment the LSH
+    index has no density to catch.
+
+    Scale: the one heavy exchange is the prefix ⋈ inverted-index join —
+    prefix side 0.3× of the token stream, full side 1× (AQE broadcasts
+    the prefix side while it fits, as on the audited layout; at corpus
+    scale both stream through one fp-keyed shuffle — the
+    dedup_substring_pairs volume class, linear in tokens).  Candidate
+    count is Σ_prefix df(s); a boilerplate-dominated corpus (every doc
+    sharing one hot shingle set) drives that quadratic — a boilerplate-
+    removal problem first (dedup_prefix_clusters /
+    dedup_substring_winnow)."""
+    sh = _spark_shingle_hash_df(spark, sf_dir).persist()
+    fp = _FP32.format(x="g")
+    pref = sh.select(
+        "doc_id",
+        F.explode(
+            F.expr("slice(sort_array(sh), 1, (3 * size(sh)) div 10 + 1)")
+        ).alias("g"),
+    ).select("doc_id", F.expr(fp).alias("fp"))
+    tok = sh.select("doc_id", F.explode("sh").alias("g")).select(
+        "doc_id", F.expr(fp).alias("fp")
+    )
+    p = pref.alias("p")
+    t_ = tok.alias("t")
+    cand = (
+        p.join(
+            t_,
+            (F.col("p.fp") == F.col("t.fp"))
+            & (F.col("p.doc_id") != F.col("t.doc_id")),
+        )
+        .select(
+            F.least("p.doc_id", "t.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "t.doc_id").alias("doc_b"),
+        )
+    )
+    # NO pre-verify distinct: the raw candidate stream's dedup exchange was
+    # the query's one corpus-scaled shuffle (measured 6.4 MB = 9.4× the
+    # parquet input); verify runs map-side against the broadcast shingle
+    # frames, so duplicated candidates cost only a re-verified pair per
+    # shared prefix shingle, and the distinct moves to the tiny post-
+    # threshold survivor set (dedupe=True).
+    return scoped_persist(_containment_verify(cand, sh, dedupe=True), sh)
 
 
 @query(
@@ -762,13 +910,6 @@ def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 61-bit polyhash fingerprints → 32-bit INTs before the shuffle: substring
-# candidates are exact-verified downstream in a real pipeline, so fingerprint
-# collisions cost a spurious candidate, never a missed span — and halving
-# the key bytes is the difference between shuffling more or less than the
-# corpus itself (round-5 verdict #2).  The shift to signed range keeps the
-# value inside INT32 on both engines (no silent wrap semantics to match).
-_FP32 = "CAST(({x} & 4294967295) - 2147483648 AS INT)"
 
 
 def _pack_nbuck(sf_dir: str, table: str = "documents") -> int:
