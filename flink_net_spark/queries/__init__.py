@@ -62,6 +62,7 @@ from flink_net_spark.queries import harness_ops  # noqa: E402,F401
 from flink_net_spark.queries import tpch_extra  # noqa: E402,F401
 from flink_net_spark.queries import pipeline_ops  # noqa: E402,F401
 from flink_net_spark.queries import temporal  # noqa: E402,F401
+from flink_net_spark.queries import graph  # noqa: E402,F401
 
 # The driver's hard CORRECTNESS gate hash-checks only the first
 # ``DRIVER_WINDOW`` registered queries.  Import order alone would fill that

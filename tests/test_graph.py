@@ -1,0 +1,43 @@
+"""Behavioral invariants for the iterative graph operators (queries/graph.py).
+
+The DuckDB oracle (tests/test_queries_oracle.py) pins cross-engine value
+equality; these tests pin the SEMANTICS — properties that would survive a
+consistently-wrong implementation of both sides.
+"""
+
+from __future__ import annotations
+
+from flink_net_spark.queries import QUERIES
+from flink_net_spark.queries.graph import (
+    PAGERANK_TELEPORT_E6,
+    PAGERANK_TOPK,
+)
+from tests.conftest import SF_DIR
+
+
+def test_pagerank_invariants(spark):
+    rows = QUERIES["graph_pagerank"](spark, SF_DIR).collect()
+    assert len(rows) == PAGERANK_TOPK
+    # Every rank carries at least the teleport mass, and the fixed-point
+    # iteration must produce a discriminating ordering (not a constant).
+    ranks = [r["rank_e6"] for r in rows]
+    assert all(v >= PAGERANK_TELEPORT_E6 for v in ranks)
+    assert len(set(ranks)) > 1
+    assert ranks == sorted(ranks, reverse=True)
+    # Bipartite sanity: both node kinds exist in the graph output and keys
+    # decode back to plausible TPC-H key ranges (suppliers are the dense
+    # side at every SF, so the top of the ranking is supplier-heavy).
+    kinds = {r["kind"] for r in rows}
+    assert "supplier" in kinds
+    assert all(r["deg"] >= 1 and r["key"] >= 0 for r in rows)
+
+
+def test_pagerank_rank_tracks_degree(spark):
+    """Power iteration on an undirected graph converges toward ranks
+    proportional to degree — the #1-ranked node must sit in the top decile
+    of the degree distribution (a catch-all against e.g. swapped join keys
+    sending rank mass to the wrong side)."""
+    rows = QUERIES["graph_pagerank"](spark, SF_DIR).collect()
+    top = rows[0]
+    degs = sorted(r["deg"] for r in rows)
+    assert top["deg"] >= degs[len(degs) // 2]
