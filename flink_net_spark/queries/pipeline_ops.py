@@ -117,6 +117,86 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE merge-pair counting: the inner loop of distributed tokenizer training.
+# --------------------------------------------------------------------------
+BPE_TOPK = 64
+
+
+@query(
+    "text_bpe_pairs",
+    oracle=f"""
+    WITH wf AS MATERIALIZED (
+        SELECT word || chr(31) AS w2, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    ),
+    p AS (
+        SELECT substring(w2, CAST(i AS INT), 2) AS pair, freq
+        FROM wf, unnest(range(1, length(w2))) AS t(i)
+    )
+    SELECT pair,
+           CAST(SUM(freq) AS BIGINT) AS pair_count,
+           CAST(COUNT(*) AS BIGINT)  AS n_word_positions
+    FROM p
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT {BPE_TOPK}
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge-candidate counting (Sennrich et al. 2016
+    "Neural Machine Translation of Rare Words with Subword Units", alg. 1's
+    pair-statistics step) — the inner loop of distributed tokenizer
+    training: count adjacent symbol pairs across the corpus, weighted by
+    word frequency, and surface the top merge candidates.
+
+    Symbol sequences are characters plus an end-of-word sentinel (unit
+    separator, chr(31) — outside the corpus alphabet), so merges that
+    touch word boundaries (the 'est</w>' class) are counted distinctly
+    from word-internal ones, exactly as Sennrich's reference
+    implementation does.  ``pair_count`` is the true number of corpus
+    positions where the pair occurs (a word with 'aaa' contributes two
+    'aa' positions, times its frequency); ``n_word_positions`` counts the
+    distinct word-form positions, i.e. the dictionary-side footprint of
+    applying the merge.
+
+    Scale: this is the two-shuffle shape tokenizer training actually
+    ships — (1) word-frequency aggregation (map-side combined, reduce
+    bounded by vocabulary), (2) pair aggregation over the DISTINCT-WORD
+    dictionary, not the raw corpus (pair extraction runs once per word
+    form — the compression BPE trainers rely on; on real corpora the
+    dictionary is ~1e6 rows vs 1e11 corpus tokens).  Top-K via
+    orderBy+limit = TakeOrderedAndProject: per-partition heads, no global
+    sort.  Successive merge rounds re-run this query on the re-segmented
+    dictionary — the iteration state (the merged vocab) is vocabulary-
+    sized, never corpus-sized."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.expr("concat(word, chr(31))").alias("w2"), "freq")
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w2) - 1), i -> substring(w2, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").alias("pair_count"),
+            F.count(F.lit(1)).alias("n_word_positions"),
+        )
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(BPE_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
 # TF-IDF term ranking per document (exact-integer emission).
 # --------------------------------------------------------------------------
 @query(
