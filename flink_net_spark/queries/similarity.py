@@ -2342,3 +2342,109 @@ def sim_ann_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("method"),
         emb,
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection with an exact distortion audit.
+# --------------------------------------------------------------------------
+JL_K = 16  # target dimensionality
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic Rademacher (+/-1) projection matrix, JL_K x DIM —
+    generated from md5 so it is a fixed public constant of the operator
+    (injected as literals into BOTH engines; the curation_dsir_importance
+    weight-table idiom, here as a compile-time literal since 16x64 ints
+    beat a broadcast join at any scale)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"jl:{j}:{i}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(DIM)
+        ]
+        for j in range(JL_K)
+    ]
+
+
+def _duck_jl_oracle() -> str:
+    m = _jl_signs()
+    mat = "[" + ",".join("[" + ",".join(str(v) for v in row) + "]" for row in m) + "]"
+    return f"""
+    WITH s AS MATERIALIZED (SELECT {mat} AS m),
+    e AS MATERIALIZED (
+        SELECT vec_id,
+               [CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT) for x in embedding] AS xe
+        FROM embeddings
+    ),
+    y AS (
+        SELECT vec_id,
+               list_sum([xe[i] * m[CAST(j AS INT) + 1][i] for i in range(1, {DIM + 1})]) AS yj
+        FROM e, s, unnest(range(0, {JL_K})) t(j)
+    ),
+    x2 AS (SELECT vec_id, list_sum([xe[i] * xe[i] for i in range(1, {DIM + 1})]) AS x2
+           FROM e)
+    SELECT y.vec_id,
+           CAST(SUM(yj) AS BIGINT)      AS y_sum,
+           CAST(SUM(yj * yj) AS BIGINT) AS y2,
+           CAST(MAX(x2.x2) AS BIGINT)   AS x2,
+           CAST(CASE WHEN MAX(x2.x2) = 0 THEN 1000000
+                     ELSE (1000000 * SUM(yj * yj)) // ({JL_K} * MAX(x2.x2))
+                END AS BIGINT)          AS ratio_e6
+    FROM y JOIN x2 USING (vec_id)
+    GROUP BY y.vec_id
+    ORDER BY y.vec_id
+    """
+
+
+@query("emb_jl_project", oracle=_duck_jl_oracle())
+def emb_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction (Achlioptas 2003
+    "Database-friendly random projections": Rademacher +/-1 entries) from
+    {DIM} to {JL_K} dims, with the JL norm-preservation contract emitted as
+    audited data: for y = S x with S in {{+/-1}}^(k x d), E[|y|^2] = k |x|^2,
+    so ratio_e6 = 1e6 * |y|^2 / (k |x|^2) concentrates around 1e6 and the
+    driver hash pins every vector's measured distortion.
+
+    Exact cross-engine arithmetic: inputs quantize to 1e-3 integers first
+    (the emb_matryoshka_fidelity discipline), making each projected
+    coordinate an exact integer dot product — bounds: |y_j| <= {DIM} * 2e3,
+    |y|^2 <= {JL_K} * ({DIM} * 2e3)^2 ~ 2.6e11, 1e6-scaled ~ 2.6e17 < 2^63.
+    The sign matrix is a deterministic md5-derived constant injected as
+    literals into both plans.
+
+    Scale: the projection is a pure per-row columnar expression — ZERO
+    shuffles, no UDF, no broadcast (16x64 literals live in the plan);
+    at 100 TB this runs at scan speed and cuts downstream ANN/cluster
+    shuffle volume 4x (64 -> 16 dims), which is the reason pipelines run
+    JL before LSH/k-means at all (the ORDER BY is driver-comparator
+    presentation only)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    m = _jl_signs()
+    xe = "transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT))"
+    d = e.select("vec_id", F.expr(xe).alias("xe"))
+    yj_exprs = [
+        "aggregate(zip_with(xe, array({lits}), (a, b) -> a * b), 0L, (acc, v) -> acc + v)".format(
+            lits=",".join(f"{v}L" for v in row)
+        )
+        for row in m
+    ]
+    ys = "array(" + ",".join(yj_exprs) + ")"
+    d = d.select(
+        "vec_id",
+        F.expr(f"{ys}").alias("ys"),
+        F.expr("aggregate(zip_with(xe, xe, (a, b) -> a * b), 0L, (acc, v) -> acc + v)").alias(
+            "x2"
+        ),
+    )
+    return d.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr("aggregate(ys, 0L, (acc, v) -> acc + v)").alias("y_sum"),
+        F.expr("aggregate(ys, 0L, (acc, v) -> acc + v * v)").alias("y2"),
+        "x2",
+        F.expr(
+            f"CAST(CASE WHEN x2 = 0 THEN 1000000"
+            f" ELSE (1000000 * aggregate(ys, 0L, (acc, v) -> acc + v * v))"
+            f" div ({JL_K} * x2) END AS BIGINT)"
+        ).alias("ratio_e6"),
+    ).orderBy("vec_id")

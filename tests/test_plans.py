@@ -679,3 +679,36 @@ def test_substring_stats_audit_bounds_pinned():
     assert tables == ["documents"] and sf_bound <= 4.3
     _, nov_bound = bench.MULTIFILE_AUDIT["dedup_span_novelty"]
     assert nov_bound <= 3.5
+
+
+def test_jl_project_is_scan_shaped(spark):
+    """The JL projection is a pure per-row expression: the only exchange
+    allowed in the plan is the final presentation sort — no hash shuffle,
+    no broadcast, no UDF (the 100 TB claim in its docstring)."""
+    import re
+
+    p = plan_of(entry.queries()["emb_jl_project"](spark, SF_DIR))
+    exchanges = re.findall(r"\(\d+\) Exchange", p)
+    assert len(exchanges) <= 1, p  # rangepartitioning for the ORDER BY only
+    assert "hashpartitioning" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_bpe_pairs_two_combined_shuffles(spark):
+    """BPE pair counting = word-count shuffle + pair-count shuffle, both
+    with map-side partial aggregation; top-k must be TakeOrdered, not a
+    global sort."""
+    import re
+
+    p = plan_of(entry.queries()["text_bpe_pairs"](spark, SF_DIR))
+    exchanges = re.findall(r"\(\d+\) Exchange", p)
+    assert len(exchanges) <= 3, p  # spread + word agg + pair agg
+    assert "TakeOrderedAndProject" in p, p
+    assert "partial_count" in p or "partial_sum" in p, p
+
+
+def test_pagerank_topk_is_take_ordered(spark):
+    """PageRank's top-k frontier must be TakeOrderedAndProject (partial
+    per-partition heads), never a single-partition global sort."""
+    p = plan_of(entry.queries()["graph_pagerank"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p, p
