@@ -1676,3 +1676,95 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton-curve) layout clustering — the lakehouse OPTIMIZE ZORDER
+# primitive for multi-dimensional scan locality.
+# --------------------------------------------------------------------------
+ZORDER_BITS = 16  # bits per dimension
+ZORDER_BUCKET_SHIFT = 20  # zbucket = zval >> shift  (~256 buckets here)
+_HOUR_MS = 3_600_000
+
+
+def _interleave_expr(u: str, t: str, shl: str, shr: str) -> str:
+    """Bit-interleave expression: u in even positions, t in odd — built once
+    in Python and rendered per engine (Spark shiftleft()/shiftright()
+    functions vs DuckDB << / >> operators) so the arithmetic is literally
+    the same 32-term integer sum on both sides."""
+    terms = []
+    for k in range(ZORDER_BITS):
+        terms.append(shl.format(x=f"({shr.format(x=u, k=k)} & 1)", k=2 * k))
+        terms.append(shl.format(x=f"({shr.format(x=t, k=k)} & 1)", k=2 * k + 1))
+    return " + ".join(terms)
+
+
+_SPARK_Z = _interleave_expr(
+    "u16", "t16", shl="shiftleft({x}, {k})", shr="shiftright({x}, {k})"
+)
+_DUCK_Z = _interleave_expr("u16", "t16", shl="({x} << {k})", shr="({x} >> {k})")
+
+
+@query(
+    "curation_zorder_layout",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(user_id AS BIGINT) % 65536            AS u16,
+               (epoch_ms(ts) // {_HOUR_MS}) % 65536       AS t16
+        FROM events
+    ),
+    z AS (SELECT u16, t16, {_DUCK_Z} AS zval FROM d)
+    SELECT zval >> {ZORDER_BUCKET_SHIFT}      AS zbucket,
+           CAST(COUNT(*) AS BIGINT)           AS n,
+           CAST(MIN(u16) AS BIGINT)           AS u_min,
+           CAST(MAX(u16) AS BIGINT)           AS u_max,
+           CAST(MIN(t16) AS BIGINT)           AS t_min,
+           CAST(MAX(t16) AS BIGINT)           AS t_max,
+           CAST(SUM(zval) AS BIGINT)          AS z_sum,
+           CAST(MAX(u16) - MIN(u16) + MAX(t16) - MIN(t16) AS BIGINT) AS bbox
+    FROM z
+    GROUP BY zbucket
+    ORDER BY zbucket
+    """,
+)
+def curation_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order / Morton-curve clustering key (Morton 1966; the Delta Lake /
+    Iceberg ``OPTIMIZE ZORDER BY`` layout primitive) over the two hot
+    filter dimensions of the events table — user and event-hour — plus the
+    per-z-bucket bounding-box report that quantifies what the curve buys:
+    files written in zbucket order carry tight min/max ranges on BOTH
+    dimensions simultaneously, so either predicate prunes ~sqrt-fraction
+    of files instead of one dimension pruning everything and the other
+    nothing (linear layouts).  ``bbox`` (the summed per-bucket min/max
+    extent) is the audited locality metric, ``z_sum`` pins every row's
+    full interleave against the oracle.
+
+    The interleave is a 32-term integer shift-and-mask sum generated from
+    ONE Python template for both engines — exact at any parallelism, no
+    float anywhere.
+
+    Scale: computing zval is a per-row map (scan-shaped, zero exchanges);
+    the report aggregates on the bucket key with map-side combine — one
+    shuffle whose reduce side is the bucket count, not the corpus.  The
+    production write path is ``df.repartitionByRange(zbucket,
+    zval).write`` — same key, same single exchange, now yielding the
+    clustered files this report audits."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        (F.col("user_id").cast("long") % 65536).alias("u16"),
+        F.expr(f"(unix_millis(ts) div {_HOUR_MS}) % 65536").alias("t16"),
+    )
+    z = d.select("u16", "t16", F.expr(_SPARK_Z).alias("zval"))
+    return (
+        z.groupBy(F.expr(f"shiftright(zval, {ZORDER_BUCKET_SHIFT})").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("u16").alias("u_min"),
+            F.max("u16").alias("u_max"),
+            F.min("t16").alias("t_min"),
+            F.max("t16").alias("t_max"),
+            F.sum("zval").alias("z_sum"),
+            (F.max("u16") - F.min("u16") + F.max("t16") - F.min("t16")).alias("bbox"),
+        )
+        .orderBy("zbucket")
+    )
