@@ -158,6 +158,11 @@ HEADLINE = [
     "mm_phash_stats",
     "dedup_containment",
     "dedup_containment_prefix",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "text_bpe_pairs",
+    "emb_jl_project",
+    "curation_zorder_layout",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
@@ -166,6 +171,7 @@ FAMILY_PATTERNS = [
     ("stream", r"^(stream_|pipeline_)"),
     ("window", r"^window_"),
     ("join", r"^join_"),
+    ("graph", r"^graph_"),
     ("dedup", r"^dedup_"),
     ("ann", r"^(sim_|emb_)"),
     ("text", r"^(text_|flatmap_|vocab_|tfidf_)"),

@@ -41,3 +41,33 @@ def test_pagerank_rank_tracks_degree(spark):
     top = rows[0]
     degs = sorted(r["deg"] for r in rows)
     assert top["deg"] >= degs[len(degs) // 2]
+
+
+def test_triangle_count_matches_handbuilt_graph(spark):
+    """Triangle totals across buckets must equal the exact triangle count
+    of the co-order graph computed independently in Python (networkx-free
+    adjacency-set intersection) at sf0.001."""
+    from flink_net_spark.tables import load_table, release_persisted
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").collect()
+    by_order: dict = {}
+    for r in li:
+        by_order.setdefault(r["l_orderkey"], set()).add(int(r["l_partkey"]))
+    adj: dict = {}
+    for ps in by_order.values():
+        ps = sorted(ps)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+    expected = sum(
+        len(adj[u] & adj[v])
+        for u in adj
+        for v in adj[u]
+        if u < v
+    ) // 3  # each triangle counted once per edge (3x)
+    df = QUERIES["graph_triangle_count"](spark, sf)
+    rows = df.collect()
+    release_persisted(df)
+    assert sum(r["n_tri"] for r in rows) == expected

@@ -712,3 +712,12 @@ def test_pagerank_topk_is_take_ordered(spark):
     per-partition heads), never a single-partition global sort."""
     p = plan_of(entry.queries()["graph_pagerank"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_triangle_count_joins_are_shuffled_hash(spark):
+    """The wedge and closure self-joins must be shuffled-hash (sort-merge
+    would sort the 41M-row wedge stream, measured 2x slower), and the
+    closure key must be the packed single BIGINT."""
+    p = plan_of(entry.queries()["graph_triangle_count"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p

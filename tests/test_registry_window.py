@@ -18,6 +18,7 @@ FAMILY_PATTERNS = [
     ("stream", r"^(stream_|pipeline_)"),
     ("window", r"^window_"),
     ("join", r"^join_"),
+    ("graph", r"^graph_"),
     ("dedup", r"^dedup_"),
     ("ann", r"^(sim_|emb_)"),
     ("text", r"^(text_|flatmap_|vocab_|tfidf_)"),
