@@ -163,6 +163,7 @@ HEADLINE = [
     "text_bpe_pairs",
     "emb_jl_project",
     "curation_zorder_layout",
+    "text_heaps_law",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).

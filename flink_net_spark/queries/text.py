@@ -2079,3 +2079,96 @@ def text_lm_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps' law: vocabulary growth along the ingestion order.
+# --------------------------------------------------------------------------
+HEAPS_BUCKETS = 20
+
+
+@query(
+    "text_heaps_law",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    n AS MATERIALIZED (SELECT COUNT(*) AS n_docs FROM documents),
+    firsts AS (
+        SELECT term, MIN(doc_id) AS first_doc
+        FROM tok WHERE term <> '' GROUP BY term
+    ),
+    newv AS (
+        SELECT (first_doc * {HEAPS_BUCKETS}) // n.n_docs AS bucket,
+               COUNT(*) AS new_terms
+        FROM firsts, n GROUP BY 1
+    ),
+    toks AS (
+        SELECT (doc_id * {HEAPS_BUCKETS}) // n.n_docs AS bucket,
+               COUNT(*) AS n_tokens
+        FROM tok, n WHERE term <> '' GROUP BY 1
+    )
+    SELECT t.bucket                                    AS bucket,
+           CAST(COALESCE(v.new_terms, 0) AS BIGINT)    AS new_terms,
+           CAST(SUM(COALESCE(v.new_terms, 0)) OVER w AS BIGINT) AS vocab_cum,
+           CAST(t.n_tokens AS BIGINT)                  AS n_tokens,
+           CAST(SUM(t.n_tokens) OVER w AS BIGINT)      AS tokens_cum
+    FROM toks t LEFT JOIN newv v ON v.bucket = t.bucket
+    WINDOW w AS (ORDER BY t.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY bucket
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve in ingestion order (Heaps 1978): per
+    corpus-ventile, the number of NEVER-SEEN-BEFORE terms, the cumulative
+    vocabulary, and the cumulative token count — the V(n) ~ K * n^beta
+    statistic tokenizer-vocabulary sizing and dedup-saturation monitoring
+    read off every ingestion run (a flattening curve = the crawl has
+    stopped discovering new language).
+
+    The "seen before" semantics is exact, not approximate: a term's first
+    occurrence is MIN(doc_id) — one aggregation over the token stream, no
+    ordered scan, no state.  Bucketing by ``(first_doc * B) div n_docs``
+    is exact integer math on both engines.
+
+    Scale: the token explode is map-side; first-occurrence aggregation
+    shuffles once on the term (reduce side = vocabulary, with map-side
+    partial MIN); the per-bucket rollups reduce to {HEAPS_BUCKETS} rows,
+    and the cumulative window runs over those {HEAPS_BUCKETS} rows only —
+    the single-partition window is bounded by the constant bucket count,
+    never the corpus.  The doc-count scalar rides in as a 1-row broadcast
+    cross join."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    firsts = tok.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    newv = (
+        firsts.crossJoin(F.broadcast(n))
+        .groupBy(F.expr(f"(first_doc * {HEAPS_BUCKETS}) div n_docs").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    toks = (
+        tok.crossJoin(F.broadcast(n))
+        .groupBy(F.expr(f"(doc_id * {HEAPS_BUCKETS}) div n_docs").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        toks.join(newv, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "bucket",
+            "new_terms",
+            F.sum("new_terms").over(w).cast("long").alias("vocab_cum"),
+            "n_tokens",
+            F.sum("n_tokens").over(w).cast("long").alias("tokens_cum"),
+        )
+        .select("bucket", "new_terms", "vocab_cum", "n_tokens", "tokens_cum")
+        .orderBy("bucket")
+    )
