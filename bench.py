@@ -164,6 +164,7 @@ HEADLINE = [
     "emb_jl_project",
     "curation_zorder_layout",
     "text_heaps_law",
+    "stream_tiered_rollup",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).

@@ -998,3 +998,116 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_stream(win, mode="append").orderBy("window_start_ms", "k")
+
+
+# --------------------------------------------------------------------------
+# Tiered rollup: chained windowed aggregations in ONE streaming query.
+# --------------------------------------------------------------------------
+QUARTER_MS = 900_000
+
+
+def _stage_ordered_stream(spark: SparkSession, sf_dir: str, stage_dir: str) -> None:
+    """Stage events into four TIME-ORDERED chunks (ntile over event time)
+    written sequentially, so the file stream replays in event-time order:
+    every batch's rows sit entirely above the previous batch's watermark
+    and append-mode late-input filtering provably drops nothing — the
+    precondition for an exact SQL oracle over a multi-batch append run."""
+    from flink_net_spark.tables import ensure_read_confs, load_table
+
+    ensure_read_confs(spark)
+    marker = os.path.join(stage_dir, "_staged")
+    if os.path.exists(marker):
+        return
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "chunk", F.ntile(4).over(W.orderBy("ts", "event_id")) - 1
+    )
+    os.makedirs(stage_dir, exist_ok=True)
+    for i in range(4):
+        tmp = os.path.join(stage_dir, f"_tmp_{i}")
+        ev.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in sorted(os.listdir(tmp)) if f.startswith("part-"))
+        os.replace(os.path.join(tmp, part), os.path.join(stage_dir, f"chunk_{i:02d}.parquet"))
+        import shutil as _sh
+
+        _sh.rmtree(tmp, ignore_errors=True)
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+@query(
+    "stream_tiered_rollup",
+    oracle=f"""
+    WITH ev AS (
+        SELECT epoch_ms(ts) AS ms, event_type, value FROM events
+    ),
+    wm AS (SELECT MAX(ms) - {HOUR_MS} AS w FROM ev)
+    SELECT (ms // {HOUR_MS}) * {HOUR_MS}  AS window_start_ms,
+           event_type,
+           COUNT(*)                        AS n_events,
+           CAST(COUNT(DISTINCT ms // {QUARTER_MS}) AS BIGINT) AS n_subwindows,
+           ROUND(SUM(value), 2)            AS sum_value
+    FROM ev CROSS JOIN wm
+    WHERE (ms // {HOUR_MS}) * {HOUR_MS} + {HOUR_MS} <= wm.w
+    GROUP BY 1, 2
+    ORDER BY window_start_ms, event_type
+    """,
+)
+def stream_tiered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical window rollup in ONE streaming query — 15-minute
+    partial aggregates re-aggregated into hourly windows via chained
+    streaming aggregation (``window(window_time(window), '1 hour')``,
+    Spark 3.4+ append-mode multi-agg) — the continuous-aggregate /
+    "hypertable rollup" pattern time-series stores ship as a built-in,
+    here as composable operators.
+
+    Why it matters at scale: the hourly tier consumes FINALIZED 15-min
+    partials (<= 4 rows per key-hour), not raw events — the second-tier
+    state and shuffle are ~events/900s smaller, which is how dashboards
+    over month-long windows stay cheap.  ``n_subwindows`` (1-4) pins the
+    partial-reuse structure in the hash: it counts TIER-1 OUTPUT ROWS
+    arriving at tier 2, so a bypassing implementation that re-aggregated
+    raw events (n_subwindows = n_events) fails the oracle.
+
+    Append-mode exactness: the replay is staged in event-time order (see
+    _stage_ordered_stream), so no row is ever late to tier 1; both tiers
+    share the monotone watermark and the oracle's single cutoff —
+    finalized hours are exactly those ending at or before
+    max_ts - 1h — reconstructs the emitted set in SQL."""
+    stage = _stage_dir(sf_dir, "events_ordered")
+    _stage_ordered_stream(spark, sf_dir, stage)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    tier1 = (
+        with_bounded_out_of_orderness(stream, "ts", "1 hour")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("value").alias("psum"),
+        )
+    )
+    tier2 = (
+        tier1.groupBy(
+            F.window(F.window_time("window"), "1 hour"), "event_type"
+        )
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.count(F.lit(1)).alias("n_subwindows"),
+            F.round(F.sum("psum"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "n_subwindows",
+            "sum_value",
+        )
+    )
+    return _run_stream(tier2, mode="append").orderBy("window_start_ms", "event_type")
