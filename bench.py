@@ -165,6 +165,7 @@ HEADLINE = [
     "curation_zorder_layout",
     "text_heaps_law",
     "stream_tiered_rollup",
+    "window_gap_fill_locf",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).

@@ -319,3 +319,83 @@ def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_ms")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap filling with last-observation-carried-forward.
+# --------------------------------------------------------------------------
+@query(
+    "window_gap_fill_locf",
+    oracle=f"""
+    WITH b AS (
+        SELECT MIN(epoch_ms(ts) // {HOUR_MS}) AS h0,
+               MAX(epoch_ms(ts) // {HOUR_MS}) AS h1
+        FROM events
+    ),
+    grid AS (
+        SELECT g.h AS h, t.event_type
+        FROM (SELECT unnest(generate_series((SELECT h0 FROM b), (SELECT h1 FROM b))) AS h) g,
+             (SELECT DISTINCT event_type FROM events) t
+    ),
+    act AS (
+        SELECT epoch_ms(ts) // {HOUR_MS} AS h, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.h * {HOUR_MS}                       AS hour_ms,
+           g.event_type                          AS event_type,
+           CAST(COALESCE(a.n, 0) AS BIGINT)      AS n_events,
+           COALESCE(last_value(a.sv IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0.0) AS sum_value_locf,
+           (a.n IS NULL)                         AS is_gap
+    FROM grid g LEFT JOIN act a ON a.h = g.h AND a.event_type = g.event_type
+    ORDER BY hour_ms, event_type
+    """,
+)
+def window_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: densify the hourly grid per key and fill
+    observation gaps by last-observation-carried-forward — the gap-fill /
+    ``time_bucket_gapfill`` primitive of time-series stores, composed from
+    sequence-explode + left join + an IGNORE NULLS running window.  The
+    emitted ``is_gap`` flag keeps interpolated rows distinguishable from
+    observed ones (the audit downstream forecasting jobs need).
+
+    Scale: the grid is (time-range x key-cardinality) — bounded by the
+    calendar and the key domain, never the corpus; it generates map-side
+    from one 2-value bounds row (broadcast).  The actuals aggregate with
+    map-side combine on (hour, key); the LOCF window partitions per key,
+    so carry-forward runs parallel across keys with no global sort."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(
+        F.expr(f"MIN(unix_millis(ts) div {HOUR_MS})").alias("h0"),
+        F.expr(f"MAX(unix_millis(ts) div {HOUR_MS})").alias("h1"),
+    )
+    types = e.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(b))
+        .select("event_type", F.explode(F.expr("sequence(h0, h1)")).alias("h"))
+    )
+    act = (
+        e.groupBy(
+            F.expr(f"unix_millis(ts) div {HOUR_MS}").alias("h"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("event_type").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        grid.join(act, ["h", "event_type"], "left")
+        .select(
+            (F.col("h") * HOUR_MS).alias("hour_ms"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce(
+                F.last("sv", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("sum_value_locf"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+        .orderBy("hour_ms", "event_type")
+    )
