@@ -166,6 +166,7 @@ HEADLINE = [
     "text_heaps_law",
     "stream_tiered_rollup",
     "window_gap_fill_locf",
+    "emb_kmeans_seed",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).

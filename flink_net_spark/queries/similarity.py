@@ -2448,3 +2448,90 @@ def emb_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div ({JL_K} * x2) END AS BIGINT)"
         ).alias("ratio_e6"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# k-means|| seeding: one D^2-proportional oversampling round.
+# --------------------------------------------------------------------------
+KMEANSPP_L = 16  # oversampling factor (~2k for the k=8 clustering above)
+_U20 = 1_048_576  # 2^20 — resolution of the deterministic Bernoulli draw
+
+
+def _duck_kmeans_seed_oracle() -> str:
+    u = H.duckdb_char_polyhash("md5(CAST(vec_id AS VARCHAR))")
+    return f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id,
+               [CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT) for x in embedding] AS xe
+        FROM embeddings
+    ),
+    c AS (SELECT xe AS ce FROM e WHERE vec_id = 0),
+    d AS (
+        SELECT vec_id,
+               list_sum([(e.xe[i] - c.ce[i]) * (e.xe[i] - c.ce[i])
+                         for i in range(1, {DIM + 1})]) AS d2,
+               ({u}) % {_U20} AS u20
+        FROM e, c
+    ),
+    s AS (SELECT SUM(d2) AS sum_d2 FROM d)
+    SELECT vec_id,
+           CAST(d2 AS BIGINT)                 AS d2,
+           CAST(u20 AS BIGINT)                AS u20,
+           CAST((SELECT sum_d2 FROM s) AS BIGINT) AS sum_d2
+    FROM d
+    WHERE u20 * (SELECT sum_d2 FROM s) < {KMEANSPP_L} * d2 * {_U20}
+    ORDER BY vec_id
+    """
+
+
+@query("emb_kmeans_seed", oracle=_duck_kmeans_seed_oracle())
+def emb_kmeans_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One oversampling round of scalable k-means++ seeding (Bahmani et
+    al. 2012 "Scalable k-means++", alg. 2): every point is kept with
+    probability min(1, l * D^2(x) / sum D^2) where D^2 is the exact
+    squared distance to the current center set (here: the single initial
+    center, vector 0) — the distributed seeding step MLlib's KMeans runs
+    before Lloyd iterations.  O(log n) such rounds followed by weighted
+    re-clustering of the ~l*log(n) seeds complete the init; each round is
+    exactly this operator with the grown center set.
+
+    The Bernoulli draw is DETERMINISTIC and cross-engine exact: u20 =
+    polyhash(md5(vec_id)) mod 2^20 (md5 first: the raw polyhash of a
+    short id string is length-biased, measured 6x over-selection), keep iff u20 * sumD2 < l * D^2 * 2^20 —
+    pure int64 arithmetic on 1e-3-quantized vectors (|D^2| <= 64*(4e3)^2
+    ~ 1e9, so the products stay in int64 while sumD2 < 2^43, i.e. up to
+    ~8e3 G points at this dimensionality; beyond that, shift D^2 right
+    before the comparison).  Emitting (d2, u20, sum_d2) per selected seed
+    pins the entire selection arithmetic in the driver hash, not just the
+    survivor ids.
+
+    Scale: one scan computes D^2 per point (map-side, the center set is a
+    plan literal/broadcast); sumD2 is a 1-row broadcast back onto the
+    same frame; selection is a stateless filter.  Expected output is l
+    rows REGARDLESS of corpus size — the whole point of D^2-proportional
+    sampling."""
+    e = load_table(spark, sf_dir, "embeddings")
+    xe = "transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT))"
+    d0 = e.select("vec_id", F.expr(xe).alias("xe"))
+    c = d0.filter(F.col("vec_id") == 0).select(F.col("xe").alias("ce"))
+    u = H.spark_char_polyhash("md5(CAST(vec_id AS STRING))")
+    d = d0.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(xe, ce, (a, b) -> (a - b) * (a - b)), 0L,"
+            " (acc, v) -> acc + v)"
+        ).alias("d2"),
+        F.expr(f"({u}) % {_U20}").alias("u20"),
+    )
+    s = d.agg(F.sum("d2").alias("sum_d2"))
+    return (
+        d.crossJoin(F.broadcast(s))
+        .filter(F.expr(f"u20 * sum_d2 < {KMEANSPP_L} * d2 * {_U20}"))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("d2").cast("long").alias("d2"),
+            F.col("u20").cast("long").alias("u20"),
+            F.col("sum_d2").cast("long").alias("sum_d2"),
+        )
+        .orderBy("vec_id")
+    )
