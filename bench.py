@@ -167,6 +167,7 @@ HEADLINE = [
     "stream_tiered_rollup",
     "window_gap_fill_locf",
     "emb_kmeans_seed",
+    "mm_speech_segments",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).

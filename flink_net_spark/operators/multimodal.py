@@ -594,6 +594,40 @@ def perceptual_hash(
 AUDIO_FRAME = 32  # code points per analysis frame (the fake corpus's "samples")
 
 
+def audio_frames(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-frame energy stream (doc_id, k, e) from the same decode stage as
+    :func:`audio_energy` — the frame-level output segmentation operators
+    (VAD islands, diarization windows) consume.  Complete frames only;
+    exact integer energies; numpy-vectorized per Arrow batch."""
+    from flink_net_spark.session import ship_package_to_executors
+
+    ship_package_to_executors(df.sparkSession)
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ks, es = [], [], []
+            for i, raw in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(raw)
+                s = _frame_units(b[HEADER_LEN:] if b[:4] == PAYLOAD_MAGIC else b)
+                n = len(s) // AUDIO_FRAME
+                if n == 0:
+                    continue
+                cp = np.fromiter(
+                    map(ord, s[: n * AUDIO_FRAME]), dtype=np.int64, count=n * AUDIO_FRAME
+                )
+                e = (cp * cp).reshape(n, AUDIO_FRAME).sum(axis=1)
+                ids.extend([int(i)] * n)
+                ks.extend(range(n))
+                es.extend(int(x) for x in e)
+            yield pd.DataFrame({"doc_id": ids, "k": ks, "e": es})
+
+    return df.mapInPandas(frames, "doc_id BIGINT, k BIGINT, e BIGINT")
+
+
 def audio_energy(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:

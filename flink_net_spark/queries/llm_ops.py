@@ -497,3 +497,109 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return scene_cuts(attach_payloads(d)).orderBy("doc_id")
+
+
+@query(
+    "mm_speech_segments",
+    oracle="""
+    WITH fe AS (
+        SELECT doc_id, k,
+               CAST(list_sum([ascii(substring(text, k * 32 + i, 1))
+                              * ascii(substring(text, k * 32 + i, 1))
+                              for i in range(1, 33)]) AS BIGINT) AS e
+        FROM (
+            SELECT doc_id, text, UNNEST(range(0, length(text) // 32)) AS k
+            FROM documents
+        )
+    ),
+    act AS (
+        SELECT doc_id, k FROM (
+            SELECT doc_id, k, e,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS n,
+                   SUM(e)   OVER (PARTITION BY doc_id) AS t
+            FROM fe
+        ) WHERE e * n > t
+    ),
+    seg AS (
+        SELECT doc_id, k,
+               k - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY k) AS g
+        FROM act
+    ),
+    segs AS (
+        SELECT doc_id, g, COUNT(*) AS c, MIN(k) AS s
+        FROM seg GROUP BY doc_id, g
+    ),
+    per AS (
+        SELECT doc_id,
+               COUNT(*)  AS n_segments,
+               SUM(c)    AS n_active,
+               MAX(c)    AS longest_seg,
+               MIN(s)    AS first_active_k
+        FROM segs GROUP BY doc_id
+    )
+    SELECT d.doc_id AS doc_id,
+           CAST(COALESCE(p.n_segments, 0) AS BIGINT)      AS n_segments,
+           CAST(COALESCE(p.n_active, 0) AS BIGINT)        AS n_active,
+           CAST(COALESCE(p.longest_seg, 0) AS BIGINT)     AS longest_seg,
+           CAST(COALESCE(p.first_active_k, -1) AS BIGINT) AS first_active_k
+    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def mm_speech_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over the audio payload: active frames
+    (energy strictly above the clip mean — mm_audio_energy's activity
+    rule) merge into maximal consecutive runs via the gaps-and-islands
+    idiom (segment id = k - row_number over active frames), and the clip
+    reports segment count, active-frame total, longest run and first
+    active frame — the VAD -> speech-turn summary audio-curation
+    pipelines cut clips with (Silero/WebRTC-VAD shape, deterministic
+    integer stand-in maths).
+
+    Decode runs once in Arrow batches (operators/multimodal.py::
+    audio_frames, same stage as audio_energy; a real PCM decoder swaps in
+    under the same (doc_id, k, e) schema); everything after is JVM column
+    work.  Clips with no frames or no active frames emit zeros
+    (first_active_k = -1).
+
+    Scale: frame stream is ~len/32 rows per clip, map-generated; the
+    activity threshold and islands windows partition per clip (parallel
+    across clips, never global); the per-clip rollup combines map-side.
+    One doc_id-keyed exchange covers all three window stages — Spark
+    reuses the partitioning across same-key windows."""
+    from flink_net_spark.operators.multimodal import audio_frames
+
+    from pyspark.sql.window import Window as W
+
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    fe = audio_frames(attach_payloads(d))
+    wc = W.partitionBy("doc_id")
+    act = (
+        fe.withColumn("n", F.count(F.lit(1)).over(wc))
+        .withColumn("t", F.sum("e").over(wc))
+        .filter(F.expr("e * n > t"))
+    )
+    seg = act.withColumn(
+        "g", F.col("k") - F.row_number().over(W.partitionBy("doc_id").orderBy("k"))
+    )
+    segs = seg.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("c"), F.min("k").alias("s")
+    )
+    per = segs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("c").alias("n_active"),
+        F.max("c").alias("longest_seg"),
+        F.min("s").alias("first_active_k"),
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+            F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active"),
+            F.coalesce("longest_seg", F.lit(0)).cast("long").alias("longest_seg"),
+            F.coalesce("first_active_k", F.lit(-1)).cast("long").alias("first_active_k"),
+        )
+        .orderBy("doc_id")
+    )
