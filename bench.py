@@ -168,6 +168,7 @@ HEADLINE = [
     "window_gap_fill_locf",
     "emb_kmeans_seed",
     "mm_speech_segments",
+    "agg_hll_sketch_union",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).

@@ -1485,3 +1485,78 @@ def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@query(
+    "agg_hll_sketch_union",
+    oracle="""
+    WITH per AS (
+        SELECT props ->> '$.source' AS src,
+               COUNT(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(DISTINCT user_id) AS exact_total FROM events)
+    SELECT p.src                               AS src,
+           CAST(p.exact_users AS BIGINT)       AS exact_users,
+           TRUE                                AS src_within_bound,
+           CAST(t.exact_total AS BIGINT)       AS exact_total,
+           TRUE                                AS union_within_bound
+    FROM per p CROSS JOIN tot t
+    ORDER BY src
+    """,
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE cardinality sketches — the Apache DataSketches HLL
+    surface (``hll_sketch_agg`` / ``hll_union_agg`` /
+    ``hll_sketch_estimate``, Spark 3.5+): build one binary sketch per
+    source partition, then union the SKETCHES (never re-reading the data)
+    into the corpus-wide estimate — the rollup-cube workflow approximate
+    distinct counting actually ships at 100 TB, where per-segment sketches
+    are stored once and any aggregate view merges them in O(sketch bytes).
+
+    The sketch binaries are engine-specific, so both levels emit the
+    accuracy contract as data (the ``agg_approx_distinct`` round-5
+    discipline): per-source estimate within 5% of the exact distinct, and
+    — the property this query exists to pin — the UNION-OF-SKETCHES
+    estimate within 5% of the true global distinct, which hash-verifies
+    that merging partials loses nothing beyond HLL error (lgk=14 keeps
+    the theoretical RSE ~0.8%, well inside the 5% gate).
+
+    Scale: pass 1 shuffles (src, user) partials for the exact twins (the
+    in-query bound check only — the production path drops them); the
+    sketch path itself shuffles only sketch BLOBs — one ~16 KB buffer per
+    source, constant in corpus size."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.source").alias("src"), "user_id"
+    )
+    per = ev.groupBy("src").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+    )
+    tot = ev.agg(F.countDistinct("user_id").alias("exact_total"))
+    merged = per.agg(F.hll_union_agg("sk").alias("sku")).select(
+        F.hll_sketch_estimate("sku").alias("union_est")
+    )
+    return (
+        per.select(
+            "src",
+            "exact_users",
+            F.hll_sketch_estimate("sk").alias("src_est"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(merged))
+        .select(
+            "src",
+            "exact_users",
+            (
+                F.abs(F.col("src_est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("src_within_bound"),
+            "exact_total",
+            (
+                F.abs(F.col("union_est") - F.col("exact_total"))
+                <= 0.05 * F.col("exact_total")
+            ).alias("union_within_bound"),
+        )
+        .orderBy("src")
+    )
