@@ -261,6 +261,18 @@ SCALE_SMOKE = [
     "sim_rrf_hybrid_ann",
     "dedup_incremental_minhash",
     "dedup_span_novelty",
+    # round-12: the wedge stream is the scale question for triangles (must
+    # stay ~linear via the degree ordering); pagerank's per-iteration
+    # traffic is 2 node-keyed shuffles; bpe/heaps are token-stream shapes
+    # with vocab-bounded reduce sides; kmeans seed output is l rows at ANY
+    # corpus size.  (jl/zorder/speech-segments are deliberately NOT here:
+    # scan-shaped maps and per-clip windows with no cross-row growth path,
+    # pinned by plan audits instead — smoke minutes go to real questions.)
+    "graph_pagerank",
+    "graph_triangle_count",
+    "text_bpe_pairs",
+    "text_heaps_law",
+    "emb_kmeans_seed",
 ]
 
 # One more decade for the five most expensive shapes (opt-in:
@@ -279,6 +291,9 @@ SCALE_SMOKE_100 = [
     # round-10: the restructured one-field df build must stay linear in
     # tokens at any corpus size:
     "dedup_substring_stats",
+    # round-12: two decades of wedge-stream growth — the degree-ordered
+    # bound must hold when the co-order graph densifies:
+    "graph_triangle_count",
 ]
 
 # Shuffle audit: per query, the tables it scans and the max allowed

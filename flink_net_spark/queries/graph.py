@@ -184,6 +184,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRI_BUCKETS = 16
 
 
+BASKET_CAP = 256  # max distinct parts per order entering pair expansion
+
+
 def _duck_triangle_oracle() -> str:
     # rank comparison (deg, node) lexicographic, spelled as explicit
     # booleans so both engines run literally the same predicate
@@ -193,9 +196,15 @@ def _duck_triangle_oracle() -> str:
         SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
         FROM lineitem
     ),
+    grp AS MATERIALIZED (
+        SELECT o, list_sort(list(p))[1:{BASKET_CAP}] AS ps FROM li GROUP BY o
+    ),
+    tok AS MATERIALIZED (
+        SELECT o, unnest(ps) AS p FROM grp
+    ),
     e0 AS MATERIALIZED (
         SELECT DISTINCT a.p AS u, b.p AS v
-        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        FROM tok a JOIN tok b ON a.o = b.o AND a.p < b.p
     ),
     deg AS MATERIALIZED (
         SELECT x AS node, COUNT(*) AS deg
@@ -276,7 +285,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").cast("long").alias("p")
     )
-    grp = li.groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    grp = li.groupBy("o").agg(
+        F.expr(f"slice(sort_array(collect_set(p)), 1, {BASKET_CAP})").alias("ps")
+    )
     pairs = grp.select(
         F.explode(
             F.expr(
