@@ -353,3 +353,140 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
     )
     return scoped_persist(out, e0, fwd)
+
+
+# --------------------------------------------------------------------------
+# Multi-source BFS hop levels via frontier expansion.
+# --------------------------------------------------------------------------
+BFS_HOPS = 3
+BFS_SEED_MOD = 100  # part nodes with partkey % 100 == 1 seed the search
+
+
+def _duck_bfs_oracle() -> str:
+    """Unrolled frontier CTEs: l{i+1} = neighbors(l{i}) \\ visited(0..i),
+    the exact set recurrence the Spark loop runs (anti-join spelled as
+    EXCEPT — both are set difference on the node id)."""
+    ctes = [
+        """e AS MATERIALIZED (
+            SELECT src, dst FROM (
+                SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src,
+                                CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+                FROM lineitem)
+            UNION ALL
+            SELECT dst, src FROM (
+                SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src,
+                                CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+                FROM lineitem)
+        )""",
+        f"""l0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node FROM e
+            WHERE src % 2 = 0 AND (src // 2) % {BFS_SEED_MOD} = 1
+        )""",
+        "v0 AS (SELECT node FROM l0)",
+    ]
+    for i in range(BFS_HOPS):
+        ctes.append(
+            f"""l{i + 1} AS MATERIALIZED (
+            SELECT DISTINCT e.dst AS node FROM e
+            JOIN l{i} ON e.src = l{i}.node
+            EXCEPT SELECT node FROM v{i}
+        )"""
+        )
+        ctes.append(
+            f"v{i + 1} AS (SELECT node FROM v{i} UNION ALL SELECT node FROM l{i + 1})"
+        )
+    lvls = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS lvl, node FROM l{i}"
+        for i in range(BFS_HOPS + 1)
+    )
+    return f"""
+    WITH {','.join(ctes)},
+    lv AS ({lvls})
+    SELECT lvl,
+           CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+           CAST(COUNT(*) AS BIGINT)      AS n_nodes,
+           CAST(SUM(node // 2) AS BIGINT) AS sum_key,
+           CAST(MIN(node // 2) AS BIGINT) AS min_key,
+           CAST(MAX(node // 2) AS BIGINT) AS max_key
+    FROM lv
+    GROUP BY lvl, kind
+    ORDER BY lvl, kind
+    """
+
+
+@query("graph_bfs_levels", oracle=_duck_bfs_oracle())
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source breadth-first hop levels over the part<->supplier
+    graph — the Pregel frontier-expansion shape (Malewicz 2010) as
+    DataFrame joins: level i+1 is the distinct neighbor set of level i
+    minus everything already visited.  Training-data pipelines use
+    exactly this for seed-set expansion (grow a trusted-domain crawl
+    frontier K hops out) and contamination blast-radius audits (which
+    documents sit within K links of a benchmark page).
+
+    Seeds: part nodes with partkey % {BFS_SEED_MOD} == 1 — deterministic,
+    present at every scale factor.  {BFS_HOPS} hops; on the bipartite
+    graph odd levels are suppliers, even levels parts, which the output's
+    ``kind`` column makes visible (and the oracle must agree on).
+
+    Determinism: pure set algebra on BIGINT node ids — no floats, no
+    ordering hazard at any parallelism.  The Spark anti-join and the
+    oracle's EXCEPT are the same set difference.
+
+    Scale (the design question for BFS at 100 TB): each hop is one
+    equi-join of the persisted edge frame against the CURRENT frontier
+    (node-keyed shuffle, frontier is usually a broadcast-sized fraction
+    of the graph) plus one anti-join against the visited set — also
+    node-keyed, so AQE plans both as broadcast while the frontier is
+    small and falls back to shuffle-hash when it saturates.  Hop count is
+    a bounded constant, so lineage stays flat without checkpointing; the
+    visited set is re-persisted per hop and every per-hop frontier is a
+    distinct-deduped node list, never the edge multiset."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (F.col("l_partkey") * 2).cast("long").alias("src"),
+        (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+    ).distinct()
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    frontier = (
+        edges.filter(
+            (F.col("src") % 2 == 0)
+            & (F.expr("src div 2") % BFS_SEED_MOD == 1)
+        )
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .persist()
+    )
+    visited = frontier.withColumn("lvl", F.lit(0).cast("long")).persist()
+    persisted = [edges, frontier, visited]
+    for i in range(BFS_HOPS):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .persist()
+        )
+        visited = visited.union(
+            nxt.withColumn("lvl", F.lit(i + 1).cast("long"))
+        ).persist()
+        frontier = nxt
+        persisted += [nxt, visited]
+    out = (
+        visited.groupBy(
+            "lvl",
+            F.when(F.col("node") % 2 == 0, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.expr("node div 2")).alias("sum_key"),
+            F.min(F.expr("node div 2")).alias("min_key"),
+            F.max(F.expr("node div 2")).alias("max_key"),
+        )
+        .orderBy("lvl", "kind")
+    )
+    return scoped_persist(out, *persisted)

@@ -1560,3 +1560,90 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src")
     )
+
+
+@query(
+    "agg_weighted_quantiles",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
+               SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS w
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus,
+                 CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+    ),
+    c AS (
+        SELECT l_returnflag, l_linestatus, v, w,
+               SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY v) AS cum,
+               SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus) AS tot
+        FROM b
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(MAX(tot) AS BIGINT)                          AS w_total,
+           CAST(MIN(CASE WHEN 4 * cum >= tot THEN v END) AS BIGINT)
+                                                             AS wp25_cents,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN v END) AS BIGINT)
+                                                             AS wp50_cents,
+           CAST(MIN(CASE WHEN 4 * cum >= 3 * tot THEN v END) AS BIGINT)
+                                                             AS wp75_cents
+    FROM c
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED quantiles per group — the lower weighted median /
+    quartiles of price weighted by quantity: the smallest value v whose
+    cumulative weight reaches p of the group total.  Data-curation
+    pipelines need the weighted form constantly (token-weighted doc-length
+    medians, sample-weighted quality thresholds); Spark has no built-in,
+    so this is the composition: aggregate weights per DISTINCT value,
+    one cumulative-sum window over the value order, conditional-min pick.
+
+    Determinism: values are exact price cents (ROUND then CAST on both
+    engines) and weights exact integer quantities — the running sum is
+    integer arithmetic over a total order, no float summation hazard.
+
+    Scale: the groupBy collapses the corpus to the distinct (group, cents)
+    domain map-side — bounded by the PRICE RANGE (~10^7 cells), CONSTANT
+    in corpus size — so the window's per-group sort runs over the bounded
+    domain no matter how many source rows fed it.  That pre-collapse is
+    the difference between this plan and a naive percentile over raw rows
+    (which sorts the corpus); it is why exact weighted quantiles stay
+    feasible at 100 TB while exact unweighted percentiles (agg_percentiles)
+    degrade to the approx path."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias("v"),
+    ).agg(F.sum(F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)")).alias("w"))
+    grp = Window.partitionBy("l_returnflag", "l_linestatus")
+    c = b.select(
+        "l_returnflag",
+        "l_linestatus",
+        "v",
+        "w",
+        F.sum("w").over(grp.orderBy("v")).alias("cum"),
+        F.sum("w").over(grp).alias("tot"),
+    )
+    return (
+        c.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.max("tot").alias("w_total"),
+            F.min(F.when(4 * F.col("cum") >= F.col("tot"), F.col("v"))).alias(
+                "wp25_cents"
+            ),
+            F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("v"))).alias(
+                "wp50_cents"
+            ),
+            F.min(
+                F.when(4 * F.col("cum") >= 3 * F.col("tot"), F.col("v"))
+            ).alias("wp75_cents"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

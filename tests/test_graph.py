@@ -71,3 +71,42 @@ def test_triangle_count_matches_handbuilt_graph(spark):
     rows = df.collect()
     release_persisted(df)
     assert sum(r["n_tri"] for r in rows) == expected
+
+
+def test_bfs_levels_match_handbuilt_bfs(spark):
+    """Per-level node sets must equal an independent Python BFS over the
+    same bipartite adjacency at sf0.001 — catches off-by-one-hop and
+    visited-set bugs that a consistently-wrong oracle pair would share."""
+    from flink_net_spark.queries.graph import BFS_HOPS, BFS_SEED_MOD
+    from flink_net_spark.tables import load_table, release_persisted
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey").collect()
+    adj: dict = {}
+    for r in li:
+        p, s = int(r["l_partkey"]) * 2, int(r["l_suppkey"]) * 2 + 1
+        adj.setdefault(p, set()).add(s)
+        adj.setdefault(s, set()).add(p)
+    frontier = {n for n in adj if n % 2 == 0 and (n // 2) % BFS_SEED_MOD == 1}
+    assert frontier, "fixture must produce at least one seed"
+    visited = dict.fromkeys(frontier, 0)
+    for lvl in range(1, BFS_HOPS + 1):
+        frontier = {
+            m for n in frontier for m in adj[n] if m not in visited
+        }
+        for m in frontier:
+            visited[m] = lvl
+    expected = {}
+    for n, lvl in visited.items():
+        kind = "part" if n % 2 == 0 else "supplier"
+        st = expected.setdefault((lvl, kind), [0, 0])
+        st[0] += 1
+        st[1] += n // 2
+    df = QUERIES["graph_bfs_levels"](spark, sf)
+    rows = df.collect()
+    release_persisted(df)
+    got = {(r["lvl"], r["kind"]): [r["n_nodes"], r["sum_key"]] for r in rows}
+    assert got == expected
+    # bipartite parity: even levels are parts, odd levels suppliers
+    for (lvl, kind) in got:
+        assert kind == ("part" if lvl % 2 == 0 else "supplier")

@@ -113,6 +113,21 @@ NESTED_LOOP_ALLOWED = {
     # stays the equi-join on cent_id.  sim_rrf_hybrid_ann composes it.
     "sim_ann_ivf",
     "sim_rrf_hybrid_ann",
+    # agg_hll_sketch_union — crossJoins against the 1-row exact-total and
+    # the 1-row merged-sketch-estimate scalars; the sketch build/union is
+    # a groupBy + single-row agg, never a corpus join.
+    "agg_hll_sketch_union",
+    # window_gap_fill_locf — the T-row distinct event_type dim crosses the
+    # 1-row global (h0, h1) hour-bounds scalar to build the bounded time
+    # grid; the grid meets the data in a hash equi-join on (type, hour).
+    "window_gap_fill_locf",
+    # text_heaps_law — crossJoins against the 1-row corpus token total;
+    # the vocabulary-growth curve itself is a window over first-seen ranks.
+    "text_heaps_law",
+    # emb_kmeans_seed — crossJoins against the 1-row seed-center vector
+    # and the 1-row sum(D²) scalar; selection is a stateless filter, l
+    # output rows at any corpus size.
+    "emb_kmeans_seed",
 }
 
 # Queries machine-tagged as deliberate non-scale-safe ground truth (META)
@@ -261,21 +276,30 @@ def test_no_sf_scaled_broadcast_hints():
                     "bw", "cells", "eval_sh", "k0row", "nrow", "ntok",
                     "shift", "tau", "thr", "tot", "wts",
                 },
-                "relational.py": {"n", "r"},
+                # tot/merged = the 1-row exact-total resp. merged-sketch-
+                # estimate scalars (agg_hll_sketch_union)
+                "relational.py": {"n", "r", "tot", "merged"},
+                # b = the 1-row global (h0, h1) hour-bounds scalar that
+                # frames the time grid (window_gap_fill_locf)
+                "windows.py": {"b"},
                 # seeds = the N_QUERIES (5-row) probe-query vectors backing
                 # the planted-neighbor fixture (sim_ann_planted_recall);
                 # planted = its fixed 40-row (PLANT_HI - PLANT_LO) truth id
                 # set — corpus-size-independent by construction
+                # s = the 1-row sum(D²) scalar of the D²-proportional
+                # seeding draw (emb_kmeans_seed)
                 "similarity.py": {
                     "_st_planes_df", "adc", "c", "cb", "cb1", "cells",
                     "cells1", "cent", "cents", "mrow", "nn", "planes",
-                    "planted", "probes", "q", "seeds", "sizes", "st",
+                    "planted", "probes", "q", "s", "seeds", "sizes", "st",
                 },
                 "streaming_queries.py": {"nation"},
                 "temporal.py": {"converted"},
+                # n = the 1-row corpus token total framing the vocabulary-
+                # growth curve (text_heaps_law)
                 "text.py": {
-                    "bo_floor", "btln", "btot", "k0row", "st_ln", "tot_ln",
-                    "tri_k0", "ux_floor",
+                    "bo_floor", "btln", "btot", "k0row", "n", "st_ln",
+                    "tot_ln", "tri_k0", "ux_floor",
                 },
                 "tpch_extra.py": {"mx", "n", "n1", "n2", "r", "thr"},
             }

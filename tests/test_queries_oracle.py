@@ -54,3 +54,43 @@ def test_registry_metadata_complete():
         # variant (RRF consumes only (query, neighbor, rank) tuples)
         "sim_rrf_hybrid",
     }
+
+
+def test_weighted_quantiles_match_handbuilt(spark):
+    """agg_weighted_quantiles must equal an independent Python weighted-
+    median computation at sf0.001 — guards against a cumulative-window
+    definition both engines could share wrongly (e.g. strict > vs >=)."""
+    from flink_net_spark.tables import load_table
+
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    acc: dict = {}
+    for r in li:
+        k = (r["l_returnflag"], r["l_linestatus"])
+        v = int(round(r["l_extendedprice"] * 100))
+        acc.setdefault(k, {}).setdefault(v, 0)
+        acc[k][v] += int(round(r["l_quantity"]))
+    expected = {}
+    for k, wm in acc.items():
+        tot = sum(wm.values())
+        picks, cum = {}, 0
+        for v in sorted(wm):
+            cum += wm[v]
+            if "p25" not in picks and 4 * cum >= tot:
+                picks["p25"] = v
+            if "p50" not in picks and 2 * cum >= tot:
+                picks["p50"] = v
+            if "p75" not in picks and 4 * cum >= 3 * tot:
+                picks["p75"] = v
+        expected[k] = (tot, picks["p25"], picks["p50"], picks["p75"])
+    rows = QUERIES["agg_weighted_quantiles"](spark, SF_DIR).collect()
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): (
+            r["w_total"], r["wp25_cents"], r["wp50_cents"], r["wp75_cents"]
+        )
+        for r in rows
+    }
+    assert got == expected
