@@ -169,6 +169,9 @@ HEADLINE = [
     "emb_kmeans_seed",
     "mm_speech_segments",
     "agg_hll_sketch_union",
+    "graph_bfs_levels",
+    "agg_weighted_quantiles",
+    "text_collocations_pmi",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
@@ -273,6 +276,11 @@ SCALE_SMOKE = [
     "text_bpe_pairs",
     "text_heaps_law",
     "emb_kmeans_seed",
+    # round-12b: BFS frontier growth is the scale question (each hop's
+    # join volume tracks the frontier, not the corpus); weighted quantiles
+    # must stay bounded by the distinct-cents domain as rows grow 10×
+    "graph_bfs_levels",
+    "agg_weighted_quantiles",
 ]
 
 # One more decade for the five most expensive shapes (opt-in:
@@ -531,6 +539,14 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # BIGINT term hashes (0.30 MB) + the rewritten IVF leg (0.05 MB) +
     # integer fusion of two bounded pools:
     "sim_rrf_hybrid_ann": (["documents", "embeddings"], 0.5),  # measured 0.286
+    # round-12b: BFS traffic is the persisted distinct edge list (built
+    # once: one dedup exchange over (part, supp) pairs) + per-hop
+    # frontier/visited node-id exchanges — BIGINTs only, frontier-sized:
+    "graph_bfs_levels": (["lineitem"], None),
+    # round-12b: the corpus collapses map-side to the distinct
+    # (group, cents) domain; the exchange carries only those partials +
+    # the bounded window input:
+    "agg_weighted_quantiles": (["lineitem"], None),
 }
 
 

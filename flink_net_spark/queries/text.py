@@ -2172,3 +2172,121 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "new_terms", "vocab_cum", "n_tokens", "tokens_cum")
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# PMI collocation mining.
+# --------------------------------------------------------------------------
+PMI_MIN_COUNT = 5
+PMI_TOPK = 100
+
+
+@query(
+    "text_collocations_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT p.w1 AS w1, p.w2 AS w2
+        FROM toks, UNNEST([{{'w1': t[i], 'w2': t[i + 1]}}
+                           for i in range(1, len(t))]) AS u(p)
+    ),
+    c2 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM bg GROUP BY w1, w2
+    ),
+    cl AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_left FROM c2 GROUP BY w1),
+    cr AS (SELECT w2, CAST(SUM(n_pair) AS BIGINT) AS n_right FROM c2 GROUP BY w2),
+    tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS nb FROM c2),
+    totl AS (SELECT nb, {DM.duckdb_det_ln_select("nb", "pn")} FROM tot),
+    j AS (
+        SELECT c2.w1, c2.w2, c2.n_pair, cl.n_left, cr.n_right
+        FROM c2 JOIN cl ON cl.w1 = c2.w1 JOIN cr ON cr.w2 = c2.w2
+        WHERE c2.n_pair >= {PMI_MIN_COUNT}
+    ),
+    lnj AS (
+        SELECT w1, w2, n_pair, n_left, n_right,
+               {DM.duckdb_det_ln_select("n_pair", "pc")},
+               {DM.duckdb_det_ln_select("n_left", "pa")},
+               {DM.duckdb_det_ln_select("n_right", "pb")}
+        FROM j
+    )
+    SELECT w1, w2, n_pair, n_left, n_right,
+           CAST(ROUND((pc_ln + pn_ln - pa_ln - pb_ln) * 1000000) AS BIGINT)
+               AS pmi_e6
+    FROM lnj CROSS JOIN totl
+    ORDER BY pmi_e6 DESC, w1, w2
+    LIMIT {PMI_TOPK}
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining — the phrase-mining
+    primitive (Church & Hanks 1990) corpus pipelines use to find
+    multi-word expressions worth single-token treatment: PMI(w1, w2) =
+    ln(c(w1,w2) · N / (c(w1·) · c(·w2))) over bigram counts, with the
+    standard count floor (n_pair >= {PMI_MIN_COUNT}) that keeps PMI's
+    low-frequency bias out of the ranking.
+
+    Float discipline: all four logs run the deterministic-ln chain
+    (functions/detmath.py) on exact integer counts, combined in one
+    literal IEEE expression identical on both engines and quantized to
+    integer micro-nats before the top-k — bit-stable at any parallelism.
+
+    Scale: ONE (w1,w2)-keyed aggregation builds the pair table; the two
+    marginal tables re-aggregate from IT (bounded by vocabulary², in
+    practice vocabulary-sized — never a second pass over the corpus
+    stream), the N total is a 1-row broadcast, and the final top-k is
+    TakeOrderedAndProject (per-partition heads, no global sort).  The
+    marginal joins shuffle only the LM-table-sized count frames."""
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("t")
+    )
+    bg = (
+        toks.select(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i - 1] AS w1, t[i] AS w2)) "
+                "ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"
+            ).alias("bgs"),
+        )
+        .select(F.explode("bgs").alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair")).persist()
+    cl = c2.groupBy("w1").agg(F.sum("n_pair").alias("n_left"))
+    cr = c2.groupBy("w2").agg(F.sum("n_pair").alias("n_right"))
+    btot = DM.spark_with_det_ln(
+        c2.agg(F.sum("n_pair").alias("nb")), "nb", "pn"
+    ).select("pn_ln")
+    j = (
+        c2.filter(F.col("n_pair") >= PMI_MIN_COUNT)
+        .join(cl, "w1")
+        .join(cr, "w2")
+    )
+    lnj = DM.spark_with_det_ln(
+        DM.spark_with_det_ln(
+            DM.spark_with_det_ln(j, "n_pair", "pc"), "n_left", "pa"
+        ),
+        "n_right",
+        "pb",
+    )
+    out = (
+        lnj.crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.col("n_left").cast("long").alias("n_left"),
+            F.col("n_right").cast("long").alias("n_right"),
+            F.expr(
+                "CAST(ROUND((pc_ln + pn_ln - pa_ln - pb_ln) * 1000000) AS BIGINT)"
+            ).alias("pmi_e6"),
+        )
+        .orderBy(F.desc("pmi_e6"), "w1", "w2")
+        .limit(PMI_TOPK)
+    )
+    return scoped_persist(out, c2)

@@ -128,6 +128,10 @@ NESTED_LOOP_ALLOWED = {
     # and the 1-row sum(D²) scalar; selection is a stateless filter, l
     # output rows at any corpus size.
     "emb_kmeans_seed",
+    # text_collocations_pmi — crossJoin against the 1-row bigram-total
+    # scalar (with its det-ln columns); the marginal joins are hash equi
+    # on w1/w2 over the bounded pair-count table.
+    "text_collocations_pmi",
 }
 
 # Queries machine-tagged as deliberate non-scale-safe ground truth (META)
