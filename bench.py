@@ -172,6 +172,7 @@ HEADLINE = [
     "graph_bfs_levels",
     "agg_weighted_quantiles",
     "text_collocations_pmi",
+    "agg_ks_drift",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).

@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_net_spark.queries import query
-from flink_net_spark.tables import load_table
+from flink_net_spark.tables import load_table, scoped_persist
 
 
 # --------------------------------------------------------------------------
@@ -1647,3 +1647,123 @@ def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "agg_ks_drift",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type AS t,
+               CAST(ROUND(value * 1000, 0) AS BIGINT) AS v
+        FROM events
+    ),
+    cnt AS (
+        SELECT t, v, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY t, v
+    ),
+    base AS (SELECT v, c AS nb FROM cnt WHERE t = 'view'),
+    oth  AS (SELECT t, v, c AS na FROM cnt WHERE t <> 'view'),
+    dom AS (
+        SELECT t, v FROM oth
+        UNION
+        SELECT ty.t, b.v
+        FROM (SELECT DISTINCT t FROM oth) ty CROSS JOIN base b
+    ),
+    j AS (
+        SELECT dom.t, dom.v,
+               COALESCE(o.na, 0) AS na, COALESCE(b.nb, 0) AS nb
+        FROM dom
+        LEFT JOIN oth o ON o.t = dom.t AND o.v = dom.v
+        LEFT JOIN base b ON b.v = dom.v
+    ),
+    w AS (
+        SELECT t, v, na, nb,
+               SUM(na) OVER (PARTITION BY t ORDER BY v) AS cum_a,
+               SUM(nb) OVER (PARTITION BY t ORDER BY v) AS cum_b,
+               SUM(na) OVER (PARTITION BY t) AS n_a,
+               SUM(nb) OVER (PARTITION BY t) AS n_b
+        FROM j
+    )
+    SELECT t AS event_type,
+           CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+           CAST((1000000 * MAX(ABS(cum_a * n_b - cum_b * n_a)))
+                // (MAX(n_a) * MAX(n_b)) AS BIGINT) AS d_e6
+    FROM w
+    GROUP BY t
+    ORDER BY t
+    """,
+)
+def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance — the distribution-
+    drift monitor data pipelines run between corpus snapshots (did the
+    `value` distribution of each event class move against the 'view'
+    baseline?): D = sup_v |F_A(v) - F_B(v)| over the joint support.
+
+    Integer-exact cross-engine: the supremum is computed on the CROSS-
+    MULTIPLIED form |cumA·N_B - cumB·N_A| (exact BIGINTs — no per-row
+    division), and only the final reported d_e6 divides, as integer
+    division of two exact products.  No float ever enters the ECDF walk.
+    int64 bounds: needs N_A·N_B < 2^63 (~3e9 rows per side); beyond that
+    report (d_num, n_a, n_b) per stratum and divide in 128-bit outside,
+    or pre-stratify — the statistic itself is per-snapshot-pair, never
+    corpus-global.
+
+    Scale: one corpus pass collapses to the (type, milli-value) domain
+    map-side — bounded by the value range, constant in corpus size (the
+    agg_weighted_quantiles discipline) — so the ECDF windows and the
+    baseline-support replication run over bounded frames regardless of
+    input rows.  The 5-row type dim is the only broadcast."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        F.expr("CAST(ROUND(value * 1000, 0) AS BIGINT)").alias("v"),
+    )
+    cnt = ev.groupBy("t", "v").agg(F.count(F.lit(1)).alias("c")).persist()
+    base = cnt.filter(F.col("t") == "view").select("v", F.col("c").alias("nb"))
+    oth = cnt.filter(F.col("t") != "view").select(
+        "t", "v", F.col("c").alias("na")
+    )
+    types = oth.select("t").distinct()
+    dom = (
+        oth.select("t", "v")
+        .union(base.select("v").crossJoin(F.broadcast(types)).select("t", "v"))
+        .distinct()
+    )
+    j = (
+        dom.join(oth, ["t", "v"], "left")
+        .join(base, "v", "left")
+        .select(
+            "t",
+            "v",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    grp = Window.partitionBy("t")
+    w = j.select(
+        "t",
+        "na",
+        "nb",
+        F.sum("na").over(grp.orderBy("v")).alias("cum_a"),
+        F.sum("nb").over(grp.orderBy("v")).alias("cum_b"),
+        F.sum("na").over(grp).alias("n_a"),
+        F.sum("nb").over(grp).alias("n_b"),
+    )
+    out = (
+        w.groupBy(F.col("t").alias("event_type"))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+            ).alias("d_num"),
+            F.expr(
+                "CAST((1000000 * MAX(ABS(cum_a * n_b - cum_b * n_a)))"
+                " div (MAX(n_a) * MAX(n_b)) AS BIGINT)"
+            ).alias("d_e6"),
+        )
+        .orderBy("event_type")
+    )
+    return scoped_persist(out, cnt)

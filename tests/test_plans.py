@@ -132,6 +132,10 @@ NESTED_LOOP_ALLOWED = {
     # scalar (with its det-ln columns); the marginal joins are hash equi
     # on w1/w2 over the bounded pair-count table.
     "text_collocations_pmi",
+    # agg_ks_drift — crossJoin against the schema-fixed 5-row event-type
+    # dim to replicate the bounded baseline support; the ECDF joins are
+    # hash equi on (t, v) over value-domain-bounded count frames.
+    "agg_ks_drift",
 }
 
 # Queries machine-tagged as deliberate non-scale-safe ground truth (META)
@@ -281,8 +285,9 @@ def test_no_sf_scaled_broadcast_hints():
                     "shift", "tau", "thr", "tot", "wts",
                 },
                 # tot/merged = the 1-row exact-total resp. merged-sketch-
-                # estimate scalars (agg_hll_sketch_union)
-                "relational.py": {"n", "r", "tot", "merged"},
+                # estimate scalars (agg_hll_sketch_union); types = the
+                # schema-fixed 5-row event-type dim (agg_ks_drift)
+                "relational.py": {"n", "r", "tot", "merged", "types"},
                 # b = the 1-row global (h0, h1) hour-bounds scalar that
                 # frames the time grid (window_gap_fill_locf)
                 "windows.py": {"b"},
