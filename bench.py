@@ -173,6 +173,7 @@ HEADLINE = [
     "agg_weighted_quantiles",
     "text_collocations_pmi",
     "agg_ks_drift",
+    "window_outlier_3sigma",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).

@@ -399,3 +399,113 @@ def window_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_ms", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling 3-sigma outlier flags in exact integer arithmetic.
+# --------------------------------------------------------------------------
+OUTLIER_FRAME = 20  # trailing history rows per key
+OUTLIER_MIN_N = 10  # warm-up: no verdict until this much history
+OUTLIER_K = 3  # sigma multiplier
+
+
+@query(
+    "window_outlier_3sigma",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(ROUND(value * 1000, 0) AS BIGINT) AS v,
+               ts
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, event_type, v,
+               COUNT(v) OVER f            AS n,
+               SUM(v) OVER f              AS s,
+               SUM(v * v) OVER f          AS s2
+        FROM ev
+        WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {OUTLIER_FRAME} PRECEDING AND 1 PRECEDING)
+    ),
+    flags AS (
+        SELECT event_id, event_type,
+               (n * v - s) * (n * v - s) >
+                   {OUTLIER_K * OUTLIER_K} * (n * s2 - s * s) AS is_anom
+        FROM w
+        WHERE n >= {OUTLIER_MIN_N}
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)                       AS n_eval,
+           CAST(SUM(CASE WHEN is_anom THEN 1 ELSE 0 END) AS BIGINT)
+                                                          AS n_anom,
+           CAST(SUM(CASE WHEN is_anom THEN event_id ELSE 0 END) AS BIGINT)
+                                                          AS sum_anom_ids
+    FROM flags
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def window_outlier_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling per-key 3-sigma outlier detection with ZERO floating point —
+    the streaming-telemetry anomaly primitive (flag a reading that sits
+    more than k·sigma from its own trailing-window mean) in exact integer
+    cross-multiplication: (v - s/n)² > k²·(s2/n - (s/n)²) is multiplied
+    through by n² to (n·v - s)² > k²·(n·s2 - s²), so the verdict is a
+    BIGINT comparison both engines evaluate identically — no sqrt, no
+    division, no epsilon.
+
+    The frame is the {OUTLIER_FRAME} PRECEDING..1 PRECEDING trailing rows
+    per user (the point itself excluded — self-inclusion dilutes the
+    deviation it is testing), with a {OUTLIER_MIN_N}-row warm-up before
+    any verdict.  int64 bound: |n·v| ≤ {OUTLIER_FRAME}·v_max keeps the
+    squared term safe while v_max ≤ ~2^27 milli-units (~134k units);
+    wider-ranged measures shift to centi-units first.
+
+    Scale: one user-keyed shuffle, per-key sorted frames of constant
+    depth — Spark's running-window frame keeps O(frame) state per key, so
+    memory is flat no matter how long each key's history grows, and keys
+    distribute freely across executors.  The output is the per-class
+    audit summary (counts + anomalous-id checksum), constant-width."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("CAST(ROUND(value * 1000, 0) AS BIGINT)").alias("v"),
+        "ts",
+    )
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-OUTLIER_FRAME, -1)
+    )
+    w = ev.select(
+        "event_id",
+        "event_type",
+        "v",
+        F.count("v").over(f).alias("n"),
+        F.sum("v").over(f).alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(f).alias("s2"),
+    )
+    flags = w.filter(F.col("n") >= OUTLIER_MIN_N).select(
+        "event_id",
+        "event_type",
+        (
+            (F.col("n") * F.col("v") - F.col("s"))
+            * (F.col("n") * F.col("v") - F.col("s"))
+            > OUTLIER_K * OUTLIER_K
+            * (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+        ).alias("is_anom"),
+    )
+    return (
+        flags.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(F.when(F.col("is_anom"), 1).otherwise(0)).alias("n_anom"),
+            F.sum(F.when(F.col("is_anom"), F.col("event_id")).otherwise(0)).alias(
+                "sum_anom_ids"
+            ),
+        )
+        .orderBy("event_type")
+    )

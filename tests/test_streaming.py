@@ -445,3 +445,46 @@ def test_rocksdb_state_backend_is_active_and_correct(spark, tmp_path):
         if f.endswith((".zip", ".changelog"))
     ]
     assert arts, "no RocksDB snapshot/changelog artifacts under the state checkpoint"
+
+
+def test_file_source_orc_roundtrip(spark, tmp_path):
+    """Format coverage past the reference's text/csv/json set: ORC is an
+    engine-native column format the generic FileSource must pass through
+    untouched — batch AND micro-batch reads of the same directory, with a
+    value checksum against the parquet original (not just a row count)."""
+    src = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_id") < 500)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    truth = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("s"),
+        F.sum(F.expr("CAST(ROUND(value * 1000, 0) AS BIGINT)")).alias("v"),
+    ).collect()[0]
+    p = str(tmp_path / "orc")
+    src.repartition(3).write.orc(p)
+
+    bounded = FileSource(path=p, format="orc", bounded=True).load(spark)
+    assert not bounded.isStreaming
+    got = bounded.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("s"),
+        F.sum(F.expr("CAST(ROUND(value * 1000, 0) AS BIGINT)")).alias("v"),
+    ).collect()[0]
+    assert tuple(got) == tuple(truth)
+
+    streaming = FileSource(
+        path=p,
+        format="orc",
+        schema="event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
+        bounded=False,
+        max_files_per_trigger=1,
+    ).load(spark)
+    assert streaming.isStreaming
+    run_to_completion(
+        memory_sink(streaming, "orc_src_test").option(
+            "checkpointLocation", str(tmp_path / "ck_orc")
+        )
+    )
+    assert spark.table("orc_src_test").count() == truth["n"]
