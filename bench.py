@@ -174,6 +174,7 @@ HEADLINE = [
     "text_collocations_pmi",
     "agg_ks_drift",
     "window_outlier_3sigma",
+    "cdc_scd2_versions",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).

@@ -263,3 +263,76 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "cdc_scd2_versions",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type AS status, ts, event_id FROM events
+    ),
+    ch AS (
+        SELECT user_id, status, ts, event_id,
+               LAG(status) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+        FROM ev
+    ),
+    v AS (
+        SELECT user_id, status, ts,
+               CAST(ROW_NUMBER() OVER w AS BIGINT)      AS version_no,
+               LEAD(ts) OVER w                          AS next_ts
+        FROM ch
+        WHERE prev IS NULL OR prev <> status
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT CAST(user_id AS BIGINT)        AS user_id,
+           version_no,
+           status,
+           CAST(epoch_ms(ts) AS BIGINT)   AS valid_from_ms,
+           CAST(epoch_ms(next_ts) AS BIGINT) AS valid_to_ms,
+           next_ts IS NULL                AS is_current
+    FROM v
+    ORDER BY user_id, version_no
+    """,
+)
+def cdc_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change stream — the
+    CDC companion to ``stream_cdc_upsert_snapshot`` (which keeps only the
+    LATEST state): collapse consecutive duplicate states per key (a true
+    SCD2 opens a version only when the tracked attribute CHANGES), then
+    stamp each surviving change with [valid_from, valid_to) from the next
+    change's timestamp, version numbers, and an is_current flag — the
+    standard warehouse dimension-history build (Kimball type 2).
+
+    Determinism: the per-key order is the total (ts, event_id) order, so
+    lag-dedup, version numbering, and interval stamping are all exact;
+    timestamps leave as epoch-ms BIGINTs (the module discipline), the
+    open interval as a NULL valid_to + is_current marker.
+
+    Scale: ONE user-keyed shuffle — the lag filter, row_number, and lead
+    all share the same (partition, order) spec, which Spark collapses
+    into a single sort + Window pass; state per key is one row of
+    look-behind/ahead.  At 100 TB this is the canonical merge-on-read
+    CDC compaction shape: keys distribute freely, nothing is global."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("event_type").alias("status"), "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = ev.select(
+        "user_id", "status", "ts", "event_id", F.lag("status").over(w).alias("prev")
+    ).filter(F.col("prev").isNull() | (F.col("prev") != F.col("status")))
+    v = ch.select(
+        "user_id",
+        "status",
+        "ts",
+        F.row_number().over(w).cast("long").alias("version_no"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    return v.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "version_no",
+        "status",
+        F.expr("CAST(unix_millis(ts) AS BIGINT)").alias("valid_from_ms"),
+        F.expr("CAST(unix_millis(next_ts) AS BIGINT)").alias("valid_to_ms"),
+        F.col("next_ts").isNull().alias("is_current"),
+    ).orderBy("user_id", "version_no")
