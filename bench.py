@@ -175,6 +175,7 @@ HEADLINE = [
     "agg_ks_drift",
     "window_outlier_3sigma",
     "cdc_scd2_versions",
+    "join_asof_nearest",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).

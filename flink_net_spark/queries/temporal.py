@@ -336,3 +336,89 @@ def cdc_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(unix_millis(next_ts) AS BIGINT)").alias("valid_to_ms"),
         F.col("next_ts").isNull().alias("is_current"),
     ).orderBy("user_id", "version_no")
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH v AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view'),
+    c AS (SELECT DISTINCT user_id, ts FROM events
+          WHERE event_type = 'click'),
+    back AS (
+        SELECT v.event_id, v.user_id, v.ts, c.ts AS bts
+        FROM v ASOF LEFT JOIN c
+          ON v.user_id = c.user_id AND v.ts >= c.ts
+    ),
+    fwd AS (
+        SELECT v.event_id, c.ts AS fts
+        FROM v ASOF LEFT JOIN c
+          ON v.user_id = c.user_id AND v.ts <= c.ts
+    )
+    SELECT b.event_id,
+           CAST(b.user_id AS BIGINT)      AS user_id,
+           CAST(epoch_ms(b.ts) AS BIGINT) AS ts_ms,
+           CAST(epoch_ms(CASE
+               WHEN f.fts IS NULL THEN b.bts
+               WHEN b.bts IS NULL THEN f.fts
+               WHEN epoch_ms(b.ts) - epoch_ms(b.bts)
+                    <= epoch_ms(f.fts) - epoch_ms(b.ts) THEN b.bts
+               ELSE f.fts END) AS BIGINT) AS nearest_click_ms
+    FROM back b JOIN fwd f ON f.event_id = b.event_id
+    ORDER BY b.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event as-of join — every 'view' picks the 'click' by the
+    same user closest in time in EITHER direction (ties go backward),
+    the sensor-alignment semantic (pandas ``merge_asof
+    direction='nearest'``) that neither Spark nor the reference has a
+    verb for.
+
+    Composition: the ``join_asof`` stacked-frame trick run BOTH ways over
+    the same user-keyed sort — running ``last`` over the preceding frame
+    gives the backward candidate, running ``first`` over the following
+    frame the forward candidate, and a constant-width projection picks
+    the nearer.  A same-instant click is the backward candidate at
+    distance zero (right sorts before left on ties), so the pick is
+    total with no double-count.
+
+    Scale: identical to join_asof — ONE shuffle on user_id, one
+    within-partition sort feeding both window directions (same spec, two
+    frames), no range-join explosion, no per-row probe; the same plan at
+    any corpus size."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    is_right = F.col("event_type") == "click"
+    stacked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(is_right, F.col("ts")).alias("rts"),
+        F.when(is_right, 0).otherwise(1).alias("side"),
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "side")
+    back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return (
+        stacked.withColumn("bts", F.last("rts", ignorenulls=True).over(back))
+        .withColumn("fts", F.first("rts", ignorenulls=True).over(fwd))
+        .filter(F.col("event_type") == "view")
+        .select(
+            "event_id",
+            F.col("user_id").cast("long").alias("user_id"),
+            F.unix_millis("ts").alias("ts_ms"),
+            F.expr(
+                "CAST(CASE"
+                " WHEN fts IS NULL THEN unix_millis(bts)"
+                " WHEN bts IS NULL THEN unix_millis(fts)"
+                " WHEN unix_millis(ts) - unix_millis(bts)"
+                "      <= unix_millis(fts) - unix_millis(ts)"
+                " THEN unix_millis(bts)"
+                " ELSE unix_millis(fts) END AS BIGINT)"
+            ).alias("nearest_click_ms"),
+        )
+        .orderBy("event_id")
+    )
