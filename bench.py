@@ -176,6 +176,10 @@ HEADLINE = [
     "window_outlier_3sigma",
     "cdc_scd2_versions",
     "join_asof_nearest",
+    "join_point_in_time",
+    "dedup_rate_curve",
+    "sample_ab_assignment",
+    "agg_regression_trend",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).

@@ -1806,3 +1806,78 @@ def dedup_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"),
         base,
     )
+
+
+# --------------------------------------------------------------------------
+# Ingestion-order duplicate-rate curve.
+# --------------------------------------------------------------------------
+RATE_DECILES = 10
+
+
+@query(
+    "dedup_rate_curve",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+    h AS (
+        SELECT doc_id, md5(text) AS ch FROM documents
+    ),
+    fs AS (SELECT ch, MIN(doc_id) AS first_id FROM h GROUP BY ch),
+    fl AS (
+        SELECT h.doc_id, (h.doc_id > f.first_id) AS is_dup
+        FROM h JOIN fs f ON f.ch = h.ch
+    )
+    SELECT CAST((fl.doc_id * {RATE_DECILES}) // mx.n AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT)                            AS n_docs,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                                                               AS n_dups,
+           CAST(SUM(CASE WHEN is_dup THEN fl.doc_id ELSE 0 END) AS BIGINT)
+                                                               AS sum_dup_ids
+    FROM fl CROSS JOIN mx
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate as the corpus grows, per ingestion decile —
+    the capacity-planning curve dedup pipelines publish (what fraction of
+    NEWLY ingested documents were already in the corpus?), the doc-level
+    companion to ``dedup_span_novelty``'s span-level freshness signal and
+    the signal that decides when crawl recall stops paying (Tirumala 2023
+    shows the dup rate climbing with corpus size is what makes dedup
+    compulsory at LLM scale).
+
+    Ingestion order is the doc_id order (the corpus convention, cf.
+    text_heaps_law); a doc is a duplicate iff an EARLIER doc_id carries
+    the identical text (md5 equality — exact dedup, the
+    ``dedup_exact`` digest).  Deciles come from (doc_id · 10) div (max+1)
+    against the 1-row broadcast max — no global row_number window, so no
+    single-task total-order sort anywhere in the plan.
+
+    Scale: one digest-keyed shuffle computes first-occurrence ids
+    (map-side partial min), one broadcast-hash join flags duplicates, one
+    decile aggregation — each linear, each key-distributed.  The digest
+    exchange carries (16 B md5, doc_id) rows, never text."""
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    mx = d.agg((F.max("doc_id") + 1).alias("n"))
+    h = d.select("doc_id", F.md5("text").alias("ch")).persist()
+    fs = h.groupBy("ch").agg(F.min("doc_id").alias("first_id"))
+    fl = h.join(fs, "ch").select(
+        "doc_id", (F.col("doc_id") > F.col("first_id")).alias("is_dup")
+    )
+    out = (
+        fl.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.expr(f"CAST((doc_id * {RATE_DECILES}) div n AS BIGINT)").alias(
+                "decile"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dups"),
+            F.sum(F.when(F.col("is_dup"), F.col("doc_id")).otherwise(0)).alias(
+                "sum_dup_ids"
+            ),
+        )
+        .orderBy("decile")
+    )
+    return scoped_persist(out, h)

@@ -1768,3 +1768,98 @@ def curation_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic A/B assignment + integer SRM guardrail.
+# --------------------------------------------------------------------------
+AB_SALT = "expA"
+# chi-square(1 df) critical value at p=0.001 is 10.83: flag when
+# (n_a - n_b)^2 / (n_a + n_b) > 10.83, cross-multiplied to integers.
+SRM_NUM = 1083
+SRM_DEN = 100
+
+
+@query(
+    "sample_ab_assignment",
+    oracle=f"""
+    WITH a AS (
+        SELECT event_type,
+               ascii(substring(md5(CAST(user_id AS VARCHAR) || '_{AB_SALT}'),
+                               1, 1)) % 2 AS arm,
+               CAST(ROUND(value * 1000, 0) AS BIGINT) AS v
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+               SUM(CASE WHEN arm = 0 THEN v ELSE 0 END) AS sum_a,
+               SUM(CASE WHEN arm = 1 THEN v ELSE 0 END) AS sum_b
+        FROM a GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(sum_a AS BIGINT) AS sum_milli_a,
+           CAST(sum_b AS BIGINT) AS sum_milli_b,
+           ({SRM_DEN} * (n_a - n_b) * (n_a - n_b)
+                > {SRM_NUM} * (n_a + n_b)) AS srm_flag
+    FROM g ORDER BY event_type
+    """,
+)
+def sample_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic experiment bucketing + the sample-ratio-mismatch
+    guardrail — the A/B-testing primitive every event pipeline ships:
+    units land in an arm by salted hash (md5 of user_id + experiment
+    salt, so assignment is stable across days/reruns and uncorrelated
+    between experiments with different salts), and the SRM check — the
+    #1 data-quality gate in experimentation (Fabijan 2019) — flags any
+    cell whose arm split drifts from 50/50 beyond chi-square(1) at
+    p=0.001.
+
+    The chi-square verdict is exact integer cross-multiplication:
+    {SRM_DEN}·(n_a − n_b)² > {SRM_NUM}·(n_a + n_b) — no division, no
+    float, identical on both engines (the window_outlier_3sigma
+    discipline).  int64-safe while |n_a − n_b| < 3·10⁸ (a flagged-SRM
+    delta far beyond any real experiment's).
+
+    Scale: assignment is a stateless map-side projection (the hash is a
+    pure function of the row), metrics are ONE partial-combined groupBy —
+    the same plan at 10⁶ or 10¹² events."""
+    a = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.ascii(
+                F.substring(
+                    F.md5(F.concat(F.col("user_id").cast("string"), F.lit(f"_{AB_SALT}"))),
+                    1,
+                    1,
+                )
+            )
+            % 2
+        ).alias("arm"),
+        F.expr("CAST(ROUND(value * 1000, 0) AS BIGINT)").alias("v"),
+    )
+    g = a.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("v")).otherwise(0)).alias(
+            "sum_milli_a"
+        ),
+        F.sum(F.when(F.col("arm") == 1, F.col("v")).otherwise(0)).alias(
+            "sum_milli_b"
+        ),
+    )
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "sum_milli_a",
+        "sum_milli_b",
+        (
+            SRM_DEN
+            * (F.col("n_a") - F.col("n_b"))
+            * (F.col("n_a") - F.col("n_b"))
+            > SRM_NUM * (F.col("n_a") + F.col("n_b"))
+        ).alias("srm_flag"),
+    ).orderBy("event_type")

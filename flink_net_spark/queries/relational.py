@@ -1767,3 +1767,120 @@ def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
     return scoped_persist(out, cnt)
+
+
+# --------------------------------------------------------------------------
+# Exact integer OLS trend per group.
+# --------------------------------------------------------------------------
+def _trend_longdiv(intdiv: str) -> list[str]:
+    """Select items turning (num, den) into ``slope_e6`` by exact decimal
+    long division — q then six ×10 digit steps, all on NONNEGATIVE ints
+    where Spark ``div`` (truncate) and DuckDB ``//`` (floor) agree, so the
+    only engine-specific token is the integer-division operator itself.
+    Emitted as lateral column aliases (both engines resolve them
+    left-to-right in one SELECT list)."""
+    items = [
+        "abs(num) AS a0",
+        f"CASE WHEN den = 0 THEN NULL ELSE a0 {intdiv} den END AS q",
+        "CASE WHEN den = 0 THEN NULL ELSE a0 % den END AS r0",
+    ]
+    for i in range(1, 7):
+        items.append(f"(r{i - 1} * 10) {intdiv} den AS d{i}")
+        items.append(f"(r{i - 1} * 10) % den AS r{i}")
+    digits = " + ".join(f"d{i} * {10 ** (6 - i)}" for i in range(1, 7))
+    items.append(
+        "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)"
+        f" * (q * 1000000 + {digits}) AS BIGINT) AS slope_e6"
+    )
+    return items
+
+
+@query(
+    "agg_regression_trend",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(epoch_ms(ts) // 1000 AS BIGINT) AS tsec,
+               CAST(ROUND(value * 1000, 0) AS BIGINT) AS y
+        FROM events
+    ),
+    cx AS (
+        SELECT event_type,
+               (tsec - MIN(tsec) OVER (PARTITION BY event_type)) // 3600 AS x,
+               y
+        FROM ev
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT)      AS n,
+               CAST(SUM(x) AS BIGINT)        AS sx,
+               CAST(SUM(y) AS BIGINT)        AS sy,
+               CAST(SUM(x * y) AS BIGINT)    AS sxy,
+               CAST(SUM(x * x) AS BIGINT)    AS sxx
+        FROM cx GROUP BY event_type
+    ),
+    nd AS (
+        SELECT event_type, n,
+               n * sxy - sx * sy AS num,
+               n * sxx - sx * sx AS den
+        FROM s
+    ),
+    ld AS (SELECT event_type, n, num, den, {", ".join(_trend_longdiv("//"))} FROM nd)
+    SELECT event_type, n, CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+           slope_e6
+    FROM ld ORDER BY event_type
+    """,
+)
+def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend slope with ZERO floating point — is each event
+    class's `value` drifting over time? — the metric-regression monitor
+    run between corpus snapshots.  slope = (n·Σxy − Σx·Σy)/(n·Σxx − Σx²)
+    on exact BIGINT sums (x = hours since the group's first event, y =
+    milli-value), converted to a micro-units fixed-point by exact decimal
+    LONG DIVISION: quotient plus six ×10 digit steps, every operand
+    nonnegative so Spark `div` and DuckDB `//` agree bit-for-bit — the
+    rational num/den is also emitted raw, so the driver hash pins the
+    entire computation, not just the rounded slope.
+
+    int64 bounds at hour/milli quantization: n·Σxy needs n·x_max·y_max·n
+    < 2⁶³ — safe to ~2·10⁴ rows per group per year-span at this value
+    range (this corpus), and the documented rescale (hours→days,
+    milli→centi) buys 10³ more per step; beyond that, pre-aggregate to
+    the (group, hour) domain first — the sums are additive.
+
+    Scale: one event_type-keyed window computes the per-group epoch
+    (min-over-partition), the five sums partial-combine map-side, and
+    the long-division runs on one row per group."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(unix_millis(ts) div 1000 AS BIGINT)").alias("tsec"),
+        F.expr("CAST(ROUND(value * 1000, 0) AS BIGINT)").alias("y"),
+    )
+    cx = ev.select(
+        "event_type",
+        F.expr(
+            "(tsec - min(tsec) OVER (PARTITION BY event_type)) div 3600"
+        ).alias("x"),
+        "y",
+    )
+    s = cx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = s.select(
+        "event_type",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    ld = nd.selectExpr("event_type", "n", "num", "den", *_trend_longdiv("div"))
+    return ld.select(
+        "event_type",
+        "n",
+        F.col("num").cast("long").alias("num"),
+        F.col("den").cast("long").alias("den"),
+        "slope_e6",
+    ).orderBy("event_type")

@@ -422,3 +422,111 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "join_point_in_time",
+    oracle="""
+    WITH ch AS (
+        SELECT user_id, event_type AS status, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    ver AS (
+        SELECT user_id, status, ts AS valid_from,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT)
+                   AS version_no
+        FROM ch WHERE prev IS NULL OR prev <> status
+    ),
+    pur AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id,
+           CAST(p.user_id AS BIGINT)      AS user_id,
+           CAST(epoch_ms(p.ts) AS BIGINT) AS ts_ms,
+           v.status                       AS status_at_purchase,
+           v.version_no                   AS version_no
+    FROM pur p
+    ASOF LEFT JOIN ver v
+      ON p.user_id = v.user_id AND p.ts >= v.valid_from
+    ORDER BY p.event_id
+    """,
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME-CORRECT dimension join — the feature-store primitive
+    that keeps training data leak-free (Feast/Tecton's `point_in_time_
+    join`): every purchase picks the SCD2 status version that was valid
+    AT its timestamp, never a later one.  Composes ``cdc_scd2_versions``
+    (the version build: lag-dedup of the per-user status stream) with the
+    ``join_asof`` stacked-frame match against version START times — a
+    version valid at t is the last version starting at-or-before t, so no
+    interval predicate and no range-join explosion is needed.
+
+    Determinism: version rows sort before purchases at an equal
+    timestamp (side 0 < 1), so a purchase that IS its user's first event
+    matches the version it opened — valid_from inclusive, the standard
+    SCD2 convention — and the (ts, side, version) order is total.
+
+    Scale: the version build and the match share ONE user-keyed shuffle
+    and one within-partition sort (the stacked frame carries both row
+    kinds); state per key is a single running (status, version) pair.
+    This is the shape that survives a 100 TB fact table: fact rows never
+    join against an exploded interval set, they ride the same keyed sort
+    the dimension history already needs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("event_type").alias("status"), "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ver = (
+        ev.select(
+            "user_id", "status", "ts", "event_id",
+            F.lag("status").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("status")))
+        .select(
+            "user_id",
+            "status",
+            F.col("ts").alias("vts"),
+            F.row_number().over(w).cast("long").alias("version_no"),
+        )
+    )
+    pur = ev.filter(F.col("status") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    stacked = ver.select(
+        "user_id",
+        F.col("vts").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct("status", "version_no").alias("vrec"),
+        F.lit(0).alias("side"),
+    ).unionByName(
+        pur.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lit(None)
+            .cast("struct<status:string,version_no:bigint>")
+            .alias("vrec"),
+            F.lit(1).alias("side"),
+        )
+    )
+    m = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        stacked.withColumn("cur", F.last("vrec", ignorenulls=True).over(m))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            F.col("user_id").cast("long").alias("user_id"),
+            F.unix_millis("ts").alias("ts_ms"),
+            F.col("cur.status").alias("status_at_purchase"),
+            F.col("cur.version_no").alias("version_no"),
+        )
+        .orderBy("event_id")
+    )

@@ -136,6 +136,10 @@ NESTED_LOOP_ALLOWED = {
     # dim to replicate the bounded baseline support; the ECDF joins are
     # hash equi on (t, v) over value-domain-bounded count frames.
     "agg_ks_drift",
+    # dedup_rate_curve — crossJoin against the 1-row (max doc_id + 1)
+    # scalar that frames the ingestion deciles; the dup flag itself is a
+    # hash equi-join on the md5 digest.
+    "dedup_rate_curve",
 }
 
 # Queries machine-tagged as deliberate non-scale-safe ground truth (META)
@@ -279,7 +283,9 @@ def test_no_sf_scaled_broadcast_hints():
             # module pass silently.  A new broadcast target must be
             # justified here for its specific file.
             allowed = {
-                "dedup.py": {"keys", "xs", "ys"},
+                # mx = the 1-row (max doc_id + 1) ingestion-decile scalar
+                # (dedup_rate_curve)
+                "dedup.py": {"keys", "mx", "xs", "ys"},
                 "pipeline_ops.py": {
                     "bw", "cells", "eval_sh", "k0row", "nrow", "ntok",
                     "shift", "tau", "thr", "tot", "wts",
