@@ -180,6 +180,9 @@ HEADLINE = [
     "dedup_rate_curve",
     "sample_ab_assignment",
     "agg_regression_trend",
+    "agg_gini_binned",
+    "window_cohort_retention",
+    "join_null_safe",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).

@@ -1884,3 +1884,176 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("den").cast("long").alias("den"),
         "slope_e6",
     ).orderBy("event_type")
+
+
+@query(
+    "agg_gini_binned",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type AS t,
+               CAST(ROUND(value * 1000, 0) AS BIGINT) AS v
+        FROM events
+    ),
+    b AS (
+        SELECT t, v, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY t, v
+    ),
+    w AS (
+        SELECT t, v, c,
+               COALESCE(SUM(c) OVER (PARTITION BY t ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+        FROM b
+    ),
+    s AS (
+        SELECT t,
+               CAST(SUM(c) AS BIGINT)                               AS n,
+               CAST(SUM(v * c) AS BIGINT)                           AS tot,
+               CAST(SUM(v * (c * p + (c * (c + 1)) // 2)) AS BIGINT) AS srank
+        FROM w GROUP BY t
+    ),
+    nd AS (
+        SELECT t AS event_type, n, tot,
+               2 * srank - (n + 1) * tot AS num,
+               n * tot                   AS den
+        FROM s
+    ),
+    ld AS (SELECT event_type, n, tot, num, den,
+                  {", ".join(_trend_longdiv("//"))} FROM nd)
+    SELECT event_type, n, tot, CAST(num AS BIGINT) AS num,
+           CAST(den AS BIGINT) AS den, slope_e6 AS gini_e6
+    FROM ld ORDER BY event_type
+    """,
+)
+def agg_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini concentration per group with ZERO floating point — how
+    unequally is `value` mass distributed within each event class? (the
+    source-concentration audit corpus curation runs on token counts: one
+    domain dominating a mix shows up as Gini → 1).  G = (2·Σrank·y −
+    (n+1)·Σy)/(n·Σy) computed from the BINNED value domain: individuals
+    in a bin share the value, so their rank-sum is c·p + c(c+1)/2 on
+    exact integers (p = individuals before the bin) — no per-row global
+    sort, the same value-domain collapse as agg_ks_drift, and the final
+    micro-unit division reuses the agg_regression_trend exact decimal
+    long-division cascade (num/den also emitted raw).
+
+    Scale: one map-side collapse to the bounded (group, milli-value)
+    domain, one domain-bounded cumulative window, one row per group into
+    the long division — corpus size never reaches a sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        F.expr("CAST(ROUND(value * 1000, 0) AS BIGINT)").alias("v"),
+    )
+    b = ev.groupBy("t", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = b.select(
+        "t",
+        "v",
+        "c",
+        F.coalesce(
+            F.sum("c").over(
+                Window.partitionBy("t").orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("p"),
+    )
+    s = w.groupBy("t").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("v") * F.col("c")).alias("tot"),
+        F.sum(
+            F.col("v")
+            * (F.col("c") * F.col("p") + F.expr("(c * (c + 1)) div 2"))
+        ).alias("srank"),
+    )
+    nd = s.select(
+        F.col("t").alias("event_type"),
+        "n",
+        "tot",
+        (2 * F.col("srank") - (F.col("n") + 1) * F.col("tot")).alias("num"),
+        (F.col("n") * F.col("tot")).alias("den"),
+    )
+    ld = nd.selectExpr(
+        "event_type", "n", "tot", "num", "den", *_trend_longdiv("div")
+    )
+    return ld.select(
+        "event_type",
+        "n",
+        "tot",
+        F.col("num").cast("long").alias("num"),
+        F.col("den").cast("long").alias("den"),
+        F.col("slope_e6").alias("gini_e6"),
+    ).orderBy("event_type")
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type,
+               CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+                    THEN NULL
+                    ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7
+               END AS k7
+        FROM events
+    ),
+    a AS (SELECT k7, CAST(COUNT(*) AS BIGINT) AS n_a FROM ev
+          WHERE event_type = 'view' GROUP BY k7),
+    b AS (SELECT k7, CAST(COUNT(*) AS BIGINT) AS n_b FROM ev
+          WHERE event_type = 'click' GROUP BY k7)
+    SELECT COALESCE(CAST(a.k7 AS BIGINT), -1) AS key_bucket,
+           a.k7 IS NULL                       AS is_null_key,
+           a.n_a, b.n_b,
+           CAST(a.n_a * b.n_b AS BIGINT)      AS n_pairs
+    FROM a JOIN b ON a.k7 IS NOT DISTINCT FROM b.k7
+    ORDER BY key_bucket
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the join
+    variant ETL needs when NULL is a legitimate key value (unparseable
+    attribute, absent dimension): a plain equi-join silently drops every
+    NULL-keyed row, `<=>` matches NULL with NULL exactly once.  The
+    NULL bucket is derived deterministically (k % 7 == 0 → NULL), and the
+    output counts both sides plus the pair product per bucket, so a
+    dropped-NULL bug changes the row set, not just a count.
+
+    Plan note: Spark executes `<=>` as a HASH equi-join (EqualNullSafe is
+    a valid hash key — Coalesce(key, marker) internally), NOT a nested
+    loop — same shuffle shape as the plain join, which is why this is
+    safe at any scale.
+
+    ≙ SURVEY §2.6's join surface (the reference's IJoinFunction has no
+    null-key contract at all); engine-native superset row."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CASE WHEN CAST(get_json_object(props, '$.k') AS BIGINT) % 7 = 0"
+            " THEN NULL"
+            " ELSE CAST(get_json_object(props, '$.k') AS BIGINT) % 7 END"
+        ).alias("k7"),
+    )
+    a = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("k7")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("k7")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.k7").eqNullSafe(F.col("b.k7")))
+        .select(
+            F.coalesce(F.col("a.k7").cast("long"), F.lit(-1)).alias(
+                "key_bucket"
+            ),
+            F.col("a.k7").isNull().alias("is_null_key"),
+            "n_a",
+            "n_b",
+            (F.col("n_a") * F.col("n_b")).alias("n_pairs"),
+        )
+        .orderBy("key_bucket")
+    )

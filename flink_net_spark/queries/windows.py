@@ -509,3 +509,66 @@ def window_outlier_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+WEEK_MS_RET = 604_800_000
+
+
+@query(
+    "window_cohort_retention",
+    oracle=f"""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_ms(ts) // {WEEK_MS_RET} AS BIGINT) AS week
+        FROM events
+    ),
+    coh AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           uw.week - c.cohort_week        AS weeks_since,
+           CAST(COUNT(*) AS BIGINT)       AS n_users,
+           CAST(SUM(uw.user_id) AS BIGINT) AS sum_user_ids
+    FROM uw JOIN coh c USING (user_id)
+    GROUP BY c.cohort_week, weeks_since
+    ORDER BY cohort_week, weeks_since
+    """,
+)
+def window_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    grouped by their FIRST active week (the cohort), counted in every
+    subsequent week they return, emitted as (cohort, weeks_since,
+    n_users) — each cohort row read across is its retention curve.
+
+    Pure integer set algebra: epoch-week bucketing, per-user min, one
+    distinct-activity join — deterministic at any parallelism, plus a
+    user-id checksum so the driver hash pins WHICH users retained, not
+    just how many.
+
+    Scale: the distinct (user, week) collapse and the per-user min are
+    both user-keyed partial aggregations (one shuffle, map-side
+    combined); the cohort join is hash equi on user_id and the final agg
+    is bounded by cohorts × weeks — calendar-sized, not corpus-sized."""
+    uw = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                f"CAST(unix_millis(ts) div {WEEK_MS_RET} AS BIGINT)"
+            ).alias("week"),
+        )
+        .distinct()
+    )
+    coh = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(coh, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("user_id").alias("sum_user_ids"),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )
