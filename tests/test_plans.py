@@ -760,3 +760,69 @@ def test_triangle_count_joins_are_shuffled_hash(spark):
     p = plan_of(entry.queries()["graph_triangle_count"](spark, SF_DIR))
     assert "ShuffledHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_scd2_and_point_in_time_share_one_keyed_shuffle(spark):
+    """The SCD2 version build and its point-in-time consumer: all window
+    functions ride ONE user-keyed hash exchange — the lag-dedup,
+    numbering, and (for the join) the stacked as-of match reuse the same
+    (user_id) partitioning, so the only other exchange is the
+    presentation sort."""
+    import re
+
+    for name in ("cdc_scd2_versions", "join_point_in_time"):
+        p = plan_of(entry.queries()[name](spark, SF_DIR))
+        exchanges = re.findall(r"\(\d+\) Exchange", p)
+        assert len(exchanges) <= 3, (name, p)
+        assert "hashpartitioning(user_id" in p, (name, p)
+        assert "CartesianProduct" not in p, name
+
+
+def test_outlier_window_single_keyed_exchange(spark):
+    """The rolling 3-sigma frame: one user-keyed exchange feeds the
+    constant-depth window; the verdict is computed in the projection
+    (no second shuffle before the per-class summary agg)."""
+    import re
+
+    p = plan_of(entry.queries()["window_outlier_3sigma"](spark, SF_DIR))
+    assert "hashpartitioning(user_id" in p, p
+    # user window + event_type summary agg + presentation sort
+    exchanges = re.findall(r"\(\d+\) Exchange", p)
+    assert len(exchanges) <= 3, p
+    assert "partial_count" in p or "partial_sum" in p, p  # map-side combine
+
+
+def test_domain_collapse_queries_preagg_before_window(spark):
+    """agg_ks_drift / agg_gini_binned / agg_weighted_quantiles: the
+    corpus must collapse to the bounded value domain in a partial
+    aggregate BEFORE any Window operator — the 100 TB claim is that the
+    windows never see raw rows."""
+    import re
+
+    for name in ("agg_ks_drift", "agg_gini_binned", "agg_weighted_quantiles"):
+        p = plan_of(entry.queries()[name](spark, SF_DIR))
+        window_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", p)]
+        assert window_ids, (name, p)
+        # formatted-plan node ids shrink toward the leaves: a partial
+        # HashAggregate BELOW the window has a smaller id than the window
+        partial_ids = []
+        blocks = re.split(r"\n\n", p)
+        for b in blocks:
+            m = re.match(r"\((\d+)\) HashAggregate", b)
+            if m and "partial_" in b:
+                partial_ids.append(int(m.group(1)))
+        assert partial_ids and min(partial_ids) < min(window_ids), (
+            name,
+            sorted(partial_ids),
+            sorted(window_ids),
+        )
+
+
+def test_bfs_frontier_joins_are_hash_equi(spark):
+    """graph_bfs_levels: every frontier/visited meeting is a hash
+    equi-join on the node id (broadcast or shuffled — AQE picks by
+    frontier size); no cartesian, no sort-merge over the edge multiset."""
+    p = plan_of(entry.queries()["graph_bfs_levels"](spark, SF_DIR))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "HashJoin" in p, p
