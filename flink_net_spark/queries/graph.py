@@ -116,33 +116,43 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     executes orderBy+limit as TakeOrderedAndProject — per-partition
     partial top-k then a driver merge of k-row heads, never a global sort.
 
-    Scale: the edge frame is persisted once and reused by all
-    {PAGERANK_ITERS} iterations; per iteration the shuffles are the
-    rank-to-src equi-join and the groupBy(dst) partial-combined sum — both
-    keyed on node ids, both linear in edges.  Rank state is one BIGINT per
-    node.  At 1000 executors this is exactly GraphX's PageRank traffic
-    pattern minus the vertex-cut optimization (which pays off only past
-    ~1e9-degree skew; AQE skew-split covers the hot-node case here)."""
+    Scale (reshaped in round 13 after the r12 drift gate flagged a
+    persisting slowdown: 12 joins → 8): the rank frame CARRIES deg, so an
+    iteration is exactly two joins — edges⋈shares (src-keyed) feeding the
+    groupBy(dst) partial-combined sum, then deg⋈sums (node-keyed, left) to
+    apply the recurrence and re-emit deg for the next iteration's share
+    division.  The old shape paid a third join (rank⋈deg) per iteration
+    plus a tail rank⋈deg; both are gone, and the rank frame still enters
+    each new iteration exactly once, so lineage stays LINEAR in the
+    iteration count.  The edge frame is persisted PRE-PARTITIONED on src:
+    every per-iteration join reuses that partitioning (no edge re-shuffle;
+    only the one-row-per-node share frame moves), which at 1000 executors
+    is GraphX's edge-cut layout — edges static, rank traffic ∝ nodes.
+    Rank state is one BIGINT per node.  AQE skew-split covers hot nodes."""
     li = load_table(spark, sf_dir, "lineitem")
     pairs = li.select(
         (F.col("l_partkey") * 2).cast("long").alias("src"),
         (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
     ).distinct()
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    # deg is referenced twice per iteration plus once at the tail; persist it
-    # so the groupBy isn't re-evaluated per reference (exchange reuse covers
-    # identical subplans only within one stage graph, not across AQE replans)
+    edges = (
+        pairs.union(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(F.col("src"))
+        .persist()
+    )
+    # deg doubles as the node universe (every node has outgoing edges on
+    # this bidirectional graph); persisted because each iteration's left
+    # join re-reads it and exchange reuse does not survive AQE replans
     deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
         .withColumnRenamed("src", "node")
         .persist()
     )
-    r = deg.select("node", F.lit(1_000_000).cast("long").alias("r"))
+    r = deg.select("node", "deg", F.lit(1_000_000).cast("long").alias("r"))
     for _ in range(PAGERANK_ITERS):
-        rd = r.join(deg, "node").select(
+        rd = r.select(
             F.col("node").alias("src"), F.expr("r div deg").alias("share")
         )
         s = (
@@ -153,6 +163,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         r = deg.join(s, "node", "left").select(
             "node",
+            "deg",
             (
                 F.lit(PAGERANK_TELEPORT_E6)
                 + F.expr("(85 * coalesce(s, 0L)) div 100")
@@ -161,8 +172,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r"),
         )
     out = (
-        r.join(deg, "node")
-        .select(
+        r.select(
             F.when(F.col("node") % 2 == 0, F.lit("part"))
             .otherwise(F.lit("supplier"))
             .alias("kind"),

@@ -269,7 +269,13 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_scd2_versions",
     oracle="""
     WITH ev AS (
-        SELECT user_id, event_type AS status, ts, event_id FROM events
+        -- µs-truncate: Spark sees ns→µs integer-div timestamps (load_table),
+        -- so the oracle must sort on the SAME precision — a sub-µs-distinct
+        -- event pair would otherwise order differently cross-engine
+        -- (round-12 ADVICE; DuckDB NS→TIMESTAMP cast truncates like div 1000)
+        SELECT user_id, event_type AS status,
+               CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events
     ),
     ch AS (
         SELECT user_id, status, ts, event_id,
@@ -427,11 +433,16 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_point_in_time",
     oracle="""
-    WITH ch AS (
+    WITH ev AS (
+        -- µs-truncate for cross-engine sort parity (see cdc_scd2_versions)
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events
+    ),
+    ch AS (
         SELECT user_id, event_type AS status, ts, event_id,
                LAG(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev
-        FROM events
+        FROM ev
     ),
     ver AS (
         SELECT user_id, status, ts AS valid_from,
@@ -441,7 +452,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ch WHERE prev IS NULL OR prev <> status
     ),
     pur AS (
-        SELECT event_id, user_id, ts FROM events
+        SELECT event_id, user_id, ts FROM ev
         WHERE event_type = 'purchase'
     )
     SELECT p.event_id,
@@ -513,9 +524,15 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("side"),
         )
     )
+    # (ts, side) alone is not a total key: two versions opened at one
+    # (user, µs) instant would make last(vrec) nondeterministic (round-12
+    # ADVICE — impossible on the current corpus, guarded anyway).
+    # version_no orders same-instant versions (latest wins, the SCD2
+    # convention); event_id orders same-instant purchases (side-1 rows,
+    # where vrec/version_no is NULL and ties on it).
     m = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", F.col("vrec.version_no"), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
