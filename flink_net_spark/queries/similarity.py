@@ -1915,102 +1915,166 @@ def sim_ann_ivfpq(
 
     Exactness: everything runs on 1e-3-quantized integer vectors, so every
     distance is an exact BIGINT and every argmin/rank tie (-> lower id) is
-    engine-independent — no float anywhere in this query.
+    engine-independent — no float anywhere in this query.  The bounded
+    index-build intermediates ({N_CENTROIDS} coarse centers + {PQ_K}
+    codebook seeds + {N_QUERIES} probe queries ≤ 37 rows) are collected
+    and folded in exact Python ints — the same recurrence, bit-identical
+    to the oracle (the emb_pca_power/emb_kmeans_iterate MLlib discipline:
+    compute the bounded intermediate, collect, iterate exactly, ship the
+    result back as literals).
 
-    Scale: this is the architecture's point — the corpus-side work is ONE
-    linear encode pass (coarse argmin + PQ codes, both folds over 1-row
-    broadcast codebooks inside codegen, exactly emb_pq_quantize's shape);
-    candidate scoring is a broadcast-hash EQUI-join of the exploded codes
-    against the tiny per-query ADC table (queries x {NPROBE} x {PQ_M} x
-    {PQ_K} rows) followed by a partial-aggregated (query, neighbor) sum.
-    No corpus self-join, no raw vectors past the encode stage: the shuffle
-    carries (cell, m, 4-bit code) rows — the compressed index, which is
-    why FAISS serves billions of vectors this way."""
+    Scale: this is the architecture's point — index BUILD state (coarse
+    centroids, PQ codebook, per-query ADC lookup tables: queries ×
+    {NPROBE} × {PQ_M} × {PQ_K} rows) is bounded at ANY corpus size, so it
+    lives driver-side and ships to executors as literals/broadcast,
+    exactly how FAISS trains on a sample and serves billions; the
+    corpus-side work is ONE linear encode pass (coarse argmin + PQ code
+    folds over the literal codebooks, in the scan projection — zero
+    corpus shuffles before scoring), and candidate scoring is a
+    broadcast-hash EQUI-join of the exploded codes against the ADC table
+    followed by a partial-aggregated (query, neighbor) sum.  No corpus
+    self-join, no raw vectors past the encode stage: the shuffle carries
+    (cell, m, 4-bit code) rows — the compressed index.  (Round 13: the
+    old shape distributed the 16-row codebook builds through four
+    broadcast-construction jobs per run, pure fixed overhead the r12
+    drift gate flagged; driver-folding them cut the query's job count to
+    the one encode+score pass.)"""
     e = (emb if emb is not None else load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.expr(
             "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
         ).alias("vq"),
     )
-    cells = e.filter(
-        (F.col("vec_id") >= CENTROID_ID_LO)
-        & (F.col("vec_id") < CENTROID_ID_LO + N_CENTROIDS)
-    ).select(F.col("vec_id").alias("cell_id"), F.col("vq").alias("cv"))
-    cells1 = cells.select(
-        F.struct(F.col("cell_id").alias("k"), F.col("cv").alias("cv")).alias("c")
-    ).groupBy().agg(F.sort_array(F.collect_list("c")).alias("cells"))
+    # Bounded collect: coarse centers, codebook seed vectors, probe queries.
+    small = {
+        int(r["vec_id"]): [int(x) for x in r["vq"]]
+        for r in e.filter(
+            (F.col("vec_id") < N_QUERIES)
+            | (
+                (F.col("vec_id") >= CENTROID_ID_LO)
+                & (F.col("vec_id") < CENTROID_ID_LO + N_CENTROIDS)
+            )
+            | (
+                (F.col("vec_id") >= IVFPQ_CB_LO)
+                & (F.col("vec_id") < IVFPQ_CB_LO + PQ_K)
+            )
+        ).collect()
+    }
+    cells = [
+        (vid, small[vid])
+        for vid in sorted(small)
+        if CENTROID_ID_LO <= vid < CENTROID_ID_LO + N_CENTROIDS
+    ]
 
-    cell_dist = "aggregate(zip_with(vq, c.cv, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"
-    # transform-then-argmin (each distance computed once, see emb_pq_quantize)
-    best_cell = (
-        f"aggregate(transform(cells, c -> named_struct('d', {cell_dist}, 'k', c.k)), "
-        f"named_struct('d', 9223372036854775807L, 'k', -1L), "
-        f"(acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END)"
-    )
-    asg = (
-        spread_small_scan(e)
-        .crossJoin(F.broadcast(cells1))
-        .withColumn("bc", F.expr(best_cell))
-        .select(
-            "vec_id",
-            F.col("bc.k").alias("cell_id"),
-            F.expr(
-                "zip_with(vq, element_at(filter(cells, c -> c.k = bc.k), 1).cv, "
-                "(x, y) -> x - y)"
-            ).alias("res"),
-        )
-    )
-    cb = asg.filter(
-        (F.col("vec_id") >= IVFPQ_CB_LO) & (F.col("vec_id") < IVFPQ_CB_LO + PQ_K)
-    ).select((F.col("vec_id") - IVFPQ_CB_LO).alias("k"), F.col("res").alias("cres"))
-    cb1 = cb.select(F.struct("k", "cres").alias("c")).groupBy().agg(
-        F.sort_array(F.collect_list("c")).alias("cb")
-    )
-    sub_res_dist = (
-        f"aggregate(zip_with(slice(res, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}), "
-        f"slice(c.cres, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}), "
-        "(x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"
-    )
-    code_folds = (
-        f"transform(sequence(0, {PQ_M - 1}), m -> "
-        f"aggregate(transform(cb, c -> named_struct('d', {sub_res_dist}, 'k', c.k)), "
-        f"named_struct('d', 9223372036854775807L, 'k', -1L), "
-        f"(acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END).k)"
-    )
-    codes = (
-        asg.crossJoin(F.broadcast(cb1))
-        .select("vec_id", "cell_id", F.posexplode(F.expr(code_folds)).alias("m", "code"))
-        .select("vec_id", "cell_id", F.col("m").cast("long").alias("m"), "code")
+    def _best_cell(vq: list[int]) -> tuple[int, list[int]]:
+        """argmin_(cell) L2²(vq, cv), ties to the lower cell_id (cells
+        iterate id-ascending + strict <, same pick as the oracle's
+        ROW_NUMBER ... ORDER BY dist, cell_id)."""
+        bd = bk = bcv = None
+        for cid, cv in cells:
+            d = sum((x - y) * (x - y) for x, y in zip(vq, cv))
+            if bd is None or d < bd:
+                bd, bk, bcv = d, cid, cv
+        return bk, bcv
+
+    # PQ codebook: residuals of the seed vectors vs their own best cell.
+    cb: list[tuple[int, list[int]]] = []
+    for vid in sorted(small):
+        if IVFPQ_CB_LO <= vid < IVFPQ_CB_LO + PQ_K and cells:
+            _, cv = _best_cell(small[vid])
+            cb.append((vid - IVFPQ_CB_LO, [x - y for x, y in zip(small[vid], cv)]))
+
+    # Per-query ADC lookup tables: probe the NPROBE nearest cells, then for
+    # every (cell, m, code) the subspace distance of the query residual to
+    # that codebook entry — exact ints, the oracle's `adc` CTE verbatim.
+    adc_rows = []
+    for qid in sorted(small):
+        if qid >= N_QUERIES:
+            continue
+        vq = small[qid]
+        ranked = sorted(
+            (sum((x - y) * (x - y) for x, y in zip(vq, cv)), cid)
+            for cid, cv in cells
+        )[:NPROBE]
+        for _, cid in ranked:
+            cv = dict(cells)[cid]
+            qres = [x - y for x, y in zip(vq, cv)]
+            for m in range(PQ_M):
+                for k, cres in cb:
+                    adc_d = sum(
+                        (qres[m * PQ_SUBDIM + i] - cres[m * PQ_SUBDIM + i]) ** 2
+                        for i in range(PQ_SUBDIM)
+                    )
+                    adc_rows.append((qid, cid, m, k, adc_d))
+    adc = spark.createDataFrame(
+        adc_rows or [(0, 0, 0, 0, 0)][:0],
+        "query_id long, cell_id long, m long, code long, adc_d long",
     )
 
-    wq = Window.partitionBy("query_id").orderBy("cdist", "cell_id")
-    probes = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), "vq")
-        .crossJoin(F.broadcast(cells))
-        .withColumn(
-            "cdist",
-            F.expr("aggregate(zip_with(vq, cv, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"),
+    # Corpus encode: coarse argmin + PQ codes in ONE Arrow-vectorized
+    # mapInPandas pass (numpy int64 batch matmul — exact).  The first two
+    # cuts of this stage expressed the folds as nested higher-order SQL
+    # functions (aggregate/transform/zip_with over broadcast codebook
+    # arrays); measured at sf0.1 the query's cost was ~1.3 s of CATALYST
+    # ANALYSIS of those expression trees per plan and 0.04 s of actual
+    # execution — the data-independent fixed cost behind the r12 drift
+    # flag.  One opaque vectorized stage plans in milliseconds, and at
+    # 100 TB a numpy [batch × cells × dim] distance kernel IS how PQ
+    # encode is served (FAISS's own layout); ties break to the LOWER
+    # cell/code id (np.argmin first-occurrence over id-sorted codebooks,
+    # the oracle's ROW_NUMBER ORDER BY dist, id pick).
+    codes_schema = "vec_id long, cell_id long, m long, code long"
+    if cells and cb:
+        import numpy as np
+
+        cell_ids = [cid for cid, _ in cells]
+        cv_mat = [cv for _, cv in cells]
+        code_ids = [k for k, _ in cb]
+        cres_mat = [cres for _, cres in cb]
+        n_m, n_sub = PQ_M, PQ_SUBDIM
+
+        def _encode(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            cvm = _np.asarray(cv_mat, dtype=_np.int64)
+            cidv = _np.asarray(cell_ids, dtype=_np.int64)
+            crm = _np.asarray(cres_mat, dtype=_np.int64).reshape(
+                len(code_ids), n_m, n_sub
+            )
+            ckv = _np.asarray(code_ids, dtype=_np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vq = _np.stack(pdf["vq"].to_numpy()).astype(_np.int64)
+                d = ((vq[:, None, :] - cvm[None, :, :]) ** 2).sum(-1)
+                best = d.argmin(axis=1)
+                res = (vq - cvm[best]).reshape(-1, n_m, n_sub)
+                sd = ((res[:, None, :, :] - crm[None, :, :, :]) ** 2).sum(-1)
+                cd = ckv[sd.argmin(axis=1)]  # [n, M]
+                n = len(vq)
+                yield _pd.DataFrame(
+                    {
+                        "vec_id": _np.repeat(
+                            pdf["vec_id"].to_numpy(_np.int64), n_m
+                        ),
+                        "cell_id": _np.repeat(cidv[best], n_m),
+                        "m": _np.tile(_np.arange(n_m, dtype=_np.int64), n),
+                        "code": cd.reshape(-1),
+                    }
+                )
+
+        # spread floor 8, not full defaultParallelism: each extra partition
+        # is a Python-worker Arrow roundtrip (~measured 0.25 s for 32 empty
+        # batches), and the encode kernel is vectorized — at any real
+        # corpus the scan has ≥ cores splits and the floor is inactive
+        codes = spread_small_scan(e, min_partitions=8).mapInPandas(
+            _encode, codes_schema
         )
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= NPROBE)
-        .select("query_id", "cell_id", F.expr("zip_with(vq, cv, (x, y) -> x - y)").alias("qres"))
-    )
-    adc = (
-        probes.crossJoin(F.broadcast(cb))
-        .select(
-            "query_id", "cell_id", F.col("k").alias("code"), "qres", "cres",
-            F.explode(F.expr(f"sequence(0L, {PQ_M - 1}L)")).alias("m"),
-        )
-        .select(
-            "query_id", "cell_id", "m", "code",
-            F.expr(
-                f"aggregate(zip_with(slice(qres, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}), "
-                f"slice(cres, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}), "
-                "(x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"
-            ).alias("adc_d"),
-        )
-    )
+    else:
+        # no centroids / no codebook in this corpus slice → empty index,
+        # exactly the oracle's empty-CTE cascade
+        codes = spark.createDataFrame([], codes_schema)
     wf = Window.partitionBy("query_id").orderBy("adc_dist_q", "neighbor_id")
     return (
         codes.join(F.broadcast(adc), ["cell_id", "m", "code"])
