@@ -265,3 +265,170 @@ def test_adjudication_no_prev_hash_verdict():
     by = {r["query"]: r["verdict"] for r in out}
     assert by["qa"] == "no-prev-hash"
     assert by["qb"] == "source-changed"
+
+
+def _mkrow(name, status="within-noise", old=1.0, new=1.0):
+    return {"query": name, "status": status, "old": old, "new": new,
+            "old_spread": [old * 0.95, old * 1.05], "norm_ratio": new / old}
+
+
+def test_pick_anchors_nearest_runtime_class_same_code():
+    """Anchor selection (VERDICT r12 #3): only within-noise rows with an
+    unchanged source fingerprint qualify, ranked by runtime-class
+    proximity to the suspect (|log old-ratio|)."""
+    import bench
+
+    rows = [
+        _mkrow("sus", status="suspect", old=3.0, new=5.4),
+        _mkrow("far_micro", old=0.2),
+        _mkrow("near_a", old=2.8),
+        _mkrow("near_b", old=3.3),
+        _mkrow("changed", old=3.0),          # source changed -> excluded
+        _mkrow("flagged", status="REGRESSION", old=3.1),  # flagged -> excluded
+    ]
+    prev = {n: "h_" + n for n in ("sus", "far_micro", "near_a", "near_b", "flagged")}
+    src = dict(prev)
+    src["changed"] = "different"
+    prev["changed"] = "h_changed"
+    got = [a["query"] for a in bench.pick_anchors("sus", rows, prev, src)]
+    assert got == ["near_a", "near_b"] or got == ["near_b", "near_a"]
+    assert "far_micro" not in got and "changed" not in got and "flagged" not in got
+
+
+def test_classify_persist_box_vs_query(monkeypatch):
+    """The third adjudication stage: anchors drifting WITH the suspect ->
+    persists-box; anchors steady -> persists-query; no anchors ->
+    persists-unclassified.  Measurement is stubbed so the rule itself is
+    what's under test."""
+    import bench
+
+    solos = {"a1": 1.7, "a2": 1.9, "steady1": 1.0, "steady2": 1.05}
+    monkeypatch.setattr(
+        bench, "_solo_measure",
+        lambda spark, fn: ([solos[fn]] * 3, solos[fn]),
+    )
+    queries = {n: n for n in solos}  # fn IS the name for the stub
+
+    # suspect solo_norm 1.8; anchors at ~1.8 too -> box drift
+    rec = {"query": "sus", "solo_norm": 1.8}
+    anchors = [{"query": "a1", "old": 1.0}, {"query": "a2", "old": 1.0}]
+    bench.classify_persist(None, queries, rec, anchors, 1.0)
+    assert rec["verdict"] == "persists-box"
+    assert rec["anchor_norm"] >= 1.7 and rec["residual_vs_anchors"] <= 1.06
+
+    # same suspect, anchors steady at ~1.0 -> query-specific drift
+    rec = {"query": "sus", "solo_norm": 1.8}
+    anchors = [{"query": "steady1", "old": 1.0}, {"query": "steady2", "old": 1.0}]
+    bench.classify_persist(None, queries, rec, anchors, 1.0)
+    assert rec["verdict"] == "persists-query"
+    assert rec["residual_vs_anchors"] > 1.25
+
+    # no anchors available -> named unclassified, never bare `persists`
+    rec = {"query": "sus", "solo_norm": 1.8}
+    bench.classify_persist(None, queries, rec, [], 1.0)
+    assert rec["verdict"] == "persists-unclassified"
+
+
+def test_adjudicate_runs_anchor_stage_on_persists(monkeypatch):
+    """End-to-end: a suspect whose solo re-measure persists must leave
+    adjudicate_suspects carrying a CLASSIFIED verdict and its anchor
+    evidence rows — BENCH_r13+ compares ship zero bare `persists`."""
+    import bench
+
+    solos = {"sus": 3.0, "anchor1": 1.0, "anchor2": 1.0}
+    monkeypatch.setattr(
+        bench, "_solo_measure",
+        lambda spark, fn: ([solos[fn]] * 3, solos[fn]),
+    )
+    rows = [
+        _mkrow("sus", status="suspect", old=1.0, new=3.0),
+        _mkrow("anchor1", old=1.0),
+        _mkrow("anchor2", old=1.0),
+    ]
+    prev = {"query_src_hash": {"sus": "x", "anchor1": "y", "anchor2": "z"}}
+    src = {"sus": "x", "anchor1": "y", "anchor2": "z"}
+    out = bench.adjudicate_suspects(
+        None, {n: n for n in solos}, rows, prev, 1.0, src
+    )
+    rec = next(r for r in out if r["query"] == "sus")
+    assert rec["verdict"] == "persists-query"
+    assert len(rec["anchors"]) == 2
+    assert all(a["solo_norm"] == 1.0 for a in rec["anchors"])
+
+
+def test_anchor_rows_render_in_markdown():
+    """The compare markdown must carry the anchor evidence under the
+    classified persists row."""
+    from tools.bench_compare import attach_adjudications
+
+    old = detail({"q": 1.0}, {"q": [0.95, 1.05]})
+    new = detail({"q": 1.01}, {"q": [0.99, 1.05]})
+    new["compare"] = {
+        "adjudications": [
+            {
+                "query": "q", "status": "suspect", "old": 1.0,
+                "bench_median": 3.0, "solo_runs": [3.0, 3.0, 3.0],
+                "solo_median": 3.0, "solo_norm": 3.0, "src_unchanged": True,
+                "verdict": "persists-query", "anchor_norm": 1.0,
+                "residual_vs_anchors": 3.0,
+                "anchors": [
+                    {"query": "a1", "old": 1.0, "solo_median": 1.0,
+                     "solo_norm": 1.0, "solo_runs": [1.0] * 3},
+                ],
+            }
+        ]
+    }
+    result = attach_adjudications(compare(old, new), new)
+    md = to_markdown(result)
+    assert "persists-query" in md
+    assert "anchors (norm med" in md and "a1 old 1.00" in md
+
+
+def test_xsession_stream_probe_version_gated(monkeypatch, tmp_path):
+    """VERDICT r12 #7: the cross-session stream rate is the median of the
+    last 3 same-version sessions' settled medians; sidecars from another
+    probe version are skipped (a staging change is a harness change)."""
+    import json
+
+    import bench
+
+    def write(name, rps_1k, rps_1m, version):
+        d = {"stream_rows_per_sec": rps_1k, "stream_rows_per_sec_1m_keys": rps_1m,
+             "stream_probe_version": version}
+        (tmp_path / name).write_text(json.dumps(d))
+
+    cur = bench.STREAM_PROBE_VERSION
+    write("r10.json", 9_999_999, 9_999_999, {"staging": "v1", "protocol": "old"})
+    write("r11.json", 4_000_000, 2_000_000, cur)
+    write("r12.json", 5_000_000, 3_000_000, cur)
+    monkeypatch.setattr(bench, "OUT_DIR", str(tmp_path))
+
+    x = bench.xsession_stream_probe(4_500_000, 2_500_000)
+    assert x["n_sessions"] == 3
+    assert x["stream_1k"] == 4_500_000  # median of (4.5M, 5M, 4M)
+    assert x["stream_1m"] == 2_500_000
+    assert 9_999_999 not in x["sessions_1k"]  # version-break sidecar skipped
+
+
+def test_headline_panel_frozen_and_shared_with_previous_round():
+    """HEADLINE size policy (VERDICT r12 #4): the panel is capped at 116
+    and must share ≥100 queries with the previous round's committed
+    sidecar, so the drift gate's session factor stays statistically
+    powered round over round."""
+    import glob
+    import json
+    import os
+
+    import bench
+
+    assert len(bench.HEADLINE) <= 116, (
+        "HEADLINE is a frozen measurement panel — rotate a same-family "
+        "representative OUT for every query rotated in (see bench.py policy)"
+    )
+    snaps = sorted(glob.glob(os.path.join(bench.OUT_DIR, "r*.json")))
+    if not snaps:  # fresh clone: nothing to share with
+        return
+    with open(snaps[-1]) as f:
+        prev = set(json.load(f).get("queries", {}))
+    shared = prev & set(bench.HEADLINE)
+    assert len(shared) >= 100, (len(shared), "panel churn beyond the ±12/round bound")

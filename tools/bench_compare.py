@@ -308,8 +308,13 @@ def to_markdown(result: dict) -> str:
             "re-measured SOLO in the same session — fresh caches, one "
             "discarded warm, median of 3.  `session-noise` = the solo "
             "median re-entered the old spread envelope or its normalized "
-            "ratio fell back under the suspect threshold; `persists` "
-            "needs a named cause.",
+            "ratio fell back under the suspect threshold.  A persisting "
+            "drift is then CLASSIFIED against 2 same-code anchor queries "
+            "(nearest runtime class, within-noise, source unchanged), solo "
+            "re-measured the same way: `persists-box` = the anchors drifted "
+            "with it (residual ≤ suspect threshold — the box/session moved "
+            "on bit-identical source); `persists-query` = drift beyond the "
+            "anchors, needs a named cause or a fix.",
             "",
             "| query | status | old med | bench med | solo runs | solo med | solo norm | src | verdict |",
             "|---|---|---|---|---|---|---|---|---|",
@@ -326,6 +331,17 @@ def to_markdown(result: dict) -> str:
                 f"| {f'{sn:.2f}' if sn is not None else '—'} "
                 f"| {src} | {a['verdict']} |"
             )
+            if a.get("anchors"):
+                det = "; ".join(
+                    f"{x['query']} old {x['old']:.2f} → solo "
+                    f"{x['solo_median']:.2f} (norm {x['solo_norm']:.2f})"
+                    for x in a["anchors"]
+                )
+                lines.append(
+                    f"|  ⤷ anchors (norm med {a.get('anchor_norm', '—')}, "
+                    f"residual {a.get('residual_vs_anchors', '—')}) "
+                    f"| {det} | | | | | | | |"
+                )
     stream = result.get("stream")
     if stream and stream.get("rows"):
         ov, nv = stream["old_version"], stream["new_version"]
