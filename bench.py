@@ -137,7 +137,8 @@ HEADLINE = [
     "window_range_frame_trailing",
     "stream_window_sliding",
     "sim_semdedup",
-    "text_bigram_nll",
+    # text_bigram_nll rotated OUT in r13 (panel policy: its n-gram count-
+    # table shape stays covered by text_kn_bigram_nll + trigram_backoff)
     "curation_temperature_mix",
     "text_quality_logit",
     "text_backoff_nll",
@@ -196,6 +197,8 @@ HEADLINE = [
     "agg_gini_binned",
     "window_cohort_retention",
     "join_null_safe",
+    # round-13 rotation (one out, one in — see size policy above)
+    "graph_connected_components",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
@@ -567,6 +570,9 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # once: one dedup exchange over (part, supp) pairs) + per-hop
     # frontier/visited node-id exchanges — BIGINTs only, frontier-sized:
     "graph_bfs_levels": (["lineitem"], 0.005),  # measured 0.0007
+    # round-13: label propagation moves (node, lbl) BIGINT pairs per round
+    # (6 rounds x nodes) + the one edge-dedup exchange; text never moves:
+    "graph_connected_components": (["lineitem"], 0.2),  # measured 0.095
     # round-12b: the exchange carries the distinct (group, cents) partial
     # rows.  On THIS corpus prices are nearly unique so the collapse is
     # ~1:1 and row format vs parquet columnar compression reads 1.13; the

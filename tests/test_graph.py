@@ -110,3 +110,53 @@ def test_bfs_levels_match_handbuilt_bfs(spark):
     # bipartite parity: even levels are parts, odd levels suppliers
     for (lvl, kind) in got:
         assert kind == ("part" if lvl % 2 == 0 else "supplier")
+
+
+def test_connected_components_match_union_find(spark):
+    """The component-size histogram must equal an independent union-find
+    over the same filtered bipartite edge set at sf0.001, and the final
+    round must report ZERO label movement (the convergence audit column)."""
+    from collections import Counter
+
+    from flink_net_spark.queries.graph import CC_EDGE_FILTER
+    from flink_net_spark.tables import load_table, release_persisted
+
+    sf = "/root/testdata/sf0.001"
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(CC_EDGE_FILTER)
+        .select("l_partkey", "l_suppkey")
+        .collect()
+    )
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in li:
+        p, s = int(r["l_partkey"]) * 2, int(r["l_suppkey"]) * 2 + 1
+        parent[find(p)] = find(s)
+    comps = Counter(find(x) for x in parent)
+    expected_hist = Counter(comps.values())  # size -> n_components
+    assert len(comps) > 1, "fixture must produce a multi-component forest"
+
+    df = QUERIES["graph_connected_components"](spark, sf)
+    rows = df.collect()
+    release_persisted(df)
+    got_hist = {r["size"]: r["n_components"] for r in rows}
+    assert got_hist == dict(expected_hist)
+    assert all(r["n_unconverged"] == 0 for r in rows), "label prop not converged"
+    # every component's label is its min node id, so per-size label sums
+    # must match the union-find's min-id sums
+    min_ids: dict = {}
+    for x in parent:
+        root = find(x)
+        min_ids[root] = min(min_ids.get(root, x), x)
+    exp_sums: dict = {}
+    for root, size in comps.items():
+        exp_sums[size] = exp_sums.get(size, 0) + min_ids[root]
+    got_sums = {r["size"]: r["sum_label"] for r in rows}
+    assert got_sums == exp_sums

@@ -826,3 +826,13 @@ def test_bfs_frontier_joins_are_hash_equi(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "HashJoin" in p, p
+
+
+def test_connected_components_checkpointed_rounds(spark):
+    """graph_connected_components: each label-prop round must be lineage-
+    truncated (the plan's leaves are checkpointed RDD scans, not a
+    4^rounds unrolled join tree that stalls analysis), and the only
+    nested-loop shape is the bounded 1-row convergence-audit broadcast."""
+    p = plan_of(entry.queries()["graph_connected_components"](spark, SF_DIR))
+    assert "ExistingRDD" in p, p  # per-round localCheckpoint leaves
+    assert "CartesianProduct" not in p, p
