@@ -625,3 +625,115 @@ def test_scene_cuts_detects_planted_cut(spark):
                        "first_cut": -1, "max_delta": 0}
     assert rows[2] == {"doc_id": 2, "n_frames": 0, "n_cuts": 0,
                        "first_cut": -1, "max_delta": 0}
+
+
+# ---------------------------------------------------------------------------
+# Golden-file codec parity (round-13, VERDICT r12 #5): the decode outputs
+# for a fixed fixture set are RECORDED CONSTANTS, asserted on the stdlib
+# branch HERE (non-skipping) and on the PIL branch wherever PIL exists —
+# so a PIL-environment regression is detectable against the same goldens
+# without PIL in this sandbox, and the stdlib decoder can't drift either.
+# ---------------------------------------------------------------------------
+
+
+def _golden_gradient(w, h):
+    return [
+        [((x * 13 + y * 7) % 256, (x * 5) % 256, (y * 11) % 256) for x in range(w)]
+        for y in range(h)
+    ]
+
+
+def _golden_fixtures():
+    """Name → (png bytes, width, height, stdlib RGB-md5, PIL native-mode
+    md5, phash).  PIL md5 differs from the stdlib one only where the PNG's
+    native mode isn't RGB (stdlib normalizes gray/RGBA to RGB8; PIL
+    tobytes() keeps L/RGBA) — those PIL values are the exact lossless
+    pixel bytes the codec must reproduce.  phash is branch-independent by
+    design (same integer luma + box resample both sides)."""
+    gray_rows = [[(x * 17 + y * 3) % 256 for x in range(16)] for y in range(10)]
+    rgba_rows = [
+        [((x * 9) % 256, (y * 21) % 256, (x + y) % 256, 255) for x in range(16)]
+        for y in range(10)
+    ]
+    g = _golden_gradient(20, 12)
+    return {
+        "minimal_rgb_8x6": (
+            _minimal_png(), 8, 6,
+            "ea92a932eb5e96ac8f6b0c8546ae6eb1",
+            "ea92a932eb5e96ac8f6b0c8546ae6eb1", 0,
+        ),
+        # same pixels under each scanline-filter encoding — all four must
+        # decode to ONE golden digest
+        "gradient_sub": (
+            _png_from_rows(g, filters=[1] * 12), 20, 12,
+            "9d09e3084663f8e57d7f98b3282ef666",
+            "9d09e3084663f8e57d7f98b3282ef666", 856520091134559200,
+        ),
+        "gradient_up": (
+            _png_from_rows(g, filters=[2] * 12), 20, 12,
+            "9d09e3084663f8e57d7f98b3282ef666",
+            "9d09e3084663f8e57d7f98b3282ef666", 856520091134559200,
+        ),
+        "gradient_avg_paeth": (
+            _png_from_rows(g, filters=[3, 4] * 6), 20, 12,
+            "9d09e3084663f8e57d7f98b3282ef666",
+            "9d09e3084663f8e57d7f98b3282ef666", 856520091134559200,
+        ),
+        "gradient_gray": (
+            _png_from_rows(gray_rows, ctype=0), 16, 10,
+            "66e00ca8e07c4d14d91b5332df5f879b",  # gray replicated to RGB8
+            "90b9537fc590db456975b9cf6fb0f526",  # PIL mode L native bytes
+            567999443912606704,
+        ),
+        "gradient_rgba": (
+            _png_from_rows(rgba_rows, ctype=6), 16, 10,
+            "c6705589c8f20db72ad82dcfed2ad062",  # alpha dropped to RGB8
+            "e453f8f56beaed2993c99dbf3f6da09d",  # PIL mode RGBA native bytes
+            1152921501318512640,
+        ),
+    }
+
+
+def test_golden_parity_stdlib_branch(spark):
+    """NON-SKIPPING: the stdlib decode + phash of every golden fixture
+    must equal the recorded constants — pins the in-sandbox branch."""
+    from flink_net_spark.operators.multimodal import decode_image, perceptual_hash
+
+    fx = _golden_fixtures()
+    names = list(fx)
+    df = spark.createDataFrame(
+        [(i, bytearray(fx[n][0])) for i, n in enumerate(names)],
+        "doc_id BIGINT, payload BINARY",
+    )
+    de = {r.doc_id: r for r in decode_image(df, use_pil=False).collect()}
+    ph = {r.doc_id: r for r in perceptual_hash(df, use_pil=False).collect()}
+    for i, n in enumerate(names):
+        _, w, h, std_md5, _, gold_ph = fx[n]
+        assert de[i].codec == "png-stdlib", n
+        assert (de[i].width, de[i].height) == (w, h), n
+        assert de[i].body_md5 == std_md5, n
+        assert ph[i].phash == gold_ph, (n, ph[i].phash)
+
+
+def test_golden_parity_pil_branch(spark):
+    """Wherever PIL exists: the PIL decode + phash of the SAME fixtures
+    must equal the same recorded constants (native-mode md5 for
+    gray/RGBA; identical phash everywhere) — a PIL-environment
+    regression shows up as a golden mismatch, not a silent skip."""
+    pytest.importorskip("PIL.Image")
+    from flink_net_spark.operators.multimodal import decode_image, perceptual_hash
+
+    fx = _golden_fixtures()
+    names = list(fx)
+    df = spark.createDataFrame(
+        [(i, bytearray(fx[n][0])) for i, n in enumerate(names)],
+        "doc_id BIGINT, payload BINARY",
+    )
+    de = {r.doc_id: r for r in decode_image(df, use_pil=True).collect()}
+    ph = {r.doc_id: r for r in perceptual_hash(df, use_pil=True).collect()}
+    for i, n in enumerate(names):
+        _, w, h, _, pil_md5, gold_ph = fx[n]
+        assert de[i].codec.startswith("pil:"), n
+        assert (de[i].width, de[i].height) == (w, h), n
+        assert de[i].body_md5 == pil_md5, n
+        assert ph[i].phash == gold_ph, (n, ph[i].phash)
