@@ -308,6 +308,10 @@ SCALE_SMOKE = [
     # must stay bounded by the distinct-cents domain as rows grow 10×
     "graph_bfs_levels",
     "agg_weighted_quantiles",
+    # round-13: label-prop rounds are fixed, so ×10 edges must scale the
+    # per-round join linearly — and the convergence audit column proves
+    # the denser graph still converges inside CC_ROUNDS
+    "graph_connected_components",
 ]
 
 # One more decade for the five most expensive shapes (opt-in:

@@ -689,3 +689,160 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("size")
     )
     return scoped_persist(out, *persisted)
+
+
+# --------------------------------------------------------------------------
+# Personalized PageRank: teleport restricted to a seed set.
+# --------------------------------------------------------------------------
+PPR_ITERS = 4
+PPR_SEED_MOD = 100  # part nodes with partkey % 100 == 1 (the BFS seed set)
+PPR_TOPK = 100
+
+
+def _duck_ppr_oracle() -> str:
+    """Unrolled chained-CTE oracle for the seeded recurrence
+    r' = (seed ? teleport : 0) + 85·Σ(r div deg) div 100 — identical
+    integer arithmetic to graph_pagerank with the teleport mass
+    restricted to the seed set (Page 1999 §6 personalized vector)."""
+    ctes = [
+        """e AS MATERIALIZED (
+            SELECT src, dst FROM (
+                SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src,
+                                CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+                FROM lineitem)
+            UNION ALL
+            SELECT dst, src FROM (
+                SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src,
+                                CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+                FROM lineitem)
+        )""",
+        "deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src)",
+        f"""sd AS MATERIALIZED (
+            SELECT node,
+                   CASE WHEN node % 2 = 0 AND (node // 2) % {PPR_SEED_MOD} = 1
+                        THEN 1 ELSE 0 END AS is_seed
+            FROM deg
+        )""",
+        """r0 AS (SELECT node,
+                  CAST(is_seed * 1000000 AS BIGINT) AS r FROM sd)""",
+    ]
+    for i in range(PPR_ITERS):
+        ctes.append(
+            f"""r{i + 1} AS (
+            SELECT d.node,
+                   CAST(sd.is_seed * {PAGERANK_TELEPORT_E6}
+                        + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+            FROM deg d
+            JOIN sd ON sd.node = d.node
+            LEFT JOIN (
+                SELECT e.dst AS node, SUM(rd.r // rd.deg) AS s
+                FROM e
+                JOIN (SELECT r.node, r.r, g.deg
+                      FROM r{i} r JOIN deg g ON g.node = r.node) rd
+                  ON rd.node = e.src
+                GROUP BY e.dst
+            ) s ON s.node = d.node
+        )"""
+        )
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+           node // 2                       AS key,
+           sd.is_seed = 1                  AS is_seed,
+           r.r                             AS rank_e6
+    FROM r{PPR_ITERS} r JOIN sd USING (node)
+    WHERE r.r > 0
+    ORDER BY rank_e6 DESC, node
+    LIMIT {PPR_TOPK}
+    """
+
+
+@query("graph_personalized_pagerank", oracle=_duck_ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank: the teleport vector is restricted to the seed
+    set (part nodes with partkey % {PPR_SEED_MOD} == 1 — the same seeds
+    graph_bfs_levels expands), so the stationary mass measures proximity
+    TO THE SEEDS rather than global centrality (Page et al. 1999 §6;
+    Haveliwala 2002 topic-sensitive PageRank).  This is the WEIGHTED form
+    of the contamination-blast-radius question BFS answers in hops: how
+    much of a benchmark/trusted seed set's influence reaches each document,
+    with distance discounted by 0.85 per hop — the seed-expansion scoring
+    CommonCrawl-style curation uses to weight crawl frontiers.
+
+    Same exact-integer recurrence and plan shape as graph_pagerank (deg
+    carried in the rank frame, two joins per iteration, src-prepartitioned
+    persisted edges, linear lineage) with two deltas: rank initializes to
+    1e6 on seeds / 0 elsewhere, and the teleport term multiplies an
+    is_seed flag carried in the rank frame.  Unreached nodes hold rank
+    exactly 0 (integer arithmetic, no epsilon) and are filtered — at
+    {PPR_ITERS} iterations the support is exactly the BFS
+    ≤{PPR_ITERS}-hop ball, which the oracle must agree on row-for-row.
+
+    Output: top-{PPR_TOPK} by rank with total (rank DESC, node) order —
+    TakeOrderedAndProject, never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (F.col("l_partkey") * 2).cast("long").alias("src"),
+        (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+    ).distinct()
+    edges = (
+        pairs.union(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(F.col("src"))
+        .persist()
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("src", "node")
+        .withColumn(
+            "is_seed",
+            (
+                (F.col("node") % 2 == 0)
+                & (F.expr("node div 2") % PPR_SEED_MOD == 1)
+            ).cast("long"),
+        )
+        .persist()
+    )
+    r = deg.select(
+        "node", "deg", "is_seed",
+        (F.col("is_seed") * 1_000_000).cast("long").alias("r"),
+    )
+    for _ in range(PPR_ITERS):
+        rd = r.select(
+            F.col("node").alias("src"), F.expr("r div deg").alias("share")
+        )
+        s = (
+            edges.join(rd, "src")
+            .groupBy("dst")
+            .agg(F.sum("share").alias("s"))
+            .withColumnRenamed("dst", "node")
+        )
+        r = deg.join(s, "node", "left").select(
+            "node",
+            "deg",
+            "is_seed",
+            (
+                F.col("is_seed") * PAGERANK_TELEPORT_E6
+                + F.expr("(85 * coalesce(s, 0L)) div 100")
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    out = (
+        r.filter(F.col("r") > 0)
+        .select(
+            F.when(F.col("node") % 2 == 0, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+            F.expr("node div 2").alias("key"),
+            (F.col("is_seed") == 1).alias("is_seed"),
+            F.col("r").alias("rank_e6"),
+        )
+        .orderBy(
+            F.desc("rank_e6"), F.expr("key * 2 + if(kind = 'supplier', 1, 0)")
+        )
+        .limit(PPR_TOPK)
+    )
+    return scoped_persist(out, edges, deg)

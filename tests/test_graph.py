@@ -160,3 +160,40 @@ def test_connected_components_match_union_find(spark):
         exp_sums[size] = exp_sums.get(size, 0) + min_ids[root]
     got_sums = {r["size"]: r["sum_label"] for r in rows}
     assert got_sums == exp_sums
+
+
+def test_personalized_pagerank_support_is_bfs_ball(spark):
+    """PPR mass after K iterations must live exactly on the ≤K-hop ball of
+    the seed set (integer arithmetic: unreached rank is exactly 0), seeds
+    must carry teleport mass, and non-seed mass must be strictly below the
+    seeds' floor at hop-adjacent degree scales."""
+    from flink_net_spark.queries.graph import (
+        PPR_ITERS,
+        PPR_SEED_MOD,
+    )
+    from flink_net_spark.tables import load_table, release_persisted
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey").collect()
+    adj: dict = {}
+    for r in li:
+        p, s = int(r["l_partkey"]) * 2, int(r["l_suppkey"]) * 2 + 1
+        adj.setdefault(p, set()).add(s)
+        adj.setdefault(s, set()).add(p)
+    frontier = {n for n in adj if n % 2 == 0 and (n // 2) % PPR_SEED_MOD == 1}
+    ball = set(frontier)
+    for _ in range(PPR_ITERS):
+        frontier = {m for n in frontier for m in adj[n]}
+        ball |= frontier
+    df = QUERIES["graph_personalized_pagerank"](spark, sf)
+    rows = df.collect()
+    release_persisted(df)
+    assert rows, "seeded mass must reach at least the seeds"
+    got_nodes = {
+        r["key"] * 2 + (0 if r["kind"] == "part" else 1) for r in rows
+    }
+    assert got_nodes <= ball, "rank mass escaped the K-hop ball"
+    seeds = [r for r in rows if r["is_seed"]]
+    assert seeds and all(r["rank_e6"] >= 150_000 for r in seeds)
+    ranks = [r["rank_e6"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)

@@ -132,6 +132,10 @@ NESTED_LOOP_ALLOWED = {
     # scalar (with its det-ln columns); the marginal joins are hash equi
     # on w1/w2 over the bounded pair-count table.
     "text_collocations_pmi",
+    # graph_connected_components — crossJoin against the 1-row convergence
+    # audit count (labels still moving in the final round); the label
+    # propagation itself is edge⋈label hash equi-joins per round.
+    "graph_connected_components",
     # agg_ks_drift — crossJoin against the schema-fixed 5-row event-type
     # dim to replicate the bounded baseline support; the ECDF joins are
     # hash equi on (t, v) over value-domain-bounded count frames.
