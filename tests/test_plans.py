@@ -314,6 +314,9 @@ def test_no_sf_scaled_broadcast_hints():
                 },
                 "streaming_queries.py": {"nation"},
                 "temporal.py": {"converted"},
+                # chg = the 1-row convergence-audit count riding every
+                # component row (graph_connected_components)
+                "graph.py": {"chg"},
                 # n = the 1-row corpus token total framing the vocabulary-
                 # growth curve (text_heaps_law)
                 "text.py": {
