@@ -1116,6 +1116,34 @@ def classify_persist(
     )
 
 
+def _plan_cost_decomposition(spark, fn, rec: dict) -> None:
+    """For a persists-query verdict, record how much of the solo median is
+    EXECUTION vs per-plan fixed cost (Catalyst analysis/codegen that the
+    fn()+collect unit re-pays every rep): re-collect on the SAME handle
+    runs the already-planned query, so recollect/solo is the execution
+    fraction.  Round-13 calibration: HOF/expression-heavy queries measured
+    93-97% plan cost (text_word_entropy 0.98 s fresh vs 0.08 s re-collect;
+    dedup_embedding_ann 1.80 vs 0.06; sim_ann_ivfpq pre-fix 1.3 vs 0.04),
+    which is why they drift away from join-shaped anchors when driver JIT
+    state moves — a low exec_frac says the drift lives in the driver, not
+    the data path."""
+    try:
+        df = fn(spark, SF_DIR)
+        df.collect()
+        t0 = time.perf_counter()
+        df.collect()
+        rec["recollect_sec"] = round(time.perf_counter() - t0, 4)
+        rec["exec_frac"] = (
+            round(rec["recollect_sec"] / rec["solo_median"], 3)
+            if rec.get("solo_median")
+            else None
+        )
+        del df
+        spark.catalog.clearCache()
+    except Exception:  # pragma: no cover - decomposition is best-effort
+        rec["exec_frac"] = None
+
+
 def adjudicate_suspects(
     spark, queries, compare_rows: list[dict], prev_detail: dict,
     session_factor: float, src_hashes: dict[str, str], limit: int = 16,
@@ -1175,6 +1203,8 @@ def adjudicate_suspects(
             # unclassified persisting drift.
             anchors = pick_anchors(name, compare_rows, prev_hashes, src_hashes)
             classify_persist(spark, queries, rec, anchors, session_factor)
+            if rec["verdict"] == "persists-query":
+                _plan_cost_decomposition(spark, fn, rec)
         out.append(rec)
         log(f"[bench][adjudicate] {name}: {rec}")
     return out
