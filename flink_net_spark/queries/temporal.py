@@ -547,3 +547,112 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+OVERLAP_BUCKET_DAYS = 14  # >= the widest right-side interval
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH a AS (
+        SELECT o_orderkey,
+               epoch(o_orderdate)                    AS lo_a,
+               epoch(o_orderdate) + 7 * 86400        AS hi_a
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{_RJ_MONTH_START}'
+          AND o_orderdate <  TIMESTAMP '{_RJ_MONTH_END}'
+    ),
+    b AS (
+        SELECT epoch(l_shipdate)                                  AS lo_b,
+               epoch(l_shipdate) + (1 + l_orderkey % 14) * 86400  AS hi_b,
+               l_quantity
+        FROM lineitem
+    )
+    SELECT a.o_orderkey,
+           CAST(COUNT(*) AS BIGINT)          AS n_overlap,
+           CAST(SUM(b.l_quantity) AS BIGINT) AS sum_qty
+    FROM a JOIN b
+      ON a.lo_a < b.hi_b AND b.lo_b < a.hi_a
+    GROUP BY a.o_orderkey
+    ORDER BY a.o_orderkey
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join (interval × interval, the general form of
+    ``join_range_bucketed``'s point-in-interval): for each March-1996
+    order's 7-day fulfilment window, count the shipment TRANSIT WINDOWS
+    ([l_shipdate, +1..14 days) — width varies per row) that overlap it.
+    The overlap predicate lo_a < hi_b AND lo_b < hi_a has no equi-key, so
+    a naive join plans as BroadcastNestedLoop (quadratic).
+
+    Scale path — coarse buckets with OWNER-BUCKET dedup: each interval
+    explodes into the {OVERLAP_BUCKET_DAYS}-day buckets it covers (≤ 2
+    per side here; ceil(width/bucket)+1 in general), the join becomes an
+    EQUI-join on the bucket id refined by the exact overlap predicate,
+    and — because two overlapping intervals can share SEVERAL buckets —
+    each pair is counted exactly once by keeping only the bucket that
+    contains max(lo_a, lo_b): both intervals contain that instant (it is
+    below both hi's by the overlap predicate), so its bucket is on both
+    explode lists, and it is unique per pair.  No distinct pass, no
+    double counting; AQE sees an ordinary equi-join.  (DuckDB's native
+    IEJoin is the oracle, so the bucket composition is verified against a
+    first-class range-join implementation.)
+
+    Determinism: all arithmetic in exact epoch seconds (integer div for
+    bucket ids, nonnegative epochs → trunc = floor both engines)."""
+    W = OVERLAP_BUCKET_DAYS * 86_400
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_RJ_MONTH_START).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_RJ_MONTH_END).cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("lo_a"),
+            (F.unix_timestamp("o_orderdate") + 7 * 86_400).alias("hi_a"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"lo_a div {W}"), F.expr(f"(hi_a - 1) div {W}")
+                )
+            ),
+        )
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.unix_timestamp("l_shipdate").alias("lo_b"),
+            (
+                F.unix_timestamp("l_shipdate")
+                + (1 + F.col("l_orderkey") % 14) * 86_400
+            ).alias("hi_b"),
+            "l_quantity",
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"lo_b div {W}"), F.expr(f"(hi_b - 1) div {W}")
+                )
+            ),
+        )
+    )
+    return (
+        o.join(
+            li,
+            (o.bucket == li.bucket)
+            & (F.col("lo_a") < F.col("hi_b"))
+            & (F.col("lo_b") < F.col("hi_a"))
+            & (o.bucket == F.expr(f"greatest(lo_a, lo_b) div {W}")),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -843,3 +843,13 @@ def test_connected_components_checkpointed_rounds(spark):
     p = plan_of(entry.queries()["graph_connected_components"](spark, SF_DIR))
     assert "ExistingRDD" in p, p  # per-round localCheckpoint leaves
     assert "CartesianProduct" not in p, p
+
+
+def test_interval_overlap_is_bucketed_equi_join(spark):
+    """join_interval_overlap must plan the overlap as a hash/sort EQUI-join
+    on the coarse bucket id — never a BroadcastNestedLoopJoin on the bare
+    range predicate (quadratic)."""
+    p = plan_of(entry.queries()["join_interval_overlap"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "bucket" in p, p
