@@ -2057,3 +2057,171 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantile sketch with an accuracy contract (round-13).
+# --------------------------------------------------------------------------
+QSK_BW = 50_000  # bucket width in price cents ($500); error bound = 1 bucket
+QSK_PCTS = (25, 50, 75, 90, 99)
+
+
+@query(
+    "agg_quantile_sketch_merge",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c,
+               l_returnflag AS src
+        FROM lineitem
+    ),
+    sk AS (
+        SELECT src, c // {QSK_BW} AS b, COUNT(*) AS n
+        FROM v GROUP BY src, c // {QSK_BW}
+    ),
+    mg AS (SELECT b, SUM(n) AS n FROM sk GROUP BY b),
+    mc AS (
+        SELECT b, n,
+               SUM(n) OVER (ORDER BY b) AS cum,
+               SUM(n) OVER ()           AS tot
+        FROM mg
+    ),
+    ex AS (SELECT c, COUNT(*) AS n FROM v GROUP BY c),
+    ec AS (
+        SELECT c,
+               SUM(n) OVER (ORDER BY c) AS cum,
+               SUM(n) OVER ()           AS tot
+        FROM ex
+    ),
+    est AS (
+        SELECT {", ".join(
+            f"MIN(CASE WHEN 100 * cum >= {p} * tot"
+            f" THEN (b + 1) * {QSK_BW} END) AS e{p}" for p in QSK_PCTS)}
+        FROM mc
+    ),
+    exa AS (
+        SELECT {", ".join(
+            f"MIN(CASE WHEN 100 * cum >= {p} * tot THEN c END) AS x{p}"
+            for p in QSK_PCTS)}
+        FROM ec
+    ),
+    cells AS (
+        SELECT CAST(COUNT(*) AS BIGINT)             AS n_cells,
+               CAST(COUNT(DISTINCT src) AS BIGINT)  AS n_sources
+        FROM sk
+    )
+    {" UNION ALL ".join(
+        f'''SELECT CAST({p} AS BIGINT)  AS q_pct,
+           CAST(e{p} AS BIGINT) AS est_cents,
+           CAST(x{p} AS BIGINT) AS exact_cents,
+           e{p} - x{p} BETWEEN 1 AND {QSK_BW} AS within_bound,
+           n_cells, n_sources
+    FROM est, exa, cells''' for p in QSK_PCTS)}
+    ORDER BY q_pct
+    """,
+)
+def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketch with a hash-checked accuracy contract —
+    the quantile twin of ``agg_hll_sketch_union``: each source
+    (l_returnflag) builds an independent fixed-width histogram sketch
+    (bucket = price-cents div {QSK_BW}), the sketches MERGE by summing
+    per-bucket counts (the property that lets a 1000-executor job build
+    per-partition sketches and combine them with no raw-value exchange —
+    the t-digest/KLL deployment pattern, here in its deterministic
+    fixed-grid form, cf. Agarwal 2013 "Mergeable Summaries"), and each
+    quantile estimate is the merged bucket's upper bound at the target
+    cumulative rank.
+
+    Accuracy CONTRACT, not assertion: for every quantile the exact value
+    (computed from the distinct-cents pre-collapse, the
+    agg_weighted_quantiles discipline) rides alongside the estimate and
+    the ``within_bound`` column pins 1 ≤ est − exact ≤ {QSK_BW} — both
+    engines must agree on estimate AND exact AND the bound check, so a
+    wrong sketch, a wrong merge, or a wrong rank rule all flip the hash.
+
+    Scale: the corpus collapses map-side to ≤ (sources × price-range/
+    {QSK_BW}) sketch cells (~hundreds, CONSTANT in corpus size); the
+    merge, ranks, and quantile picks run on that bounded frame.  The
+    exact leg collapses to the distinct-cents domain (~10^7 bound) the
+    same way.  n_cells/n_sources are emitted so the sketch's size story
+    is part of the checked result."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias("c"),
+        F.col("l_returnflag").alias("src"),
+    )
+    sk = v.groupBy("src", F.expr(f"c div {QSK_BW}").alias("b")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sk.persist()
+    mg = sk.groupBy("b").agg(F.sum("n").alias("n"))
+    mc = mg.select(
+        "b",
+        F.sum("n").over(Window.orderBy("b")).alias("cum"),
+        F.sum("n").over(
+            Window.orderBy("b").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot"),
+    )
+    ex = v.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+    ec = ex.select(
+        "c",
+        F.sum("n").over(Window.orderBy("c")).alias("cum"),
+        F.sum("n").over(
+            Window.orderBy("c").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot"),
+    )
+    # all five rank picks in ONE aggregation pass per leg (no q×frame
+    # cross product — the 5-target fan-out is 5 conditional-min columns,
+    # unpivoted afterwards by stack over the 1-row result)
+    est = mc.agg(
+        *[
+            F.min(
+                F.when(
+                    100 * F.col("cum") >= p * F.col("tot"),
+                    (F.col("b") + 1) * QSK_BW,
+                )
+            ).alias(f"e{p}")
+            for p in QSK_PCTS
+        ]
+    )
+    exa = ec.agg(
+        *[
+            F.min(
+                F.when(100 * F.col("cum") >= p * F.col("tot"), F.col("c"))
+            ).alias(f"x{p}")
+            for p in QSK_PCTS
+        ]
+    )
+    cells = sk.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("src").alias("n_sources"),
+    )
+    stack = ", ".join(f"{p}L, e{p}, x{p}" for p in QSK_PCTS)
+    out = (
+        est.crossJoin(F.broadcast(exa))
+        .crossJoin(F.broadcast(cells))
+        .select(
+            F.expr(
+                f"stack({len(QSK_PCTS)}, {stack})"
+            ).alias("q_pct", "est_cents", "exact_cents"),
+            "n_cells",
+            "n_sources",
+        )
+        .select(
+            "q_pct",
+            "est_cents",
+            "exact_cents",
+            (F.col("est_cents") - F.col("exact_cents")).between(1, QSK_BW).alias(
+                "within_bound"
+            ),
+            "n_cells",
+            "n_sources",
+        )
+        .orderBy("q_pct")
+    )
+    return scoped_persist(out, sk)
