@@ -21,7 +21,7 @@ streaming DataFrame with ``withWatermark`` — see flink_net_spark.streaming.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from flink_net_spark.queries import query
 from flink_net_spark.tables import load_table
@@ -572,3 +572,123 @@ def window_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+@query(
+    "window_gap_fill_interp",
+    oracle=f"""
+    WITH b AS (
+        SELECT MIN(epoch_ms(ts) // {HOUR_MS}) AS h0,
+               MAX(epoch_ms(ts) // {HOUR_MS}) AS h1
+        FROM events
+    ),
+    grid AS (
+        SELECT g.h AS h, t.event_type
+        FROM (SELECT unnest(generate_series((SELECT h0 FROM b), (SELECT h1 FROM b))) AS h) g,
+             (SELECT DISTINCT event_type FROM events) t
+    ),
+    act AS (
+        SELECT epoch_ms(ts) // {HOUR_MS} AS h, event_type,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS sv
+        FROM events GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT g.h, g.event_type, a.n, a.sv,
+               last_value(a.h  IGNORE NULLS) OVER back AS ph,
+               last_value(a.sv IGNORE NULLS) OVER back AS pv,
+               first_value(a.h  IGNORE NULLS) OVER fwd AS nh,
+               first_value(a.sv IGNORE NULLS) OVER fwd AS nv
+        FROM grid g LEFT JOIN act a ON a.h = g.h AND a.event_type = g.event_type
+        WINDOW back AS (PARTITION BY g.event_type ORDER BY g.h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               fwd  AS (PARTITION BY g.event_type ORDER BY g.h
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT h * {HOUR_MS}                        AS hour_ms,
+           event_type,
+           CAST(COALESCE(n, 0) AS BIGINT)       AS n_events,
+           CAST(CASE WHEN n IS NOT NULL THEN sv
+                     WHEN ph IS NULL OR nh IS NULL THEN NULL
+                     ELSE pv * (nh - ph) + (nv - pv) * (h - ph)
+                END AS BIGINT)                  AS interp_num,
+           CAST(CASE WHEN n IS NOT NULL THEN 1
+                     WHEN ph IS NULL OR nh IS NULL THEN NULL
+                     ELSE nh - ph END AS BIGINT) AS interp_den,
+           (n IS NULL)                          AS is_gap
+    FROM j
+    ORDER BY hour_ms, event_type
+    """,
+)
+def window_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill by LINEAR INTERPOLATION — the companion to
+    ``window_gap_fill_locf`` for metrics where carry-forward lies (rates,
+    gauges): a gap hour between observations (h_p, v_p) and (h_n, v_n)
+    takes the time-weighted value v_p + (v_n − v_p)·(h − h_p)/(h_n − h_p).
+
+    Cross-engine exactness: the interpolated value is emitted as an EXACT
+    RATIONAL — ``interp_num`` = v_p·(h_n−h_p) + (v_n−v_p)·(h−h_p) over
+    ``interp_den`` = h_n−h_p, both BIGINTs in price cents × hours —
+    because a materialized quotient would hit the signed trunc-vs-floor
+    division divergence (Spark div truncates, DuckDB // floors) exactly
+    when a series DECREASES.  Division is deferred to presentation;
+    observed hours carry (sv, 1); edge gaps (no neighbor on one side)
+    stay NULL rather than inventing a value.
+
+    Scale: identical to LOCF — the grid is calendar × key-domain bounded,
+    the actuals aggregate map-side, and BOTH interpolation neighbors come
+    from one per-key sort feeding two window frames (backward last +
+    forward first, IGNORE NULLS); no self-join, no range join."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.agg(
+        F.expr(f"MIN(unix_millis(ts) div {HOUR_MS})").alias("h0"),
+        F.expr(f"MAX(unix_millis(ts) div {HOUR_MS})").alias("h1"),
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(b)).select(
+        "event_type", F.explode(F.expr("sequence(h0, h1)")).alias("h")
+    )
+    act = e.groupBy(
+        F.expr(f"unix_millis(ts) div {HOUR_MS}").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).alias("sv"),
+    )
+    base = Window.partitionBy("event_type").orderBy("h")
+    back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # explicit aliases: grid.event_type and act.event_type share lineage
+    # (both derive from e), so attribute-based drop/select after the join
+    # is ambiguous — gap rows must keep the GRID's key, never act's NULL
+    act2 = act.select(
+        F.col("h").alias("ah"), F.col("event_type").alias("at"), "n", "sv"
+    )
+    j = (
+        grid.join(
+            act2,
+            (F.col("h") == F.col("ah")) & (F.col("event_type") == F.col("at")),
+            "left",
+        )
+        .select("h", "event_type", "n", "sv", "ah")
+        .withColumn("ph", F.last("ah", ignorenulls=True).over(back))
+        .withColumn("pv", F.last("sv", ignorenulls=True).over(back))
+        .withColumn("nh", F.first("ah", ignorenulls=True).over(fwd))
+        .withColumn("nv", F.first("sv", ignorenulls=True).over(fwd))
+    )
+    return j.select(
+        (F.col("h") * HOUR_MS).alias("hour_ms"),
+        "event_type",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.expr(
+            "CAST(CASE WHEN n IS NOT NULL THEN sv"
+            "          WHEN ph IS NULL OR nh IS NULL THEN NULL"
+            "          ELSE pv * (nh - ph) + (nv - pv) * (h - ph)"
+            "     END AS BIGINT)"
+        ).alias("interp_num"),
+        F.expr(
+            "CAST(CASE WHEN n IS NOT NULL THEN 1"
+            "          WHEN ph IS NULL OR nh IS NULL THEN NULL"
+            "          ELSE nh - ph END AS BIGINT)"
+        ).alias("interp_den"),
+        F.col("n").isNull().alias("is_gap"),
+    ).orderBy("hour_ms", "event_type")
