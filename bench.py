@@ -1014,12 +1014,13 @@ def adjudication_verdict(
     JIT/page-cache jitter reaches ~0.25 s on this box — the same floor the
     compare gate applies to REGRESSION status), the bench-pass reading was
     session noise; otherwise the drift persists and needs a named cause."""
-    from tools.bench_compare import SUSPECT_THRESHOLD, _abs_floor
+    from tools.bench_compare import _abs_floor, null_thresholds
 
+    suspect_thr = null_thresholds()[0]
     norm = (solo_median / old_median) / session_factor if old_median else None
     if (
         solo_median <= old_hi
-        or (norm is not None and norm <= SUSPECT_THRESHOLD)
+        or (norm is not None and norm <= suspect_thr)
         or (solo_median - old_median) < _abs_floor(old_median)
     ):
         return "session-noise"
@@ -1084,8 +1085,9 @@ def classify_persist(
     box/session, not this query → ``persists-box``; otherwise the residual
     drift is query-specific → ``persists-query``.  No anchors available →
     ``persists-unclassified`` (still terminal, but named)."""
-    from tools.bench_compare import SUSPECT_THRESHOLD
+    from tools.bench_compare import null_thresholds
 
+    suspect_thr = null_thresholds()[0]
     arecs = []
     for a in anchors:
         fn = queries.get(a["query"])
@@ -1111,7 +1113,7 @@ def classify_persist(
     rec["residual_vs_anchors"] = round(residual, 3) if residual else None
     rec["verdict"] = (
         "persists-box"
-        if residual is not None and residual <= SUSPECT_THRESHOLD
+        if residual is not None and residual <= suspect_thr
         else "persists-query"
     )
 

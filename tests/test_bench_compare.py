@@ -432,3 +432,42 @@ def test_headline_panel_frozen_and_shared_with_previous_round():
         prev = set(json.load(f).get("queries", {}))
     shared = prev & set(bench.HEADLINE)
     assert len(shared) >= 100, (len(shared), "panel churn beyond the ±12/round bound")
+
+
+def test_null_thresholds_normalized_with_floors(monkeypatch, tmp_path):
+    """Gate thresholds calibrate from the committed same-code null
+    distribution, NORMALIZED by the null run's own session factor, with
+    the static constants as floors (round-13: the r13 box's raw ratios
+    read p90 1.42 but 1.14 of that is session factor)."""
+    import json
+
+    import tools.bench_compare as bc
+
+    # point the loader at a synthetic artifact
+    import os
+    null = {
+        "session_factor_AB": 2.0,
+        # normalized ratios: 40 at 1.0 plus a tail (1.45, 1.5, 1.6, 2.0);
+        # with n=44, p90 lands in the 1.0 mass and p98 on the 1.6
+        "ratios": {f"q{i}": 2.0 for i in range(40)}
+        | {"t1": 2.9, "t2": 3.0, "t3": 3.2, "t4": 4.0},
+    }
+    (tmp_path / "NULL_SPREAD.json").write_text(json.dumps(null))
+    real_join = os.path.join
+
+    def fake_join(*parts):
+        if parts[-1] == "NULL_SPREAD.json":
+            return str(tmp_path / "NULL_SPREAD.json")
+        return real_join(*parts)
+
+    monkeypatch.setattr(bc.os, "path", os.path) if hasattr(bc, "os") else None
+    monkeypatch.setattr("os.path.join", fake_join)
+    s, r = bc.null_thresholds()
+    # normalized: 100×1.0 + (1.45, 1.5, 1.6, 2.0); p90 of that = 1.0 → floor
+    assert s == 1.25
+    # p98 index lands in the tail (1.6) → above the 1.5 floor
+    assert r == 1.6
+
+    # unreadable artifact → floors
+    (tmp_path / "NULL_SPREAD.json").write_text("{broken")
+    assert bc.null_thresholds() == (1.25, 1.5)

@@ -46,6 +46,43 @@ import sys
 FALLBACK_BAND = 0.15  # envelope halfwidth when a side lacks recorded spread
 NORM_THRESHOLD = 1.50  # normalized ratio beyond which a move is a real change
 SUSPECT_THRESHOLD = 1.25  # normalized ratio worth human eyes, not a verdict
+
+
+def null_thresholds() -> tuple[float, float]:
+    """Gate thresholds CALIBRATED from the committed same-code null
+    distribution (tools/bench_null.py → bench_out/NULL_SPREAD.json) when
+    present: a move is reportable only beyond what two clean same-code
+    sessions on THIS box produce — suspect at the null p90, REGRESSION at
+    the null p98.  The static constants stay as FLOORS (a suspiciously
+    tight null artifact can never make the gate oversensitive); absent or
+    unreadable artifact → floors alone.  Round-13 calibration made this
+    necessary: the r13 box's clean null reads p90 1.262 / p98 ~1.66 / max
+    1.774 (the r5-era box: 1.147 / — / 1.294), so the static 1.25/1.5 pair
+    flags same-code noise as suspect/REGRESSION on it."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench_out",
+        "NULL_SPREAD.json",
+    )
+    try:
+        with open(path) as f:
+            ns = json.load(f)
+        # the gate judges SESSION-NORMALIZED ratios, so the null percentiles
+        # must be normalized by the null run's own A/B session factor too
+        factor = ns.get("session_factor_AB") or 1.0
+        ratios = sorted(r / factor for r in ns["ratios"].values())
+        if len(ratios) < 20:
+            return SUSPECT_THRESHOLD, NORM_THRESHOLD
+        p90 = ratios[int(0.90 * (len(ratios) - 1))]
+        p98 = ratios[int(0.98 * (len(ratios) - 1))]
+        return (
+            max(SUSPECT_THRESHOLD, round(p90, 3)),
+            max(NORM_THRESHOLD, round(p98, 3)),
+        )
+    except Exception:
+        return SUSPECT_THRESHOLD, NORM_THRESHOLD
 ABS_FLOOR_SEC = 0.15  # ignore moves smaller than this in absolute seconds
 MIN_SHARED_FOR_NORM = 8  # need this many shared queries to trust the factor
 
@@ -168,6 +205,7 @@ def compare(old: dict, new: dict, old_label: str = "old", new_label: str = "new"
         if len(ratios) >= MIN_SHARED_FOR_NORM
         else 1.0
     )
+    suspect_thr, reg_thr = null_thresholds()
     rows = []
     for name in names:
         om, olo, ohi = _envelope(old, name)
@@ -177,11 +215,11 @@ def compare(old: dict, new: dict, old_label: str = "old", new_label: str = "new"
         floor = _abs_floor(om)
         if norm is None:
             status = "within-noise"
-        elif nlo > ohi and norm > NORM_THRESHOLD and delta > floor:
+        elif nlo > ohi and norm > reg_thr and delta > floor:
             status = "REGRESSION"
-        elif nhi < olo and norm < 1 / NORM_THRESHOLD and delta < -floor:
+        elif nhi < olo and norm < 1 / reg_thr and delta < -floor:
             status = "improvement"
-        elif nlo > ohi and norm > SUSPECT_THRESHOLD:
+        elif nlo > ohi and norm > suspect_thr:
             status = "suspect"
         else:
             status = "within-noise"
@@ -214,6 +252,7 @@ def compare(old: dict, new: dict, old_label: str = "old", new_label: str = "new"
         "vs": old_label,
         "n": len(rows),
         "session_factor": round(session_factor, 3),
+        "thr": [suspect_thr, reg_thr],
         "reg": len(regressions),
         "imp": len(improvements),
         "suspect": len(suspects),
@@ -274,6 +313,7 @@ def attach_adjudications(result: dict, new: dict) -> dict:
 def to_markdown(result: dict) -> str:
     old_l, new_l = result["old_label"], result["new_label"]
     v = result["verdict"]
+    sus_thr, reg_thr = v.get("thr") or (SUSPECT_THRESHOLD, NORM_THRESHOLD)
     lines = [
         f"# Bench comparison: {old_l} → {new_l}",
         "",
@@ -281,7 +321,9 @@ def to_markdown(result: dict) -> str:
         f"**{v['reg']} regressions**, {v['imp']} improvements, "
         f"{v['suspect']} suspects, rest within the noise envelope. "
         f"A move counts only when the min/max spreads are disjoint AND the "
-        f"session-factor-normalized ratio exceeds {NORM_THRESHOLD}× AND the "
+        f"session-factor-normalized ratio exceeds {reg_thr}× "
+        f"(suspect beyond {sus_thr}× — both null-calibrated, floors "
+        f"{SUSPECT_THRESHOLD}/{NORM_THRESHOLD}) AND the "
         f"absolute move exceeds {ABS_FLOOR_SEC}s ({MICRO_ABS_FLOOR_SEC}s for "
         f"queries under {MICRO_MEDIAN_SEC}s, whose JIT/cache jitter reaches "
         f"~0.25s on this box — see module docstring)." + _null_spread_note(),
