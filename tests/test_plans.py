@@ -117,10 +117,12 @@ NESTED_LOOP_ALLOWED = {
     # the 1-row merged-sketch-estimate scalars; the sketch build/union is
     # a groupBy + single-row agg, never a corpus join.
     "agg_hll_sketch_union",
-    # window_gap_fill_locf — the T-row distinct event_type dim crosses the
-    # 1-row global (h0, h1) hour-bounds scalar to build the bounded time
-    # grid; the grid meets the data in a hash equi-join on (type, hour).
+    # window_gap_fill_locf / _interp — the T-row distinct event_type dim
+    # crosses the 1-row global (h0, h1) hour-bounds scalar to build the
+    # bounded time grid; the grid meets the data in a hash equi-join on
+    # (type, hour).
     "window_gap_fill_locf",
+    "window_gap_fill_interp",
     # text_heaps_law — crossJoins against the 1-row corpus token total;
     # the vocabulary-growth curve itself is a window over first-seen ranks.
     "text_heaps_law",
@@ -144,6 +146,10 @@ NESTED_LOOP_ALLOWED = {
     # scalar that frames the ingestion deciles; the dup flag itself is a
     # hash equi-join on the md5 digest.
     "dedup_rate_curve",
+    # agg_quantile_sketch_merge — crossJoins of three 1-row aggregates
+    # (estimate picks × exact picks × sketch-size census) before the
+    # 5-row stack unpivot; the sketch build itself is groupBy-only.
+    "agg_quantile_sketch_merge",
 }
 
 # Queries machine-tagged as deliberate non-scale-safe ground truth (META)
@@ -297,7 +303,10 @@ def test_no_sf_scaled_broadcast_hints():
                 # tot/merged = the 1-row exact-total resp. merged-sketch-
                 # estimate scalars (agg_hll_sketch_union); types = the
                 # schema-fixed 5-row event-type dim (agg_ks_drift)
-                "relational.py": {"n", "r", "tot", "merged", "types"},
+                # exa / cells = the 1-row exact-quantile and sketch-size
+                # aggregates (agg_quantile_sketch_merge)
+                "relational.py": {"n", "r", "tot", "merged", "types", "exa",
+                                  "cells"},
                 # b = the 1-row global (h0, h1) hour-bounds scalar that
                 # frames the time grid (window_gap_fill_locf)
                 "windows.py": {"b"},
