@@ -2599,3 +2599,123 @@ def emb_kmeans_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Late-interaction MaxSim retrieval (round-13).
+# --------------------------------------------------------------------------
+MAXSIM_QTOK = 5   # query tokens per query
+MAXSIM_NQ = 2     # queries (vec_ids 0..9 grouped 5-apiece)
+MAXSIM_DTOK = 4   # token-vectors per document (vec_id div 4)
+MAXSIM_TOPK = 10
+
+
+@query(
+    "sim_maxsim_late_interaction",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               [CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS vq
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS qv, vec_id // {MAXSIM_QTOK} AS query_id, vq
+        FROM e WHERE vec_id < {MAXSIM_NQ * MAXSIM_QTOK}
+    ),
+    d AS (
+        SELECT vec_id // {MAXSIM_DTOK} AS doc_id, vq
+        FROM e WHERE vec_id >= {MAXSIM_NQ * MAXSIM_QTOK}
+    ),
+    dots AS (
+        SELECT q.query_id, q.qv, d.doc_id,
+               list_sum([q.vq[i] * d.vq[i] for i in range(1, {DIM + 1})]) AS dot
+        FROM q CROSS JOIN d
+    ),
+    mx AS (
+        SELECT query_id, qv, doc_id, MAX(dot) AS m
+        FROM dots GROUP BY query_id, qv, doc_id
+    ),
+    sc AS (
+        SELECT query_id, doc_id, SUM(m) AS score
+        FROM mx GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rank, score
+    FROM (
+        SELECT query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+               CAST(score AS BIGINT) AS score
+        FROM sc
+    )
+    WHERE rank <= {MAXSIM_TOPK}
+    ORDER BY query_id, rank
+    """,
+)
+def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION MaxSim retrieval (Khattab & Zaharia 2020, ColBERT):
+    queries and documents are BAGS of token vectors, and a document's
+    score for a query is Σ over query tokens of the MAX dot product
+    against any of the document's token vectors — the multi-vector
+    semantic that single-vector ANN (sim_ann_*) cannot express, and the
+    standard serving shape for modern retrieval rerankers.
+
+    Fixture: vec_ids 0..{MAXSIM_NQ * MAXSIM_QTOK - 1} group into
+    {MAXSIM_NQ} queries of {MAXSIM_QTOK} tokens; every other vector is a
+    token of document vec_id div {MAXSIM_DTOK}.  All dot products run on
+    the 1e-3-quantized integer vectors — exact BIGINTs, rank ties to the
+    lower doc_id, engine-independent.
+
+    Scale shape: the query token bag is BOUNDED (collected driver-side,
+    shipped as one literal array — the ivfpq discipline), so the corpus
+    pass computes all {MAXSIM_NQ * MAXSIM_QTOK} dots per token-vector
+    INSIDE the scan projection and explodes to (doc, qtok, dot) BIGINT
+    rows; MaxSim is then two partial-aggregated shuffles — max per
+    (doc, qtok), sum per (doc, query) — i.e. the reduce volume is
+    docs × qtokens, never corpus × corpus.  This is exactly how ColBERT
+    serving fans out: per-token candidate max, then per-query sum."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("vq"),
+    )
+    nq = MAXSIM_NQ * MAXSIM_QTOK
+    qtok = sorted(
+        (int(r["vec_id"]), [int(x) for x in r["vq"]])
+        for r in e.filter(F.col("vec_id") < nq).collect()
+    )
+    if not qtok:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, rank long, score long"
+        )
+    q1 = spark.createDataFrame(
+        [([{"qv": qv, "vq": vq} for qv, vq in qtok],)],
+        "qs array<struct<qv:bigint,vq:array<bigint>>>",
+    )
+    dots = (
+        spread_small_scan(e.filter(F.col("vec_id") >= nq), min_partitions=8)
+        .crossJoin(F.broadcast(q1))
+        .select(
+            F.expr(f"vec_id div {MAXSIM_DTOK}").alias("doc_id"),
+            F.explode(
+                F.expr(
+                    "transform(qs, q -> named_struct("
+                    "'qv', q.qv, "
+                    "'dot', aggregate(zip_with(vq, q.vq, (x, y) -> x * y), "
+                    "0L, (a, x) -> a + x)))"
+                )
+            ).alias("t"),
+        )
+        .select("doc_id", F.col("t.qv").alias("qv"), F.col("t.dot").alias("dot"))
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        dots.groupBy("doc_id", "qv")
+        .agg(F.max("dot").alias("m"))
+        .groupBy("doc_id", F.expr(f"qv div {MAXSIM_QTOK}").alias("query_id"))
+        .agg(F.sum("m").alias("score"))
+        .withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= MAXSIM_TOPK)
+        .select("query_id", "doc_id", "rank", "score")
+        .orderBy("query_id", "rank")
+    )
