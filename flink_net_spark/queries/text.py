@@ -2290,3 +2290,139 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PMI_TOPK)
     )
     return scoped_persist(out, c2)
+
+
+# --------------------------------------------------------------------------
+# Code-vs-prose detection (round-13).
+# --------------------------------------------------------------------------
+CODE_KEYWORDS = ("def ", "import ", "#include", "function", "return", "void ")
+CODE_SYM_PM = 80       # ≥8% symbol chars
+CODE_BRACE_MIN = 10    # or ≥10 brace/semicolon/paren/equals chars
+CODE_INDENT_MIN = 3    # or ≥3 indented lines
+CODE_KW_MIN = 2        # or ≥2 keyword hits
+
+
+def _code_detect_sql(engine: str) -> dict[str, str]:
+    """The shared metric formulas, rendered per engine.  Every count is a
+    length-difference over literal replace (engine-portable, no regex
+    dialect hazard) except the alnum strip, whose pattern contains NO
+    backslash — Spark SQL string literals process backslash ESCAPES
+    (``'\\s'`` reaches the regex engine as ``s``) while DuckDB's don't,
+    so any backslashed class would silently compile to two different
+    regexes.  Symbols are therefore counted as nonspace-minus-alnum:
+    whitespace removed by literal CHR replaces, alnum by the
+    backslash-free class ``[^A-Za-z0-9]``."""
+    flags = ", 'g'" if engine == "duck" else ""
+    ns = (
+        "LENGTH(REPLACE(REPLACE(REPLACE(REPLACE(text, ' ', ''),"
+        " CHR(9), ''), CHR(10), ''), CHR(13), ''))"
+    )
+    sym = (
+        f"({ns} - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9]', ''{flags})))"
+    )
+    braces = " + ".join(
+        f"(LENGTH(text) - LENGTH(REPLACE(text, '{c}', '')))"
+        for c in ("{", "}", "(", ")", ";", "=")
+    )
+    kws = " + ".join(
+        f"(LENGTH(text) - LENGTH(REPLACE(text, '{k}', ''))) / {len(k)}"
+        for k in CODE_KEYWORDS
+    )
+    indent = (
+        "(LENGTH(text) - LENGTH(REPLACE(text, CHR(10) || '  ', CHR(10)))) / 2"
+    )
+    return {
+        "sym_pm": f"CASE WHEN LENGTH(text) = 0 THEN 0"
+                  f" ELSE (1000 * {sym}) // LENGTH(text) END"
+        if engine == "duck"
+        else f"CASE WHEN LENGTH(text) = 0 THEN 0"
+             f" ELSE (1000 * {sym}) div LENGTH(text) END",
+        "brace_semi": f"({braces})",
+        "kw_hits": f"CAST(({kws}) AS BIGINT)",
+        "indent_lines": f"CAST({indent} AS BIGINT)",
+    }
+
+
+def _code_detect_oracle() -> str:
+    m = _code_detect_sql("duck")
+    return f"""
+    WITH d AS (
+        SELECT lang,
+               CAST({m["sym_pm"]} AS BIGINT)      AS sym_pm,
+               CAST({m["brace_semi"]} AS BIGINT)  AS brace_semi,
+               {m["kw_hits"]}                     AS kw_hits,
+               {m["indent_lines"]}                AS indent_lines
+        FROM documents
+    ),
+    f AS (
+        SELECT *,
+               (sym_pm >= {CODE_SYM_PM}
+                AND (brace_semi >= {CODE_BRACE_MIN}
+                     OR indent_lines >= {CODE_INDENT_MIN}))
+               OR kw_hits >= {CODE_KW_MIN} AS is_code
+        FROM d
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)                         AS n_docs,
+           CAST(SUM(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+           CAST(SUM(sym_pm) AS BIGINT)                      AS sum_sym_pm,
+           CAST(SUM(brace_semi) AS BIGINT)                  AS sum_brace_semi,
+           CAST(SUM(kw_hits) AS BIGINT)                     AS sum_kw_hits,
+           CAST(SUM(indent_lines) AS BIGINT)                AS sum_indent_lines
+    FROM f
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+@query("text_code_detect", oracle=_code_detect_oracle())
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection — the curation signal that routes documents
+    into code-specific pipelines (and keeps stray source files out of
+    prose corpora): per-document symbol density (per-mille of
+    non-alphanumeric-non-space chars), brace/semicolon/paren/equals
+    counts, indented-line counts, and code-keyword hits, thresholded into
+    an ``is_code`` verdict ({CODE_SYM_PM}‰ symbols plus structural braces
+    or indentation, or ≥{CODE_KW_MIN} keyword hits — the StarCoder/Gopher
+    rule-battery style of classifier-free detection).
+
+    Cross-engine exactness: every count is a LENGTH-DIFFERENCE over a
+    literal REPLACE (no regex dialect hazard) except the symbol strip,
+    whose character class is identical in Java regex and RE2; the density
+    is integer per-mille (trunc div on nonnegative ints).  Empty docs
+    score 0 (the edge corpus pins this).
+
+    Scale: one stateless scan projection per document plus a map-side
+    combined per-language rollup — no shuffle carries text; the output is
+    language-cardinality bounded."""
+    m = _code_detect_sql("spark")
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr(m["sym_pm"]).cast("long").alias("sym_pm"),
+        F.expr(m["brace_semi"]).cast("long").alias("brace_semi"),
+        F.expr(m["kw_hits"]).alias("kw_hits"),
+        F.expr(m["indent_lines"]).alias("indent_lines"),
+    )
+    f = d.withColumn(
+        "is_code",
+        (
+            (F.col("sym_pm") >= CODE_SYM_PM)
+            & (
+                (F.col("brace_semi") >= CODE_BRACE_MIN)
+                | (F.col("indent_lines") >= CODE_INDENT_MIN)
+            )
+        )
+        | (F.col("kw_hits") >= CODE_KW_MIN),
+    )
+    return (
+        f.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_code"), 1).otherwise(0)).alias("n_code"),
+            F.sum("sym_pm").alias("sum_sym_pm"),
+            F.sum("brace_semi").alias("sum_brace_semi"),
+            F.sum("kw_hits").alias("sum_kw_hits"),
+            F.sum("indent_lines").alias("sum_indent_lines"),
+        )
+        .orderBy("lang")
+    )
