@@ -1863,3 +1863,105 @@ def sample_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             > SRM_NUM * (F.col("n_a") + F.col("n_b"))
         ).alias("srm_flag"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Token-budget mixture planning (round-13).
+# --------------------------------------------------------------------------
+MIX_BUDGET_CHARS = 10_000_000  # target corpus size (chars ~ tokens proxy)
+MIX_REPEAT_CAP = 4             # max epochs per source (the LLaMA-style cap)
+# deterministic per-source target weight 1..5, portable across engines and
+# robust to arbitrary source names (no numeric parsing)
+_MIX_W = "((ASCII(SUBSTR(source, LENGTH(source), 1)) + LENGTH(source)) % 5 + 1)"
+
+
+@query(
+    "curation_token_budget_mix",
+    oracle=f"""
+    WITH s AS (
+        SELECT source,
+               CAST({_MIX_W} AS BIGINT)    AS w,
+               CAST(SUM(n_chars) AS BIGINT) AS avail
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM s)
+    SELECT s.source,
+           s.w                               AS weight,
+           s.avail                           AS avail_chars,
+           CAST({MIX_BUDGET_CHARS} * s.w AS BIGINT)          AS target_num,
+           t.wsum                            AS target_den_per_budget,
+           {MIX_BUDGET_CHARS} * s.w > {MIX_REPEAT_CAP} * t.wsum * s.avail
+                                             AS capped,
+           CAST(CASE WHEN {MIX_BUDGET_CHARS} * s.w
+                          > {MIX_REPEAT_CAP} * t.wsum * s.avail
+                     THEN {MIX_REPEAT_CAP} * t.wsum * s.avail
+                     ELSE {MIX_BUDGET_CHARS} * s.w END AS BIGINT)
+                                             AS repeat_num,
+           CAST(t.wsum * s.avail AS BIGINT)  AS repeat_den,
+           CAST(CASE WHEN {MIX_BUDGET_CHARS} * s.w
+                          > {MIX_REPEAT_CAP} * t.wsum * s.avail
+                     THEN {MIX_BUDGET_CHARS} * s.w
+                          - {MIX_REPEAT_CAP} * t.wsum * s.avail
+                     ELSE 0 END AS BIGINT)   AS shortfall_num
+    FROM s CROSS JOIN t
+    ORDER BY s.source
+    """,
+)
+def curation_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture PLANNING — given per-source availability, a
+    target mixture weight, a total corpus budget and a repeat cap, compute
+    each source's epoch/repeat factor and its shortfall: the
+    "how many passes of each source do I take" recipe step of
+    LLaMA/DoReMi-style data mixing, where low-resource sources hit the
+    repeat cap (≤{MIX_REPEAT_CAP} epochs here — repetition beyond a few
+    epochs degrades, cf. Muennighoff 2023 "Scaling Data-Constrained LMs")
+    and the lost mass is reported as a shortfall instead of silently
+    re-normalized.
+
+    Exactness: the repeat factor min(cap, budget·w / (Σw·avail)) is
+    emitted as an EXACT RATIONAL (repeat_num/repeat_den) — the deferred-
+    division discipline (window_gap_fill_interp): materializing the
+    quotient would round, and rounding a plan that multiplies back into
+    tokens drifts.  Weights derive from a portable arithmetic hash of the
+    source name (no numeric parsing — arbitrary names, edge corpus
+    included).
+
+    Scale: one map-side-combined per-source aggregation plus a 1-row Σw
+    scalar broadcast — the plan is source-cardinality bounded regardless
+    of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.expr(_MIX_W).cast("long").alias("w"),
+        F.sum("n_chars").cast("long").alias("avail"),
+    )
+    t = s.agg(F.sum("w").cast("long").alias("wsum"))
+    B, CAP = MIX_BUDGET_CHARS, MIX_REPEAT_CAP
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            F.col("w").alias("weight"),
+            F.col("avail").alias("avail_chars"),
+            (F.lit(B) * F.col("w")).cast("long").alias("target_num"),
+            F.col("wsum").alias("target_den_per_budget"),
+            (F.lit(B) * F.col("w") > CAP * F.col("wsum") * F.col("avail")).alias(
+                "capped"
+            ),
+            F.when(
+                F.lit(B) * F.col("w") > CAP * F.col("wsum") * F.col("avail"),
+                CAP * F.col("wsum") * F.col("avail"),
+            )
+            .otherwise(F.lit(B) * F.col("w"))
+            .cast("long")
+            .alias("repeat_num"),
+            (F.col("wsum") * F.col("avail")).cast("long").alias("repeat_den"),
+            F.when(
+                F.lit(B) * F.col("w") > CAP * F.col("wsum") * F.col("avail"),
+                F.lit(B) * F.col("w") - CAP * F.col("wsum") * F.col("avail"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("shortfall_num"),
+        )
+        .orderBy("source")
+    )
