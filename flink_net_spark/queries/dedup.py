@@ -1881,3 +1881,83 @@ def dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("decile")
     )
     return scoped_persist(out, h)
+
+
+# --------------------------------------------------------------------------
+# Quality-based keeper selection over resolved near-dup groups (round-13).
+# --------------------------------------------------------------------------
+
+
+def _keep_best_oracle() -> str:
+    from flink_net_spark.queries import ORACLES
+
+    return f"""
+    WITH g AS (
+        SELECT doc_id, group_id FROM ({ORACLES["dedup_resolve_groups"]})
+    ),
+    m AS (
+        SELECT g.group_id, d.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY g.group_id
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        FROM g JOIN documents d USING (doc_id)
+    )
+    SELECT CAST(group_id AS BIGINT)  AS group_id,
+           CAST(COUNT(*) AS BIGINT)  AS n_members,
+           CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+                                     AS keeper_doc_id,
+           CAST(MIN(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+                                     AS keeper_chars,
+           CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+                                     AS evicted_chars
+    FROM m GROUP BY group_id ORDER BY group_id
+    """
+
+
+@query("dedup_keep_best", oracle=_keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEPER SELECTION over resolved near-dup groups — the step after
+    group resolution that production dedup actually ships: instead of
+    ``dedup_resolve_groups``' arbitrary min-id survivor, each group keeps
+    its BEST member by a quality key (here longest text, ties to the
+    lower doc_id — the "prefer the most complete variant" heuristic
+    CCNet/RefinedWeb-style pipelines apply when near-dups differ by
+    truncation or boilerplate), and the evicted mass is reported per
+    group so the dedup's cost is visible, never silent.
+
+    Composition, not duplication: the group labels come from the SAME
+    ``dedup_resolve_groups`` pipeline (banded MinHash pairs → verified
+    Jaccard → min-label components) on both engines — the oracle embeds
+    that query's oracle verbatim, so any divergence in the upstream
+    grouping fails here too.
+
+    Scale: adds ONE doc_id equi-join (groups are pair-graph-sized, far
+    smaller than the corpus) and one group-keyed window over group-sized
+    partitions to the audited resolve pipeline."""
+    from pyspark.sql.window import Window
+
+    base = dedup_resolve_groups(spark, sf_dir)
+    g = base.select("doc_id", "group_id")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("group_id").orderBy(F.desc("n_chars"), "doc_id")
+    m = g.join(d, "doc_id").withColumn("rn", F.row_number().over(w))
+    out = (
+        m.groupBy(F.col("group_id").cast("long").alias("group_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("keeper_doc_id"),
+            F.min(F.when(F.col("rn") == 1, F.col("n_chars")))
+            .cast("long")
+            .alias("keeper_chars"),
+            F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("evicted_chars"),
+        )
+        .orderBy("group_id")
+    )
+    # the upstream result's checkpointed label RDDs are released when ITS
+    # handle is GC'd (release_rdds_with_result) — pin it to this result's
+    # lifetime so composing queries don't lose the blocks mid-collect
+    out._fns_upstream = base
+    return out
