@@ -150,6 +150,12 @@ NESTED_LOOP_ALLOWED = {
     # (estimate picks × exact picks × sketch-size census) before the
     # 5-row stack unpivot; the sketch build itself is groupBy-only.
     "agg_quantile_sketch_merge",
+    # sim_maxsim_late_interaction — crossJoin against the 1-row broadcast
+    # query-token bag; MaxSim itself is two partial-aggregated shuffles.
+    "sim_maxsim_late_interaction",
+    # curation_token_budget_mix — crossJoin against the 1-row Σw scalar
+    # over the source-cardinality-bounded availability frame.
+    "curation_token_budget_mix",
 }
 
 # Queries machine-tagged as deliberate non-scale-safe ground truth (META)
@@ -296,9 +302,11 @@ def test_no_sf_scaled_broadcast_hints():
                 # mx = the 1-row (max doc_id + 1) ingestion-decile scalar
                 # (dedup_rate_curve)
                 "dedup.py": {"keys", "mx", "xs", "ys"},
+                # t = the 1-row Σw weight-total scalar
+                # (curation_token_budget_mix)
                 "pipeline_ops.py": {
                     "bw", "cells", "eval_sh", "k0row", "nrow", "ntok",
-                    "shift", "tau", "thr", "tot", "wts",
+                    "shift", "t", "tau", "thr", "tot", "wts",
                 },
                 # tot/merged = the 1-row exact-total resp. merged-sketch-
                 # estimate scalars (agg_hll_sketch_union); types = the
@@ -316,10 +324,13 @@ def test_no_sf_scaled_broadcast_hints():
                 # set — corpus-size-independent by construction
                 # s = the 1-row sum(D²) scalar of the D²-proportional
                 # seeding draw (emb_kmeans_seed)
+                # q1 = the 1-row query-token-bag broadcast
+                # (sim_maxsim_late_interaction)
                 "similarity.py": {
                     "_st_planes_df", "adc", "c", "cb", "cb1", "cells",
                     "cells1", "cent", "cents", "mrow", "nn", "planes",
-                    "planted", "probes", "q", "s", "seeds", "sizes", "st",
+                    "planted", "probes", "q", "q1", "s", "seeds", "sizes",
+                    "st",
                 },
                 "streaming_queries.py": {"nation"},
                 "temporal.py": {"converted"},
