@@ -2608,6 +2608,7 @@ MAXSIM_QTOK = 5   # query tokens per query
 MAXSIM_NQ = 2     # queries (vec_ids 0..9 grouped 5-apiece)
 MAXSIM_DTOK = 4   # token-vectors per document (vec_id div 4)
 MAXSIM_TOPK = 10
+_MAXSIM_SALT = 16  # per-query salt fan-out for the two-phase rank
 
 
 @query(
@@ -2672,7 +2673,18 @@ def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows; MaxSim is then two partial-aggregated shuffles — max per
     (doc, qtok), sum per (doc, query) — i.e. the reduce volume is
     docs × qtokens, never corpus × corpus.  This is exactly how ColBERT
-    serving fans out: per-token candidate max, then per-query sum."""
+    serving fans out: per-token candidate max, then per-query sum.
+
+    Round-14 (VERDICT r13 #1): the final per-query rank is the SALTED
+    TWO-PHASE top-k (the zipf/reservoir/cms idiom), not a bare
+    row_number over partitionBy(query_id) — with only {MAXSIM_NQ} query
+    partitions the old shape sorted the full corpus-sized score frame on
+    a per-query single reducer at 100× scale.  The global per-query
+    top-k is provably inside the union of per-(query, doc_id % SALT)
+    top-ks, so phase 1 pre-prunes within each of the
+    {MAXSIM_NQ}×{_MAXSIM_SALT} salt cells in parallel and phase 2 ranks
+    only the ≤ SALT×TOPK survivors per query — a bounded sort whatever
+    the corpus size."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr(
@@ -2708,13 +2720,26 @@ def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("t.qv").alias("qv"), F.col("t.dot").alias("dot"))
     )
-    wf = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
-    return (
+    scores = (
         dots.groupBy("doc_id", "qv")
         .agg(F.max("dot").alias("m"))
         .groupBy("doc_id", F.expr(f"qv div {MAXSIM_QTOK}").alias("query_id"))
         .agg(F.sum("m").alias("score"))
-        .withColumn("rank", F.row_number().over(wf).cast("long"))
+    )
+    # Phase 1: per-salt pre-prune — NQ × SALT parallel partitions, each
+    # keeping its own top-TOPK (the global top-TOPK per query is a subset
+    # of this union).  Phase 2 ranks the bounded survivor set.
+    w1 = Window.partitionBy(
+        "query_id", F.col("doc_id") % _MAXSIM_SALT
+    ).orderBy(F.desc("score"), "doc_id")
+    survivors = (
+        scores.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= MAXSIM_TOPK)
+        .drop("r1")
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        survivors.withColumn("rank", F.row_number().over(wf).cast("long"))
         .filter(F.col("rank") <= MAXSIM_TOPK)
         .select("query_id", "doc_id", "rank", "score")
         .orderBy("query_id", "rank")

@@ -586,13 +586,21 @@ def test_salted_topk_windows_are_two_phase(spark):
     BroadcastNestedLoopJoin (80 rows × 1 row), so only the unbounded BNLJ
     shapes are rejected for it."""
     # sample_priority_weighted's 1-row tau scalar crossJoin is the same
-    # legitimately-bounded BNLJ shape as vocab_topk_cms's token total.
-    bounded_bnlj = {"vocab_topk_cms", "sample_priority_weighted"}
+    # legitimately-bounded BNLJ shape as vocab_topk_cms's token total;
+    # sim_maxsim_late_interaction broadcasts its 1-row query-token bag
+    # the same way (round-14: its rank is now the salted two-phase shape
+    # per VERDICT r13 #1).
+    bounded_bnlj = {
+        "vocab_topk_cms",
+        "sample_priority_weighted",
+        "sim_maxsim_late_interaction",
+    }
     for name in (
         "sample_reservoir_per_key",
         "text_zipf_ttr",
         "vocab_topk_cms",
         "sample_priority_weighted",
+        "sim_maxsim_late_interaction",
     ):
         p = plan_of(entry.queries()[name](spark, SF_DIR))
         assert "CartesianProduct" not in p, (name, p)
