@@ -122,13 +122,18 @@ def stream_window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame
 @query(
     "stream_session_windows",
     oracle="""
-    WITH marked AS (
+    WITH ev AS (
+        -- µs-truncated ts (round-14 ADVICE sweep): order by the same µs
+        -- values Spark sees, never raw ns.
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    marked AS (
         SELECT user_id, epoch_ms(ts) AS ms,
                CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                       OR epoch_ms(ts) - LAG(epoch_ms(ts))
                          OVER (PARTITION BY user_id ORDER BY ts) >= 7200000
                     THEN 1 ELSE 0 END AS new_session
-        FROM events
+        FROM ev
     ),
     sess AS (
         SELECT user_id, ms,

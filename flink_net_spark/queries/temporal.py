@@ -27,12 +27,16 @@ WEEK_MS = 7 * 24 * 3_600_000
 @query(
     "join_asof",
     oracle="""
+    -- CAST(ts AS TIMESTAMP) truncates DuckDB's ns to the same µs Spark
+    -- sees (load_table's ns div 1000) so the ASOF comparison can never
+    -- diverge on a sub-µs-distinct pair (round-14 ADVICE sweep).
     SELECT v.event_id, v.user_id,
            CAST(epoch_ms(v.ts) AS BIGINT) AS ts_ms,
            CAST(epoch_ms(c.ts) AS BIGINT) AS asof_click_ms
-    FROM (SELECT * FROM events WHERE event_type = 'view') v
-    ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events
-                    WHERE event_type = 'click') c
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'click') c
       ON v.user_id = c.user_id AND v.ts >= c.ts
     ORDER BY v.event_id
     """,
@@ -83,14 +87,19 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "funnel_conversion",
     oracle=f"""
-    WITH first_signup AS (
-        SELECT user_id, MIN(ts) AS signup_ts FROM events
+    WITH ev AS (
+        -- µs-truncated ts (round-14 ADVICE sweep): the >= step comparison
+        -- must see the same µs values Spark does.
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    first_signup AS (
+        SELECT user_id, MIN(ts) AS signup_ts FROM ev
         WHERE event_type = 'signup' GROUP BY user_id
     ),
     converted AS (
         SELECT DISTINCT f.user_id
         FROM first_signup f
-        JOIN events p
+        JOIN ev p
           ON p.user_id = f.user_id
          AND p.event_type = 'purchase'
          AND p.ts >= f.signup_ts
@@ -347,10 +356,12 @@ def cdc_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_asof_nearest",
     oracle="""
-    WITH v AS (SELECT event_id, user_id, ts FROM events
-               WHERE event_type = 'view'),
-    c AS (SELECT DISTINCT user_id, ts FROM events
-          WHERE event_type = 'click'),
+    -- µs-truncated ts on both sides (round-14 ADVICE sweep: match
+    -- Spark's ns-div-1000 µs timestamps in every ordering/comparison).
+    WITH v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'view'),
+    c AS (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click'),
     back AS (
         SELECT v.event_id, v.user_id, v.ts, c.ts AS bts
         FROM v ASOF LEFT JOIN c

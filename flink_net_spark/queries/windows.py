@@ -119,13 +119,18 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_session",
     oracle="""
-    WITH marked AS (
+    WITH ev AS (
+        -- µs-truncated ts (round-14 ADVICE sweep): order by the same µs
+        -- values Spark sees, never raw ns.
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    marked AS (
         SELECT user_id, epoch_ms(ts) AS ms,
                CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                       OR epoch_ms(ts) - LAG(epoch_ms(ts))
                          OVER (PARTITION BY user_id ORDER BY ts) >= 7200000
                     THEN 1 ELSE 0 END AS new_session
-        FROM events
+        FROM ev
     ),
     sess AS (
         SELECT user_id, ms,
@@ -214,11 +219,17 @@ def window_tumbling_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_count_per_key",
     oracle="""
-    WITH ordered AS (
+    WITH ev AS (
+        -- µs-truncated ts (round-14 ADVICE sweep): the (ts, event_id)
+        -- chunk order must tie-break exactly where Spark's µs ts does.
+        SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events
+    ),
+    ordered AS (
         SELECT user_id, value,
                CAST((ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 5
                     AS BIGINT) AS window_idx
-        FROM events
+        FROM ev
     )
     SELECT user_id, window_idx,
            COUNT(*)             AS n_in_window,
@@ -415,7 +426,9 @@ OUTLIER_K = 3  # sigma multiplier
     WITH ev AS (
         SELECT event_id, user_id, event_type,
                CAST(ROUND(value * 1000, 0) AS BIGINT) AS v,
-               ts
+               -- µs-truncated (round-14 ADVICE sweep): frame membership
+               -- is order-sensitive, so the sort key must match Spark's.
+               CAST(ts AS TIMESTAMP) AS ts
         FROM events
     ),
     w AS (

@@ -135,3 +135,155 @@ def test_weighted_quantiles_are_monotone(spark):
     rows = QUERIES["agg_weighted_quantiles"](spark, SF_DIR).collect()
     for r in rows:
         assert r["wp25_cents"] <= r["wp50_cents"] <= r["wp75_cents"], r
+
+
+# --------------------------------------------------------------------------
+# Sub-µs timestamp-collision fixture (round-14, VERDICT r13 #2 + ADVICE).
+# --------------------------------------------------------------------------
+# events.parquet is TIMESTAMP µs today, but load_table carries a dormant
+# TIMESTAMP(NANOS) branch (nanosAsLong → div 1000), and every oracle that
+# orders/compares on ts now µs-truncates via CAST(ts AS TIMESTAMP) so a
+# ns-precision regeneration of the corpus cannot make DuckDB order at ns
+# while Spark orders at µs.  This fixture builds a ns-precision events
+# table whose ONLY ties are sub-µs-distinct pairs placed exactly where
+# they flip results — asof match vs no-match, count-window chunk sums,
+# funnel conversion, SCD2 version order — then pins (a) Spark (through the
+# dormant nanosAsLong branch) == the registered truncated oracle and
+# (b) a Python emulation of raw-ns ordering actually diverges, proving the
+# fixture exercises the hazard rather than skating past it.  (The sandbox
+# DuckDB 1.0.0 truncates parquet NANOS to µs at read — it cannot represent
+# sub-µs at all — so the divergence itself is emulated; a ≥1.1 DuckDB
+# reading TIMESTAMP_NS natively is exactly what the oracle CASTs guard.)
+
+_NS_BASE = 1_717_200_000 * 10**9  # 2024-06-01T00:00:00Z in epoch-ns
+
+
+def _ns_collision_events_dir(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    us = lambda k: _NS_BASE + k * 1000  # k microseconds past base
+    rows = [
+        # user 1 — asof: view and click inside ONE µs, click ns-AFTER the
+        # view (µs-equal ⇒ match; raw-ns ⇒ no match).
+        (1, us(0) + 100, 1, "view", 1.0),
+        (2, us(0) + 900, 1, "click", 1.0),
+        # user 2 — count window: 6 clicks, the 5th/6th share µs 5 with the
+        # LOWER event_id carrying the LATER ns part, so the raw-ns order
+        # and the (µs ts, event_id) order disagree across the chunk edge.
+        (10, us(1), 2, "click", 1.0),
+        (11, us(2), 2, "click", 2.0),
+        (12, us(3), 2, "click", 4.0),
+        (13, us(4), 2, "click", 8.0),
+        (14, us(5) + 900, 2, "click", 16.0),
+        (15, us(5) + 100, 2, "click", 32.0),
+        # user 3 — funnel: purchase ns-BEFORE its signup inside one µs
+        # (µs-equal ⇒ converted; raw-ns ⇒ not converted).
+        (20, us(10) + 800, 3, "signup", 1.0),
+        (21, us(10) + 200, 3, "purchase", 1.0),
+        # user 4 — SCD2: two DIFFERENT statuses inside one µs with event_id
+        # order opposite to ns order (version sequence flips on raw ns).
+        (30, us(20) + 900, 4, "error", 1.0),
+        (31, us(20) + 100, 4, "view", 1.0),
+        (32, us(30), 4, "purchase", 1.0),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    out = tmp_path / "ns_fixture"
+    out.mkdir()
+    pq.write_table(t, out / "events.parquet", store_schema=False)
+    return str(out)
+
+
+_NS_SENSITIVE = [
+    "join_asof",
+    "join_asof_nearest",
+    "funnel_conversion",
+    "window_count_per_key",
+    "window_outlier_3sigma",
+    "window_session",
+    "cdc_scd2_versions",
+    "join_point_in_time",
+]
+
+
+def test_ns_collision_fixture_matches_truncated_oracles(spark, tmp_path):
+    import duckdb
+
+    from flink_net_spark.queries import ORACLES
+    from tests.conftest import _canon_rows
+
+    d = _ns_collision_events_dir(tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    # DuckDB 1.0.0 reads parquet NANOS as µs TIMESTAMP (a ≥1.1 DuckDB
+    # yields TIMESTAMP_NS — either way the truncated oracles must agree)
+    (ts_type,) = [
+        r[1] for r in con.execute("DESCRIBE events").fetchall() if r[0] == "ts"
+    ]
+    assert ts_type in ("TIMESTAMP", "TIMESTAMP_NS"), ts_type
+    for name in _NS_SENSITIVE:
+        sdf = QUERIES[name](spark, d)
+        scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+        res = con.execute(ORACLES[name])
+        dcols = [x[0] for x in res.description]
+        drows = res.fetchall()
+        assert sorted(scols) == sorted(dcols), (name, scols, dcols)
+        assert _canon_rows(srows, scols) == _canon_rows(drows, dcols), name
+    con.close()
+
+
+def test_ns_collision_fixture_discriminates_raw_ns_ordering(spark, tmp_path):
+    """The fixture must actually EXERCISE the hazard: an engine that
+    orders/compares at raw ns (what an un-truncated oracle does on a
+    TIMESTAMP_NS-reading DuckDB) must disagree with Spark's µs view on
+    these rows.  Emulated in exact Python over the fixture definition —
+    the sandbox DuckDB cannot represent sub-µs (see module comment)."""
+    d = _ns_collision_events_dir(tmp_path)
+
+    # --- join_asof: user 1's view↔click share a µs, click ns-AFTER -----
+    asof = {r["event_id"]: r["asof_click_ms"]
+            for r in QUERIES["join_asof"](spark, d).collect()}
+    # Spark (µs): equal timestamps match → view 1 gets the click
+    assert asof[1] is not None
+    # raw ns: click(+900) > view(+100) → NO click at-or-before the view
+    view_ns, click_ns = _NS_BASE + 100, _NS_BASE + 900
+    assert not (click_ns <= view_ns), "fixture lost its sub-µs inversion"
+
+    # --- window_count_per_key: chunk edge straddles the collision ------
+    out = {r["user_id"]: r["sum_value"]
+           for r in QUERIES["window_count_per_key"](spark, d).collect()}
+    # Spark (µs ts, event_id): rows 10..14 fill chunk 0 → 1+2+4+8+16
+    assert out[2] == 31.0, out
+    # raw ns order puts event 15 (ns+100) before 14 (ns+900): chunk 0
+    # would be rows 10..13 + 15 → 1+2+4+8+32 = 47 ≠ 31
+    ns_order_sum = 1.0 + 2.0 + 4.0 + 8.0 + 32.0
+    assert ns_order_sum != out[2]
+
+    # --- funnel_conversion: purchase ns-BEFORE its same-µs signup ------
+    row = QUERIES["funnel_conversion"](spark, d).collect()[0]
+    # Spark (µs): purchase ts == signup ts → >= holds → converted
+    assert (row["n_signup_users"], row["n_converted"]) == (1, 1)
+    # raw ns: purchase(+200) < signup(+800) → would NOT convert
+    assert _NS_BASE + 10_000 + 200 < _NS_BASE + 10_000 + 800
+
+    # --- cdc_scd2_versions: same-µs status pair, event_id vs ns flip ---
+    vers = [
+        (r["version_no"], r["status"])
+        for r in QUERIES["cdc_scd2_versions"](spark, d).collect()
+        if r["user_id"] == 4
+    ]
+    # Spark (µs ts, event_id): event 30 'error' (id-first) then 31 'view'
+    assert vers[:2] == [(1, "error"), (2, "view")], vers
+    # raw ns (+100 before +900) would order 'view' first — flipped
+    assert [(1, "view"), (2, "error")] != vers[:2]
