@@ -1956,8 +1956,20 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_id")
     )
-    # the upstream result's checkpointed label RDDs are released when ITS
-    # handle is GC'd (release_rdds_with_result) — pin it to this result's
-    # lifetime so composing queries don't lose the blocks mid-collect
+    # the upstream result's checkpointed label RDDs back THIS plan too:
+    # pin the upstream handle to this result's lifetime (GC path) AND
+    # forward a deterministic release so release_persisted(out) frees the
+    # upstream blocks without waiting for the collector (r13 ADVICE).
+    # Contract: a consumer that derives a new DataFrame from this result
+    # must keep THIS handle alive until the derived job finishes —
+    # dropping it lets the upstream finalizer unpersist lineage-truncated
+    # checkpoint blocks mid-collect.
+    from flink_net_spark.tables import release_persisted
+
     out._fns_upstream = base
+
+    def _release_upstream(b=base):
+        release_persisted(b)
+
+    out._fns_release = _release_upstream
     return out

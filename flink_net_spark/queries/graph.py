@@ -30,7 +30,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_net_spark.queries import query
-from flink_net_spark.tables import load_table, scoped_persist
+from flink_net_spark.tables import (
+    checkpoint_tracked_lazy,
+    load_table,
+    release_rdds_with_result,
+    scoped_persist,
+)
 
 # Fixed-point PageRank parameters.  Damping 0.85 as the exact integer pair
 # (85, 100); rank unit 1e-6.  With N nodes total rank mass stays <= N * 1e6,
@@ -622,11 +627,17 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(F.col("src"))
         .persist()
     )
-    l = (
+    # Lazy checkpoints: no per-round count() forces materialization, so
+    # EVERY round's label cache backs the final plan — track their RDD ids
+    # and tie release to the result handle (the dedup_resolve_groups
+    # discipline; untracked, they leak at the RDD layer for the session —
+    # r13 ADVICE).
+    cc_ids: list[int] = []
+    l = checkpoint_tracked_lazy(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint(eager=False)
+        .select("node", F.col("node").alias("lbl")),
+        cc_ids,
     )
     persisted = [edges]
     prev = l
@@ -650,13 +661,13 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         j = m.select(F.col("node").alias("jn"), F.col("ml").alias("jl"))
-        l = (
+        l = checkpoint_tracked_lazy(
             m.join(j, m.ml == j.jn, "left")
             .select(
                 "node",
                 F.least(F.col("ml"), F.coalesce("jl", "ml")).alias("lbl"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            cc_ids,
         )
         persisted.append(m)
     chg = (
@@ -688,7 +699,9 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size")
     )
-    return scoped_persist(out, *persisted)
+    return release_rdds_with_result(
+        scoped_persist(out, *persisted), spark, cc_ids
+    )
 
 
 # --------------------------------------------------------------------------

@@ -238,6 +238,21 @@ def checkpoint_tracked(df: DataFrame, ids_out: list[int]) -> DataFrame:
     return lc
 
 
+def checkpoint_tracked_lazy(df: DataFrame, ids_out: list[int]) -> DataFrame:
+    """``df.localCheckpoint(eager=False)`` with the same RDD-id tracking as
+    ``checkpoint_tracked`` — the lazy variant registers its RDD-layer cache
+    at CREATION time (verified: persist() runs inside localCheckpoint even
+    when materialization is deferred), so the before/after diff captures it
+    identically.  For iterative builders whose rounds materialize only at
+    collect time (no per-round count()), every round's checkpoint backs the
+    final plan: tie the ids to the result with ``release_rdds_with_result``."""
+    spark = df.sparkSession
+    before = _persistent_rdd_ids(spark)
+    lc = df.localCheckpoint(eager=False)
+    ids_out.extend(_persistent_rdd_ids(spark) - before)
+    return lc
+
+
 def release_rdd_ids(spark: SparkSession, ids: list[int]) -> None:
     """Unpersist the RDD-layer caches with the given ids (non-blocking;
     ids already evicted or a stopped session are fine)."""
@@ -254,9 +269,22 @@ def release_rdd_ids(spark: SparkSession, ids: list[int]) -> None:
 def release_rdds_with_result(result: DataFrame, spark: SparkSession, ids: list[int]) -> DataFrame:
     """Release the tracked checkpoint caches when the RESULT handle is
     dropped (the checkpointed RDDs back the result's plan, so they must
-    outlive it — same lifetime contract as ``scoped_persist``)."""
+    outlive it — same lifetime contract as ``scoped_persist``).
+
+    Also exposes the release through ``result._fns_release`` so
+    ``release_persisted(result)`` frees the checkpoint blocks
+    DETERMINISTICALLY, composing with any release scoped_persist already
+    attached (r13 ADVICE: GC-only release leaks until the collector runs)."""
     import weakref
 
-    sc_ref = spark
-    weakref.finalize(result, release_rdd_ids, sc_ref, list(ids))
+    fin = weakref.finalize(result, release_rdd_ids, spark, list(ids))
+    prev = getattr(result, "_fns_release", None)
+    if prev is None:
+        result._fns_release = fin
+    else:
+        def _both(prev=prev, fin=fin):
+            prev()
+            fin()
+
+        result._fns_release = _both
     return result

@@ -39,7 +39,11 @@ def test_scoped_persist_releases_cache_on_handle_drop(spark):
                  # fire); pinned here now that it scopes to the result —
                  # and its r11 ANN-leg variant + the phash index too
                  "sim_rrf_hybrid", "sim_rrf_hybrid_ann", "mm_phash_dedup",
-                 "dedup_incremental_minhash", "dedup_span_novelty"):
+                 "dedup_incremental_minhash", "dedup_span_novelty",
+                 # r13 ADVICE: connected components' per-round LAZY
+                 # localCheckpoints (7 label frames) were untracked — now
+                 # checkpoint_tracked_lazy + release_rdds_with_result
+                 "graph_connected_components"):
         df = QUERIES[name](spark, sf)
         df.collect()
         del df
@@ -80,3 +84,51 @@ def test_purge_dead_lm_entries_unpersists_through_handles(spark):
     T._purge_dead_lm_entries()
     assert key not in T._LM_SHARED
     assert not df.storageLevel.useMemory  # unpersisted, not leaked
+
+
+def test_keep_best_forwards_deterministic_release(spark):
+    """r13 ADVICE: dedup_keep_best pinned its upstream resolve-groups
+    result only via _fns_upstream (GC-only — release_persisted(out) was a
+    no-op).  It must now forward a deterministic handle: after collect +
+    release_persisted(out), the upstream's checkpointed label RDDs are
+    gone WITHOUT waiting for the collector."""
+    from flink_net_spark.queries import QUERIES
+    from flink_net_spark.tables import _persistent_rdd_ids, release_persisted
+
+    sf = "/root/testdata/sf0.001"
+    gc.collect()
+    baseline = _persistent_rdd_ids(spark)
+    out = QUERIES["dedup_keep_best"](spark, sf)
+    out.collect()
+    assert _persistent_rdd_ids(spark) - baseline, "expected live upstream caches"
+    release_persisted(out)  # deterministic: NO gc.collect() here
+    assert _persistent_rdd_ids(spark) - baseline == set()
+    del out
+    gc.collect()  # the GC backstop must stay idempotent after the fact
+
+
+def test_release_rdds_with_result_composes_with_scoped_persist(spark):
+    """release_rdds_with_result must chain onto an existing _fns_release
+    (graph_connected_components stacks it on scoped_persist): one
+    release_persisted() call frees BOTH the persisted frames and the
+    tracked checkpoint RDDs."""
+    from flink_net_spark.tables import (
+        _persistent_rdd_ids,
+        checkpoint_tracked_lazy,
+        release_persisted,
+        release_rdds_with_result,
+        scoped_persist,
+    )
+
+    gc.collect()
+    baseline = _persistent_rdd_ids(spark)
+    cached = spark.range(100).persist()
+    ids: list[int] = []
+    lc = checkpoint_tracked_lazy(spark.range(50), ids)
+    out = release_rdds_with_result(
+        scoped_persist(lc.crossJoin(cached.limit(1)), cached), spark, ids
+    )
+    out.collect()
+    assert ids and _persistent_rdd_ids(spark) - baseline
+    release_persisted(out)
+    assert _persistent_rdd_ids(spark) - baseline == set()
