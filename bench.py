@@ -1212,6 +1212,57 @@ def adjudicate_suspects(
     return out
 
 
+def exec_frac_panel(spark, queries, timings: dict, top_n: int = 10) -> dict:
+    """Proactive analysis-vs-execution decomposition for the TOP-N most
+    expensive headline queries (VERDICT r13 #4).  The ivfpq lesson: per-plan
+    Catalyst fixed cost tracks driver JIT state and masquerades as
+    regression — a fresh fn()+collect pays analysis+codegen+execution,
+    while a re-collect on the SAME handle pays execution only, so
+    recollect/fresh is the execution fraction.  Emitting it every round
+    for the panel's heavy hitters catches the next driver-side drift
+    before a gate has to flag it."""
+    from flink_net_spark.tables import release_persisted
+
+    out: dict[str, dict] = {}
+    for name in sorted(timings, key=timings.get, reverse=True)[:top_n]:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        try:
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.collect()
+            fresh = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            df.collect()
+            recollect = time.perf_counter() - t0
+            release_persisted(df)
+            del df
+            spark.catalog.clearCache()
+            out[name] = {
+                "fresh_sec": round(fresh, 4),
+                "recollect_sec": round(recollect, 4),
+                "exec_frac": round(recollect / fresh, 3) if fresh else None,
+            }
+        except Exception as ex:  # pragma: no cover - panel is best-effort
+            out[name] = {"err": str(ex)[:80]}
+    return out
+
+
+def _building_round() -> int | None:
+    """The round this bench run records: one past the newest driver-written
+    BENCH_r{N}.json at the repo root (the driver writes it at round END, so
+    while round N+1 is being built the max is N).  None when no driver
+    artifact exists (fresh checkout / unit tests with a synthetic OUT_DIR)."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(root, "BENCH_r*.json"))
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
+    ]
+    return max(rounds) + 1 if rounds else None
+
+
 def xsession_stream_probe(cur_1k: int | None, cur_1m: int | None) -> dict:
     """Cross-session settled stream rate (VERDICT r12 #7): the per-session
     settled medians still drifted 3.96–4.77M rec/s across round 12's four
@@ -1219,15 +1270,26 @@ def xsession_stream_probe(cur_1k: int | None, cur_1m: int | None) -> dict:
     the MEDIAN OF THE LAST 3 SESSIONS' settled medians — this session plus
     the newest committed same-version sidecars (version-gated exactly like
     tools/bench_compare.compare_stream: a staging or protocol change makes
-    rates incomparable, so those sidecars are skipped, never mixed in)."""
+    rates incomparable, so those sidecars are skipped, never mixed in).
+
+    r13 ADVICE fixes: a sidecar counts as a session ONLY if it contributes
+    at least one rate (an empty same-version sidecar used to eat one of
+    the 3 slots), and a sidecar from the round currently being recorded
+    (N >= the building round, i.e. a re-run after this round's own
+    BENCH_DETAIL was committed as r{{N}}.json) is skipped — mixing it in
+    would double-weight the current box state."""
     from tools.bench_compare import _stream_version
 
     vals_1k = [cur_1k] if cur_1k else []
     vals_1m = [cur_1m] if cur_1m else []
+    building = _building_round()
     sessions = 1
     for path in sorted(glob.glob(os.path.join(OUT_DIR, "r*.json")), reverse=True):
         if sessions >= 3:
             break
+        m = re.fullmatch(r"r(\d+)\.json", os.path.basename(path))
+        if m and building is not None and int(m.group(1)) >= building:
+            continue
         try:
             with open(path) as f:
                 d = json.load(f)
@@ -1244,7 +1306,8 @@ def xsession_stream_probe(cur_1k: int | None, cur_1m: int | None) -> dict:
             vals_1k.append(k1)
         if m1:
             vals_1m.append(m1)
-        sessions += 1
+        if k1 or m1:
+            sessions += 1
     return {
         "stream_1k": _median(vals_1k) if vals_1k else None,
         "stream_1m": _median(vals_1m) if vals_1m else None,
@@ -1525,6 +1588,9 @@ def main() -> int:
         "families": families,
         "shuffle_audit": shuf,
         "sf1x10": sf1x10,
+        # VERDICT r13 #4: per-round analysis-vs-execution split for the
+        # panel's 10 most expensive queries
+        "exec_frac_top10": exec_frac_panel(spark, queries, timings),
     }
     if sf1x100 is not None:
         detail["sf1x100"] = sf1x100

@@ -471,3 +471,60 @@ def test_null_thresholds_normalized_with_floors(monkeypatch, tmp_path):
     # unreadable artifact → floors
     (tmp_path / "NULL_SPREAD.json").write_text("{broken")
     assert bc.null_thresholds() == (1.25, 1.5)
+
+
+def test_xsession_stream_probe_counts_and_round_guard(monkeypatch, tmp_path):
+    """r13 ADVICE: (a) a same-version sidecar with NO rates must not eat
+    one of the 3 session slots; (b) a sidecar from the round currently
+    being recorded (a mid-round re-run after r{N}.json was committed) is
+    skipped, not double-weighted."""
+    import json
+
+    import bench
+
+    def write(name, rps_1k, rps_1m, version):
+        d = {"stream_probe_version": version}
+        if rps_1k is not None:
+            d["stream_rows_per_sec"] = rps_1k
+        if rps_1m is not None:
+            d["stream_rows_per_sec_1m_keys"] = rps_1m
+        (tmp_path / name).write_text(json.dumps(d))
+
+    cur = bench.STREAM_PROBE_VERSION
+    write("r14.json", 9_000_000, 9_000_000, cur)  # this round's own re-run
+    write("r13.json", None, None, cur)            # contributes nothing
+    write("r12.json", 5_000_000, 3_000_000, cur)
+    write("r11.json", 4_000_000, 2_000_000, cur)
+    monkeypatch.setattr(bench, "OUT_DIR", str(tmp_path))
+    monkeypatch.setattr(bench, "_building_round", lambda: 14)
+
+    x = bench.xsession_stream_probe(4_500_000, 2_500_000)
+    # r14 skipped (round guard), r13 skipped (no contribution): the
+    # medians come from the current session + r12 + r11
+    assert x["n_sessions"] == 3
+    assert 9_000_000 not in x["sessions_1k"]
+    assert x["stream_1k"] == 4_500_000
+    assert x["stream_1m"] == 2_500_000
+
+
+def test_exec_frac_panel_emits_decomposition_fields(spark):
+    """VERDICT r13 #4: the sidecar's exec_frac_top10 panel must carry the
+    fresh/recollect/exec_frac triple for the most expensive queries, with
+    0 < exec_frac <= ~1 (a re-collect never pays MORE than the fresh
+    fn()+collect on a warm plan, modulo timer noise)."""
+    import bench
+
+    def q_fast(s, sf_dir):
+        return s.range(1000).selectExpr("sum(id) AS s")
+
+    def q_slow(s, sf_dir):
+        return s.range(200_000).selectExpr("sum(id * id) AS s")
+
+    panel = bench.exec_frac_panel(
+        spark, {"fast": q_fast, "slow": q_slow}, {"fast": 0.1, "slow": 0.9},
+        top_n=1,
+    )
+    assert list(panel) == ["slow"]  # most-expensive-first, capped at top_n
+    rec = panel["slow"]
+    assert rec["fresh_sec"] > 0 and rec["recollect_sec"] > 0
+    assert 0 < rec["exec_frac"] <= 1.5, rec
