@@ -577,6 +577,23 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # round-13: label propagation moves (node, lbl) BIGINT pairs per round
     # (6 rounds x nodes) + the one edge-dedup exchange; text never moves:
     "graph_connected_components": (["lineitem"], 0.2),  # measured 0.095
+    # round-14 (VERDICT r13 #6): the r13 ops that shuffle get real-layout
+    # legs too.  PPR measures 1.178: the ONE-TIME distinct over the full
+    # fact table's (part, supp) pairs to build the edge list dominates
+    # (input-sized, irreducible for edge dedup — CC's 0.095 leg runs on a
+    # FILTERED subgraph); the per-iteration exchanges are (node, rank)
+    # BIGINT pairs over src-prepartitioned persisted edges:
+    "graph_personalized_pagerank": (["lineitem"], 1.5),  # measured 1.178
+    # MaxSim: the corpus pass computes dots in the scan projection; only
+    # the (doc, qtok, dot) partial-agg rows and the salted top-k
+    # survivors shuffle — never the token vectors.  Measured 0.652: the
+    # exchange is docs × qtokens constant-width rows, a corpus-size-
+    # independent FRACTION of the vector input (shrinks as DIM grows):
+    "sim_maxsim_late_interaction": (["embeddings"], 0.9),
+    # interval overlap: owner-bucket equi-join — each side exchanges one
+    # (bucket, lo, hi, key) row per bucket it spans (≤ 2 for the 7-day /
+    # ≤ 14-day intervals vs 14-day buckets), filtered to March-1996:
+    "join_interval_overlap": (["orders", "lineitem"], 0.1),  # measured 0.051
     # round-12b: the exchange carries the distinct (group, cents) partial
     # rows.  On THIS corpus prices are nearly unique so the collapse is
     # ~1:1 and row format vs parquet columnar compression reads 1.13; the
