@@ -859,3 +859,155 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PPR_TOPK)
     )
     return scoped_persist(out, edges, deg)
+
+
+# --------------------------------------------------------------------------
+# Weighted seeded shortest paths: bounded-hop Bellman-Ford.
+# --------------------------------------------------------------------------
+SSSP_HOPS = 6
+SSSP_SEED_MOD = 100  # the PPR/BFS seed set: part nodes, partkey % 100 == 1
+
+
+def _duck_sssp_oracle() -> str:
+    """Unrolled chained-CTE Bellman-Ford: d_{i+1}(v) = MIN(d_i(v),
+    MIN over edges (u,v) of d_i(u) + w(u,v)) — the textbook relaxation
+    (Bellman 1958) with every distance an exact BIGINT.  Each round's
+    frame is referenced twice (carry + relax), so every CTE is
+    MATERIALIZED (DuckDB inlines per reference otherwise)."""
+    ctes = [
+        """pw AS MATERIALIZED (
+            SELECT CAST(l_partkey * 2 AS BIGINT)     AS a,
+                   CAST(l_suppkey * 2 + 1 AS BIGINT) AS b,
+                   MIN(CAST(l_quantity AS BIGINT))   AS w
+            FROM lineitem GROUP BY 1, 2
+        )""",
+        """e AS MATERIALIZED (
+            SELECT a AS src, b AS dst, w FROM pw
+            UNION ALL
+            SELECT b AS src, a AS dst, w FROM pw
+        )""",
+        f"""d0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist FROM e
+            WHERE src % 2 = 0 AND (src // 2) % {SSSP_SEED_MOD} = 1
+        )""",
+    ]
+    for i in range(SSSP_HOPS):
+        ctes.append(
+            f"""d{i + 1} AS MATERIALIZED (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d{i}
+                UNION ALL
+                SELECT e.dst AS node, d{i}.dist + e.w AS dist
+                FROM e JOIN d{i} ON e.src = d{i}.node
+            ) GROUP BY node
+        )"""
+        )
+    h, p = SSSP_HOPS, SSSP_HOPS - 1
+    return f"""
+    WITH {','.join(ctes)},
+    chg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_improved_last
+        FROM d{h} a LEFT JOIN d{p} b USING (node)
+        WHERE b.node IS NULL OR a.dist < b.dist
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+           dist // 10                       AS dist_bucket,
+           CAST(COUNT(*) AS BIGINT)         AS n_nodes,
+           CAST(SUM(dist) AS BIGINT)        AS sum_dist,
+           CAST(SUM(node // 2) AS BIGINT)   AS sum_key,
+           (SELECT n_improved_last FROM chg) AS n_improved_last
+    FROM d{h}
+    GROUP BY 1, 2
+    ORDER BY kind, dist_bucket
+    """
+
+
+@query("graph_sssp_weighted", oracle=_duck_sssp_oracle())
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted seeded SHORTEST PATHS over the part<->supplier graph —
+    bounded-hop Bellman-Ford (Bellman 1958; the Pregel SSSP example in
+    Malewicz 2010): BFS gives hops and PPR gives discounted mass; this is
+    the remaining classic — cheapest-lane distance with integer edge
+    weights w(p, s) = MIN(l_quantity) over the pair's lineitems (1..50,
+    exact BIGINT).  Seeds are the BFS/PPR seed set (part nodes with
+    partkey % {SSSP_SEED_MOD} == 1, dist 0), so the three primitives
+    answer the same blast-radius question in hops, mass, and distance.
+
+    Convergence is MEASURED, not assumed: ``n_improved_last`` (nodes whose
+    distance appeared or improved in the FINAL relaxation round) rides
+    every row — 0 means every distance in the ≤{SSSP_HOPS}-hop ball is
+    final; anything else is visible in the result instead of silently
+    wrong (the no-silent-caps discipline, same as connected components).
+
+    Determinism: relaxation is MIN over BIGINT sums — engine- and
+    order-independent, no floats, no tie hazard.
+
+    Scale: per round, ONE edges⋈dist equi-join (src-keyed, edges
+    pre-partitioned and persisted) + one groupBy(node) partial MIN whose
+    map side collapses to one row per node per task — the Pregel message
+    volume, linear in edges.  Each round's dist frame is referenced twice
+    (carry + relax), so rounds are LOCAL-CHECKPOINTED with tracked ids
+    (2^{SSSP_HOPS} leaf copies otherwise — the connected-components
+    lineage discipline) and released with the result handle.  Output is
+    the bounded per-(kind, dist-decile) histogram: dist <= {SSSP_HOPS}*50,
+    so <= 2*31 rows at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pw = li.groupBy(
+        (F.col("l_partkey") * 2).cast("long").alias("a"),
+        (F.col("l_suppkey") * 2 + 1).cast("long").alias("b"),
+    ).agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+    edges = (
+        pw.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .union(pw.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+        .repartition(F.col("src"))
+        .persist()
+    )
+    ck_ids: list[int] = []
+    dist = checkpoint_tracked_lazy(
+        edges.filter(
+            (F.col("src") % 2 == 0)
+            & (F.expr("src div 2") % SSSP_SEED_MOD == 1)
+        )
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long")),
+        ck_ids,
+    )
+    prev = dist
+    for _ in range(SSSP_HOPS):
+        prev = dist
+        relax = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = checkpoint_tracked_lazy(
+            dist.unionByName(relax).groupBy("node").agg(F.min("dist").alias("dist")),
+            ck_ids,
+        )
+    chg = (
+        dist.join(
+            prev.select("node", F.col("dist").alias("pdist")), "node", "left"
+        )
+        .filter(F.col("pdist").isNull() | (F.col("dist") < F.col("pdist")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_improved_last"))
+    )
+    out = (
+        dist.groupBy(
+            F.when(F.col("node") % 2 == 0, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+            F.expr("dist div 10").alias("dist_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+            F.sum(F.expr("node div 2")).cast("long").alias("sum_key"),
+        )
+        .crossJoin(F.broadcast(chg))
+        .select(
+            "kind", "dist_bucket", "n_nodes", "sum_dist", "sum_key",
+            "n_improved_last",
+        )
+        .orderBy("kind", "dist_bucket")
+    )
+    return release_rdds_with_result(scoped_persist(out, edges), spark, ck_ids)

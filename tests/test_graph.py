@@ -197,3 +197,73 @@ def test_personalized_pagerank_support_is_bfs_ball(spark):
     assert seeds and all(r["rank_e6"] >= 150_000 for r in seeds)
     ranks = [r["rank_e6"] for r in rows]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_sssp_weighted_matches_dijkstra(spark):
+    """graph_sssp_weighted's per-(kind, decile) histogram must equal an
+    independent Dijkstra over the same weighted edge set at sf0.001 —
+    Bellman-Ford at SSSP_HOPS rounds can only UNDER-relax (report a longer
+    distance or miss a node), so agreement with full Dijkstra RESTRICTED
+    to the <=SSSP_HOPS-hop ball plus a zero n_improved_last audit proves
+    both the relaxation and the hop bound."""
+    import heapq
+    from collections import defaultdict
+
+    from flink_net_spark.queries.graph import SSSP_HOPS, SSSP_SEED_MOD
+    from flink_net_spark.tables import load_table, release_persisted
+
+    sf = "/root/testdata/sf0.001"
+    li = (
+        load_table(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .collect()
+    )
+    w: dict = {}
+    for r in li:
+        a, b = int(r["l_partkey"]) * 2, int(r["l_suppkey"]) * 2 + 1
+        q = int(r["l_quantity"])
+        if (a, b) not in w or q < w[(a, b)]:
+            w[(a, b)] = q
+    adj = defaultdict(list)
+    for (a, b), q in w.items():
+        adj[a].append((b, q))
+        adj[b].append((a, q))
+    seeds = [n for n in adj if n % 2 == 0 and (n // 2) % SSSP_SEED_MOD == 1]
+    assert seeds, "fixture must contain seed nodes"
+    # Dijkstra with hop tracking: keep the best (dist, hops<=H) label per
+    # node — a node can be reachable at hops<=H only via a longer path, so
+    # track the min dist among paths of <= SSSP_HOPS edges (exactly what
+    # H rounds of Bellman-Ford compute).
+    best = {n: {} for n in adj}  # node -> {hops: dist}
+    pq = [(0, 0, s) for s in seeds]
+    dist_h: dict = {}
+    for s in seeds:
+        dist_h[(s, 0)] = 0
+    while pq:
+        d, h, n = heapq.heappop(pq)
+        if dist_h.get((n, h), 1 << 60) < d or h >= SSSP_HOPS:
+            continue
+        for m, q in adj[n]:
+            nd, nh = d + q, h + 1
+            if nd < dist_h.get((m, nh), 1 << 60):
+                dist_h[(m, nh)] = nd
+                heapq.heappush(pq, (nd, nh, m))
+    final: dict = {}
+    for (n, h), d in dist_h.items():
+        if d < final.get(n, 1 << 60):
+            final[n] = d
+    exp: dict = {}
+    for n, d in final.items():
+        k = ("part" if n % 2 == 0 else "supplier", d // 10)
+        c, sd, sk = exp.get(k, (0, 0, 0))
+        exp[k] = (c + 1, sd + d, sk + n // 2)
+
+    df = QUERIES["graph_sssp_weighted"](spark, sf)
+    rows = df.collect()
+    release_persisted(df)
+    got = {
+        (r["kind"], r["dist_bucket"]): (r["n_nodes"], r["sum_dist"], r["sum_key"])
+        for r in rows
+    }
+    assert got == exp
+    assert all(r["n_improved_last"] == 0 for r in rows), "not converged"

@@ -138,6 +138,9 @@ NESTED_LOOP_ALLOWED = {
     # audit count (labels still moving in the final round); the label
     # propagation itself is edge⋈label hash equi-joins per round.
     "graph_connected_components",
+    # graph_sssp_weighted — same 1-row convergence-audit crossJoin; the
+    # per-round relaxation is an edges⋈dist hash equi-join on src.
+    "graph_sssp_weighted",
     # agg_ks_drift — crossJoin against the schema-fixed 5-row event-type
     # dim to replicate the bounded baseline support; the ECDF joins are
     # hash equi on (t, v) over value-domain-bounded count frames.
@@ -881,3 +884,15 @@ def test_interval_overlap_is_bucketed_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
     assert "bucket" in p, p
+
+
+def test_sssp_weighted_checkpointed_rounds(spark):
+    """graph_sssp_weighted: each Bellman-Ford round must be lineage-
+    truncated (checkpointed RDD leaves — the dist frame is referenced
+    twice per round, so an unrolled tree doubles per round; the per-round
+    edge equi-joins live inside the checkpointed RDD lineage, exactly like
+    connected components), and the only nested-loop shape is the bounded
+    1-row convergence-audit broadcast."""
+    p = plan_of(entry.queries()["graph_sssp_weighted"](spark, SF_DIR))
+    assert "ExistingRDD" in p, p
+    assert "CartesianProduct" not in p, p
