@@ -2744,3 +2744,203 @@ def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "rank", "score")
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Candidate-pruned MaxSim serving (round-14, VERDICT r13 #1 optional leg).
+# --------------------------------------------------------------------------
+MAXSIM_PRUNE_M = 32  # per-query-token candidate fan-in
+
+
+@query(
+    "sim_maxsim_pruned",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               [CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS vq
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS qv, vec_id // {MAXSIM_QTOK} AS query_id, vq
+        FROM e WHERE vec_id < {MAXSIM_NQ * MAXSIM_QTOK}
+    ),
+    d AS (
+        SELECT vec_id // {MAXSIM_DTOK} AS doc_id, vq
+        FROM e WHERE vec_id >= {MAXSIM_NQ * MAXSIM_QTOK}
+    ),
+    dots AS (
+        SELECT q.query_id, q.qv, d.doc_id,
+               list_sum([q.vq[i] * d.vq[i] for i in range(1, {DIM + 1})]) AS dot
+        FROM q CROSS JOIN d
+    ),
+    mx AS MATERIALIZED (
+        SELECT query_id, qv, doc_id, MAX(dot) AS m
+        FROM dots GROUP BY query_id, qv, doc_id
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT query_id, doc_id FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY qv
+                                      ORDER BY m DESC, doc_id) AS rn
+            FROM mx
+        ) WHERE rn <= {MAXSIM_PRUNE_M}
+    ),
+    pruned AS MATERIALIZED (
+        SELECT query_id, doc_id, rank, score FROM (
+            SELECT mx.query_id, mx.doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY mx.query_id
+                                           ORDER BY SUM(mx.m) DESC, mx.doc_id)
+                        AS BIGINT) AS rank,
+                   CAST(SUM(mx.m) AS BIGINT) AS score
+            FROM mx JOIN cand
+              ON cand.query_id = mx.query_id AND cand.doc_id = mx.doc_id
+            GROUP BY mx.query_id, mx.doc_id
+        ) WHERE rank <= {MAXSIM_TOPK}
+    ),
+    exh AS MATERIALIZED (
+        SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY SUM(m) DESC, doc_id) AS rank
+            FROM mx GROUP BY query_id, doc_id
+        ) WHERE rank <= {MAXSIM_TOPK}
+    ),
+    ncand AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM cand GROUP BY query_id
+    ),
+    caught AS (
+        SELECT p.query_id, CAST(COUNT(e.doc_id) AS BIGINT) AS n_caught
+        FROM pruned p LEFT JOIN exh e
+          ON e.query_id = p.query_id AND e.doc_id = p.doc_id
+        GROUP BY p.query_id
+    )
+    SELECT p.query_id, p.rank, p.doc_id, p.score,
+           n.n_candidates, c.n_caught
+    FROM pruned p
+    JOIN ncand n ON n.query_id = p.query_id
+    JOIN caught c ON c.query_id = p.query_id
+    ORDER BY p.query_id, p.rank
+    """,
+)
+def sim_maxsim_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANDIDATE-PRUNED MaxSim — the actual ColBERT SERVING shape
+    (Khattab & Zaharia 2020 §3.6: per-query-token ANN retrieval feeds a
+    bounded candidate set; exact MaxSim reranks only the candidates):
+    each query token nominates its top-{MAXSIM_PRUNE_M} documents by
+    single-token similarity, the per-query candidate set is the union,
+    and the exact Σ-max score ranks candidates only — corpus-sized work
+    drops from score-every-doc to the candidate generation pass, which at
+    scale is an ANN index probe.
+
+    Deterministic end-to-end (single-token nomination is itself an exact
+    top-M with (m DESC, doc_id) total order), so the ORACLE replays the
+    full pruned pipeline — and the accuracy audit rides the result:
+    ``n_caught`` counts the pruned top-{MAXSIM_TOPK} that the EXHAUSTIVE
+    top-{MAXSIM_TOPK} (``sim_maxsim_late_interaction``, its oracle-checked
+    truth) also contains, per query — the sim_ann_planted_recall
+    discipline: the approximation's quality is result data, never a
+    silent cap.
+
+    Scale: the (doc, qtok) max-dot frame is computed once (same bounded
+    query-bag broadcast as the exhaustive leg); per-token nomination is
+    the SALTED two-phase top-M (qtokens × {_MAXSIM_SALT} parallel
+    pre-prune cells, then a ≤ SALT·M survivor rank per token); everything
+    downstream is bounded by queries × qtokens × M rows."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("vq"),
+    )
+    nq = MAXSIM_NQ * MAXSIM_QTOK
+    qtok = sorted(
+        (int(r["vec_id"]), [int(x) for x in r["vq"]])
+        for r in e.filter(F.col("vec_id") < nq).collect()
+    )
+    if not qtok:
+        return spark.createDataFrame(
+            [],
+            "query_id long, rank long, doc_id long, score long, "
+            "n_candidates long, n_caught long",
+        )
+    q1 = spark.createDataFrame(
+        [([{"qv": qv, "vq": vq} for qv, vq in qtok],)],
+        "qs array<struct<qv:bigint,vq:array<bigint>>>",
+    )
+    mx = (
+        spread_small_scan(e.filter(F.col("vec_id") >= nq), min_partitions=8)
+        .crossJoin(F.broadcast(q1))
+        .select(
+            F.expr(f"vec_id div {MAXSIM_DTOK}").alias("doc_id"),
+            F.explode(
+                F.expr(
+                    "transform(qs, q -> named_struct("
+                    "'qv', q.qv, "
+                    "'dot', aggregate(zip_with(vq, q.vq, (x, y) -> x * y), "
+                    "0L, (a, x) -> a + x)))"
+                )
+            ).alias("t"),
+        )
+        .select("doc_id", F.col("t.qv").alias("qv"), F.col("t.dot").alias("dot"))
+        .groupBy("doc_id", "qv")
+        .agg(F.max("dot").alias("m"))
+        .withColumn("query_id", F.expr(f"qv div {MAXSIM_QTOK}"))
+        .persist()
+    )
+    # per-token nomination: salted two-phase top-M (the exhaustive leg's
+    # rank discipline applied to candidate generation)
+    w1 = Window.partitionBy("qv", F.col("doc_id") % _MAXSIM_SALT).orderBy(
+        F.desc("m"), "doc_id"
+    )
+    w2 = Window.partitionBy("qv").orderBy(F.desc("m"), "doc_id")
+    cand = (
+        mx.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= MAXSIM_PRUNE_M)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= MAXSIM_PRUNE_M)
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    pruned = (
+        mx.join(cand, ["query_id", "doc_id"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("m").alias("score"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    pruned_k = (
+        pruned.withColumn("rank", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rank") <= MAXSIM_TOPK)
+        .select("query_id", "rank", "doc_id", F.col("score").cast("long").alias("score"))
+    )
+    # exhaustive truth (bounded rank: reuse the salted two-phase shape)
+    scores = mx.groupBy("query_id", "doc_id").agg(F.sum("m").alias("score"))
+    we1 = Window.partitionBy(
+        "query_id", F.col("doc_id") % _MAXSIM_SALT
+    ).orderBy(F.desc("score"), "doc_id")
+    exh = (
+        scores.withColumn("r1", F.row_number().over(we1))
+        .filter(F.col("r1") <= MAXSIM_TOPK)
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= MAXSIM_TOPK)
+        .select("query_id", F.col("doc_id").alias("e_doc"))
+    )
+    ncand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    caught = (
+        pruned_k.join(
+            exh,
+            (pruned_k.query_id == exh.query_id) & (pruned_k.doc_id == exh.e_doc),
+            "left",
+        )
+        .groupBy(pruned_k.query_id)
+        .agg(F.count("e_doc").cast("long").alias("n_caught"))
+    )
+    out = (
+        pruned_k.join(F.broadcast(ncand), "query_id")
+        .join(F.broadcast(caught), "query_id")
+        .select("query_id", "rank", "doc_id", "score", "n_candidates", "n_caught")
+        .orderBy("query_id", "rank")
+    )
+    return scoped_persist(out, mx)

@@ -43,7 +43,10 @@ def test_scoped_persist_releases_cache_on_handle_drop(spark):
                  # r13 ADVICE: connected components' per-round LAZY
                  # localCheckpoints (7 label frames) were untracked — now
                  # checkpoint_tracked_lazy + release_rdds_with_result
-                 "graph_connected_components"):
+                 "graph_connected_components",
+                 # r14: the pruned MaxSim leg persists its (doc, qtok)
+                 # max-dot frame, scoped to the result
+                 "sim_maxsim_pruned"):
         df = QUERIES[name](spark, sf)
         df.collect()
         del df

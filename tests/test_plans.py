@@ -153,6 +153,9 @@ NESTED_LOOP_ALLOWED = {
     # (estimate picks × exact picks × sketch-size census) before the
     # 5-row stack unpivot; the sketch build itself is groupBy-only.
     "agg_quantile_sketch_merge",
+    # sim_maxsim_pruned — same 1-row broadcast query-token bag as the
+    # exhaustive leg; nomination/rank ride the salted two-phase windows.
+    "sim_maxsim_pruned",
     # sim_maxsim_late_interaction — crossJoin against the 1-row broadcast
     # query-token bag; MaxSim itself is two partial-aggregated shuffles.
     "sim_maxsim_late_interaction",
@@ -597,6 +600,7 @@ def test_salted_topk_windows_are_two_phase(spark):
         "vocab_topk_cms",
         "sample_priority_weighted",
         "sim_maxsim_late_interaction",
+        "sim_maxsim_pruned",
     }
     for name in (
         "sample_reservoir_per_key",
@@ -604,6 +608,7 @@ def test_salted_topk_windows_are_two_phase(spark):
         "vocab_topk_cms",
         "sample_priority_weighted",
         "sim_maxsim_late_interaction",
+        "sim_maxsim_pruned",
     ):
         p = plan_of(entry.queries()[name](spark, SF_DIR))
         assert "CartesianProduct" not in p, (name, p)
