@@ -267,3 +267,52 @@ def test_sssp_weighted_matches_dijkstra(spark):
     }
     assert got == exp
     assert all(r["n_improved_last"] == 0 for r in rows), "not converged"
+
+
+def test_kcore_matches_independent_peeling(spark):
+    """graph_kcore must equal an independent Python peel to fixpoint at
+    sf0.001 (full fixpoint, no round bound — so agreement plus a zero
+    n_removed_last audit proves KCORE_ROUNDS suffices), including the
+    in-core degree sums."""
+    from collections import defaultdict
+
+    from flink_net_spark.queries.graph import KCORE_EDGE_FILTER, KCORE_K
+    from flink_net_spark.tables import load_table, release_persisted
+
+    sf = "/root/testdata/sf0.001"
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(KCORE_EDGE_FILTER)
+        .select("l_partkey", "l_suppkey")
+        .collect()
+    )
+    adj = defaultdict(set)
+    for r in li:
+        a, b = int(r["l_partkey"]) * 2, int(r["l_suppkey"]) * 2 + 1
+        adj[a].add(b)
+        adj[b].add(a)
+    alive = set(adj)
+    while True:
+        dead = {
+            n for n in alive if sum(1 for m in adj[n] if m in alive) < KCORE_K
+        }
+        if not dead:
+            break
+        alive -= dead
+    assert alive, "fixture must leave a non-trivial core"
+    exp: dict = {}
+    for n in alive:
+        k = "part" if n % 2 == 0 else "supplier"
+        deg = sum(1 for m in adj[n] if m in alive)
+        c, sk, sd, mx = exp.get(k, (0, 0, 0, 0))
+        exp[k] = (c + 1, sk + n // 2, sd + deg, max(mx, deg))
+
+    df = QUERIES["graph_kcore"](spark, sf)
+    rows = df.collect()
+    release_persisted(df)
+    got = {
+        r["kind"]: (r["n_nodes"], r["sum_key"], r["sum_core_deg"], r["max_core_deg"])
+        for r in rows
+    }
+    assert got == exp
+    assert all(r["n_removed_last"] == 0 for r in rows), "peeling not converged"

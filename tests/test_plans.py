@@ -141,6 +141,10 @@ NESTED_LOOP_ALLOWED = {
     # graph_sssp_weighted — same 1-row convergence-audit crossJoin; the
     # per-round relaxation is an edges⋈dist hash equi-join on src.
     "graph_sssp_weighted",
+    # graph_kcore — two bounded 1-row crossJoins (the peel-count audit is
+    # a count×count product); each peel round is a pair of hash
+    # equi-joins of edges against the survivor set.
+    "graph_kcore",
     # agg_ks_drift — crossJoin against the schema-fixed 5-row event-type
     # dim to replicate the bounded baseline support; the ECDF joins are
     # hash equi on (t, v) over value-domain-bounded count frames.
@@ -899,5 +903,14 @@ def test_sssp_weighted_checkpointed_rounds(spark):
     connected components), and the only nested-loop shape is the bounded
     1-row convergence-audit broadcast."""
     p = plan_of(entry.queries()["graph_sssp_weighted"](spark, SF_DIR))
+    assert "ExistingRDD" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_kcore_checkpointed_rounds(spark):
+    """graph_kcore: peel rounds are lineage-truncated checkpoint leaves
+    (the alive frame is referenced twice per round), and the only
+    nested-loop shapes are the bounded count-audit broadcasts."""
+    p = plan_of(entry.queries()["graph_kcore"](spark, SF_DIR))
     assert "ExistingRDD" in p, p
     assert "CartesianProduct" not in p, p
