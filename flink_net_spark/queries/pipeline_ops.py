@@ -1965,3 +1965,136 @@ def curation_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Model-based quality gate: fixed-weight linear classifier (round-14).
+# --------------------------------------------------------------------------
+# The FineWeb-Edu / DCLM-style curation step the rule batteries
+# (text_gopher_filters) and the LM gate (curation_perplexity_gate) bracket:
+# score every document with a DISTILLED linear quality model — fixed
+# integer weights over cheap surface features — and tier the corpus.  The
+# weights are part of the operator (a shipped classifier, not a fit), and
+# every feature/logit is an exact integer, so both engines agree
+# bit-for-bit.  Feature scales verified on this corpus: stop_pk 0-352,
+# uniq_pk 268-1000, n_words 10-100, mwl_milli 3500-5727, sym_pk 0 on the
+# alnum-only synthetic prose but exercised by the edge corpus's
+# punctuation-only docs.
+QLR_W_STOP = 1500      # stopword evidence per kilo-token
+QLR_W_UNIQ = 800       # lexical diversity per kilo-token
+QLR_W_SYM = -1200      # symbol noise per kilo-char
+QLR_W_LEN = 5000       # length credit per word, capped
+QLR_LEN_CAP = 80
+QLR_W_MWL = -300       # distance from the ~4.5-char word-length sweet spot
+QLR_MWL_CENTER = 4500
+QLR_BIAS = -600_000
+QLR_T_HIGH = 140_000   # tier cuts: ~thirds at sf0.001/0.01/0.1 (measured)
+QLR_T_LOW = 80_000
+
+
+@query(
+    "curation_quality_logreg",
+    oracle=f"""
+    WITH f AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_words,
+               ((length(text) - len(string_split(text, ' ')) + 1) * 1000)
+                   // len(string_split(text, ' ')) AS mwl_milli,
+               (len(list_filter(string_split(text, ' '),
+                                x -> x IN ('the', 'a'))) * 1000)
+                   // len(string_split(text, ' ')) AS stop_pk,
+               (len(list_distinct(string_split(text, ' '))) * 1000)
+                   // len(string_split(text, ' ')) AS uniq_pk,
+               ((LENGTH(REPLACE(REPLACE(REPLACE(REPLACE(text, ' ', ''),
+                         CHR(9), ''), CHR(10), ''), CHR(13), ''))
+                 - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g')))
+                   * 1000) // GREATEST(length(text), 1) AS sym_pk
+        FROM documents
+    ),
+    l AS (
+        SELECT source,
+               {QLR_W_STOP} * stop_pk + {QLR_W_UNIQ} * uniq_pk
+               + ({QLR_W_SYM}) * sym_pk
+               + {QLR_W_LEN} * LEAST(n_words, {QLR_LEN_CAP})
+               + ({QLR_W_MWL}) * abs(mwl_milli - {QLR_MWL_CENTER})
+               + ({QLR_BIAS}) AS logit
+        FROM f
+    )
+    SELECT source,
+           CASE WHEN logit >= {QLR_T_HIGH} THEN 'high'
+                WHEN logit >= {QLR_T_LOW} THEN 'mid'
+                ELSE 'low' END            AS tier,
+           CAST(COUNT(*) AS BIGINT)       AS n_docs,
+           CAST(SUM(logit) AS BIGINT)     AS sum_logit,
+           CAST(MIN(logit) AS BIGINT)     AS min_logit,
+           CAST(MAX(logit) AS BIGINT)     AS max_logit
+    FROM l
+    GROUP BY source, tier
+    ORDER BY source, tier
+    """,
+)
+def curation_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED quality gate: a fixed-integer-weight linear classifier
+    over surface features (the FineWeb-Edu/DCLM curation shape — a
+    distilled quality model scores every document; here the distilled
+    model IS the shipped weight vector), tiering the corpus high/mid/low
+    per source.  Complements the rule battery (text_gopher_filters: hard
+    pass/fail) and the LM gate (curation_perplexity_gate: data-dependent
+    terciles) with the third standard gate: a fixed decision surface that
+    is corpus-independent and auditable.
+
+    Exactness: every feature is an integer rate (per-kilo units, integer
+    division on positive numerators — trunc == floor both engines) and
+    the logit is an integer dot product, so tier assignment can never
+    straddle a float rounding tie.  The symbol feature counts
+    nonspace-minus-alnum via the backslash-free regex class (the
+    text_code_detect dialect discipline).
+
+    Scale: pure per-document column expressions in one scan (zero
+    shuffle, whole-stage codegen) + one bounded groupBy(source, tier) —
+    the same plan at any corpus size."""
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    ws = F.split("text", " ")
+    n_words = F.size(ws)
+    mwl_milli = F.expr(
+        "((length(text) - size(split(text, ' ')) + 1) * 1000)"
+        " div size(split(text, ' '))"
+    )
+    stop_pk = F.expr(
+        "(size(filter(split(text, ' '), x -> x IN ('the', 'a'))) * 1000)"
+        " div size(split(text, ' '))"
+    )
+    uniq_pk = F.expr(
+        "(size(array_distinct(split(text, ' '))) * 1000)"
+        " div size(split(text, ' '))"
+    )
+    sym_pk = F.expr(
+        "((LENGTH(REPLACE(REPLACE(REPLACE(REPLACE(text, ' ', ''),"
+        " CHR(9), ''), CHR(10), ''), CHR(13), ''))"
+        " - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '')))"
+        " * 1000) div GREATEST(length(text), 1)"
+    )
+    logit = (
+        F.lit(QLR_W_STOP) * stop_pk
+        + F.lit(QLR_W_UNIQ) * uniq_pk
+        + F.lit(QLR_W_SYM) * sym_pk
+        + F.lit(QLR_W_LEN) * F.least(n_words, F.lit(QLR_LEN_CAP))
+        + F.lit(QLR_W_MWL) * F.abs(mwl_milli - QLR_MWL_CENTER)
+        + F.lit(QLR_BIAS)
+    ).cast("long")
+    tier = (
+        F.when(logit >= QLR_T_HIGH, F.lit("high"))
+        .when(logit >= QLR_T_LOW, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+    return (
+        d.select("source", logit.alias("logit"), tier.alias("tier"))
+        .groupBy("source", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("logit").cast("long").alias("sum_logit"),
+            F.min("logit").cast("long").alias("min_logit"),
+            F.max("logit").cast("long").alias("max_logit"),
+        )
+        .orderBy("source", "tier")
+    )

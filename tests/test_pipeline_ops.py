@@ -295,3 +295,44 @@ def test_cms_contract(spark):
     for r in rows:
         assert r.cms_count >= r.exact_count, r
         assert r.slack == r.cms_count - r.exact_count
+
+
+def test_quality_logreg_tiers_nondegenerate_and_exact(spark):
+    """All three tiers must be populated at sf0.001 (the thresholds are
+    fixed, not data-dependent — degeneracy here means the decision
+    surface drifted off the corpus), and a hand-recomputed logit over the
+    collected docs must reproduce every per-(source, tier) sum."""
+    from flink_net_spark.queries import QUERIES
+    from flink_net_spark.queries.pipeline_ops import (
+        QLR_BIAS, QLR_LEN_CAP, QLR_MWL_CENTER, QLR_T_HIGH, QLR_T_LOW,
+        QLR_W_LEN, QLR_W_MWL, QLR_W_STOP, QLR_W_SYM, QLR_W_UNIQ,
+    )
+    from flink_net_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("source", "text").collect()
+    exp: dict = {}
+    for r in docs:
+        t, src = r["text"], r["source"]
+        toks = t.split(" ")
+        nw = len(toks)
+        mwl = ((len(t) - nw + 1) * 1000) // nw
+        stop = (sum(1 for x in toks if x in ("the", "a")) * 1000) // nw
+        uniq = (len(set(toks)) * 1000) // nw
+        nonspace = len(t.replace(" ", "").replace("\t", "").replace("\n", "").replace("\r", ""))
+        alnum = sum(1 for c in t if c.isascii() and c.isalnum())
+        sym = ((nonspace - alnum) * 1000) // max(len(t), 1)
+        logit = (
+            QLR_W_STOP * stop + QLR_W_UNIQ * uniq + QLR_W_SYM * sym
+            + QLR_W_LEN * min(nw, QLR_LEN_CAP)
+            + QLR_W_MWL * abs(mwl - QLR_MWL_CENTER) + QLR_BIAS
+        )
+        tier = "high" if logit >= QLR_T_HIGH else "mid" if logit >= QLR_T_LOW else "low"
+        c, s = exp.get((src, tier), (0, 0))
+        exp[(src, tier)] = (c + 1, s + logit)
+
+    rows = QUERIES["curation_quality_logreg"](spark, sf).collect()
+    got = {(r["source"], r["tier"]): (r["n_docs"], r["sum_logit"]) for r in rows}
+    assert got == exp
+    tiers = {r["tier"] for r in rows}
+    assert tiers == {"high", "mid", "low"}, tiers
