@@ -2098,3 +2098,82 @@ def curation_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "tier")
     )
+
+
+# --------------------------------------------------------------------------
+# Leak-free temporal holdout: per-user leave-last-out split (round-14).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sample_temporal_holdout",
+    oracle="""
+    WITH ev AS (
+        -- µs-truncated ts (the round-14 ordering discipline): the split
+        -- rank must tie-break exactly where Spark's µs ts does
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    r AS (
+        SELECT event_id, user_id, epoch_ms(ts) AS ms,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev
+    ),
+    s AS (
+        SELECT CASE WHEN rn = 1 THEN 'test'
+                    WHEN rn = 2 THEN 'val'
+                    ELSE 'train' END AS split,
+               event_id, user_id, ms
+        FROM r
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT)                 AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)  AS n_users,
+           CAST(SUM(event_id) AS BIGINT)            AS sum_event_id,
+           CAST(MIN(ms) AS BIGINT)                  AS min_ms,
+           CAST(MAX(ms) AS BIGINT)                  AS max_ms
+    FROM s
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def sample_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAK-FREE temporal holdout — the per-user leave-last-out split
+    (the standard recommender/user-model evaluation protocol, e.g.
+    Rendle 2009's leave-one-out): each user's LAST event (by event time,
+    event_id tie-break) is ``test``, the second-to-last ``val``, the rest
+    ``train``, so every user's test point is strictly at-or-after all of
+    their training history — time-travel leakage is impossible BY
+    CONSTRUCTION, not by a filter that a pipeline refactor can drop.
+    Global-cutoff splits need an exact corpus-wide quantile (an
+    unpartitioned running sum — the single-reducer shape); the per-user
+    split is one keyed window, the same plan at any scale.
+
+    Determinism: the (ts DESC, event_id DESC) order is total, and the
+    oracle ranks on the same µs-truncated timestamps Spark sees (the
+    round-14 sub-µs discipline).
+
+    Output: per-split audit — event/user counts, the event-id checksum
+    (any wrong assignment anywhere moves it), and the time span."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    s = ev.withColumn("rn", F.row_number().over(w)).select(
+        F.when(F.col("rn") == 1, F.lit("test"))
+        .when(F.col("rn") == 2, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.min("ms").alias("min_ms"),
+            F.max("ms").alias("max_ms"),
+        )
+        .orderBy("split")
+    )

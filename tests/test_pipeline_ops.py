@@ -336,3 +336,35 @@ def test_quality_logreg_tiers_nondegenerate_and_exact(spark):
     assert got == exp
     tiers = {r["tier"] for r in rows}
     assert tiers == {"high", "mid", "low"}, tiers
+
+
+def test_temporal_holdout_is_leak_free_by_construction(spark):
+    """Every user contributes exactly one test event and (with >= 2
+    events) one val event, and the test event's timestamp is >= every
+    train/val timestamp of the same user — recomputed independently from
+    the raw events."""
+    from collections import defaultdict
+
+    from flink_net_spark.queries import QUERIES
+    from flink_net_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"]))
+    exp = {"train": [0, set()], "val": [0, set()], "test": [0, set()]}
+    sum_ids = {"train": 0, "val": 0, "test": 0}
+    for u, rows in by_user.items():
+        rows.sort(reverse=True)
+        for i, (_, eid) in enumerate(rows):
+            split = "test" if i == 0 else "val" if i == 1 else "train"
+            exp[split][0] += 1
+            exp[split][1].add(u)
+            sum_ids[split] += eid
+    got = {r["split"]: r for r in QUERIES["sample_temporal_holdout"](spark, sf).collect()}
+    for split in ("train", "val", "test"):
+        assert got[split]["n_events"] == exp[split][0], split
+        assert got[split]["n_users"] == len(exp[split][1]), split
+        assert got[split]["sum_event_id"] == sum_ids[split], split
+    assert got["test"]["n_events"] == len(by_user)  # exactly one per user
