@@ -705,3 +705,87 @@ def window_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("interp_den"),
         F.col("n").isNull().alias("is_gap"),
     ).orderBy("hour_ms", "event_type")
+
+
+# --------------------------------------------------------------------------
+# Exact rolling median per key (round-14).
+# --------------------------------------------------------------------------
+ROLLMED_FRAME = 20  # trailing rows per key (frame = 20 PRECEDING..CURRENT)
+
+
+@query(
+    "window_rolling_median",
+    oracle=f"""
+    WITH ev AS (
+        -- µs-truncated ts (the round-14 ordering discipline)
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS v, event_type
+        FROM events
+    ),
+    w AS (
+        SELECT event_type,
+               list_sort(list(v) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {ROLLMED_FRAME} PRECEDING AND CURRENT ROW))
+                   AS vals
+        FROM ev
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(vals[(len(vals) + 1) // 2] AS BIGINT) AS med_cents
+        FROM w
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)   AS n_rows,
+           CAST(SUM(med_cents) AS BIGINT) AS sum_med_cents,
+           CAST(MIN(med_cents) AS BIGINT) AS min_med_cents,
+           CAST(MAX(med_cents) AS BIGINT) AS max_med_cents
+    FROM m
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling median per key — the robust-baseline telemetry
+    primitive (a median absolute-level that outliers cannot drag, the
+    companion to window_outlier_3sigma's deviation test).  Spark has NO
+    native percentile window over a ROWS frame, so the median is computed
+    the portable way BOTH engines can replay bit-for-bit: collect the
+    trailing {ROLLMED_FRAME}+1-row frame as an array, sort it, take the
+    nearest-rank lower-middle element ((n+1) div 2, 1-indexed) — exact
+    BIGINT cents, no interpolation, no float tie.
+
+    Scale: one user-keyed shuffle + one in-partition sort shared by the
+    frame window (the standard keyed-window shape); per-row state is the
+    O(frame)-element array, CONSTANT in corpus size — the same memory
+    bound as any running window, paid per row only inside the sort
+    buffer.  Output is the bounded per-class rollup (count + checksum +
+    extrema of the medians), so any wrong median anywhere moves a sum."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("v"),
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ROLLMED_FRAME, Window.currentRow)
+    )
+    med = F.expr(
+        "CAST(element_at(array_sort(vals), CAST((size(vals) + 1) div 2 AS INT))"
+        " AS BIGINT)"
+    )
+    return (
+        ev.withColumn("vals", F.collect_list("v").over(w))
+        .withColumn("med_cents", med)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("med_cents").cast("long").alias("sum_med_cents"),
+            F.min("med_cents").cast("long").alias("min_med_cents"),
+            F.max("med_cents").cast("long").alias("max_med_cents"),
+        )
+        .orderBy("event_type")
+    )

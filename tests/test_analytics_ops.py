@@ -287,3 +287,34 @@ def test_ns_collision_fixture_discriminates_raw_ns_ordering(spark, tmp_path):
     assert vers[:2] == [(1, "error"), (2, "view")], vers
     # raw ns (+100 before +900) would order 'view' first — flipped
     assert [(1, "view"), (2, "error")] != vers[:2]
+
+
+def test_rolling_median_matches_handrolled(spark):
+    """window_rolling_median's per-class rollup must equal a hand-rolled
+    trailing-frame median over the same (ts, event_id)-sorted per-user
+    sequences at sf0.001."""
+    from collections import defaultdict
+
+    from flink_net_spark.queries import QUERIES
+    from flink_net_spark.queries.windows import ROLLMED_FRAME
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "value", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        cents = int(round(r["value"] * 100))
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], cents, r["event_type"]))
+    exp: dict = {}
+    for rows in by_user.values():
+        rows.sort(key=lambda x: (x[0], x[1]))
+        for i, (_, _, _, et) in enumerate(rows):
+            frame = sorted(c for _, _, c, _ in rows[max(0, i - ROLLMED_FRAME): i + 1])
+            med = frame[(len(frame) + 1) // 2 - 1]
+            n, s, lo, hi = exp.get(et, (0, 0, 1 << 62, -(1 << 62)))
+            exp[et] = (n + 1, s + med, min(lo, med), max(hi, med))
+    got = {
+        r["event_type"]: (r["n_rows"], r["sum_med_cents"], r["min_med_cents"], r["max_med_cents"])
+        for r in QUERIES["window_rolling_median"](spark, SF_DIR).collect()
+    }
+    assert got == exp

@@ -335,18 +335,23 @@ def test_no_sf_scaled_broadcast_hints():
                 # s = the 1-row sum(D²) scalar of the D²-proportional
                 # seeding draw (emb_kmeans_seed)
                 # q1 = the 1-row query-token-bag broadcast
-                # (sim_maxsim_late_interaction)
+                # (sim_maxsim_late_interaction / sim_maxsim_pruned);
+                # ncand/caught = its NQ-row per-query candidate-count and
+                # recall-audit aggregates (bounded by the query count)
                 "similarity.py": {
-                    "_st_planes_df", "adc", "c", "cb", "cb1", "cells",
-                    "cells1", "cent", "cents", "mrow", "nn", "planes",
-                    "planted", "probes", "q", "q1", "s", "seeds", "sizes",
-                    "st",
+                    "_st_planes_df", "adc", "c", "cb", "cb1", "caught",
+                    "cells", "cells1", "cent", "cents", "mrow", "ncand",
+                    "nn", "planes", "planted", "probes", "q", "q1", "s",
+                    "seeds", "sizes", "st",
                 },
                 "streaming_queries.py": {"nation"},
                 "temporal.py": {"converted"},
                 # chg = the 1-row convergence-audit count riding every
-                # component row (graph_connected_components)
-                "graph.py": {"chg"},
+                # component/distance row (graph_connected_components /
+                # graph_sssp_weighted); alive = the 1-row survivor COUNT
+                # aggregate in graph_kcore's peel audit (an agg() of the
+                # alive frame, not the frame itself)
+                "graph.py": {"chg", "alive"},
                 # n = the 1-row corpus token total framing the vocabulary-
                 # growth curve (text_heaps_law)
                 "text.py": {
