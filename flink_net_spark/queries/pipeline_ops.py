@@ -2177,3 +2177,106 @@ def sample_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# Source-mixture entropy telemetry (round-14).
+# --------------------------------------------------------------------------
+
+
+def _mixture_entropy_oracle() -> str:
+    from flink_net_spark.functions import detmath as DM
+
+    return f"""
+    WITH src AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS nt,
+               CAST(COUNT(*) AS BIGINT)      AS n_sources
+        FROM src
+    ),
+    tot_ln AS (SELECT nt, n_sources, {DM.duckdb_det_ln_select("nt", "nt")},
+                      {DM.duckdb_det_ln_select("n_sources", "ns_cnt")} FROM tot),
+    s_ln AS (SELECT source, n_tokens, {DM.duckdb_det_ln_select("n_tokens", "ns")} FROM src),
+    c AS (
+        SELECT s.source, s.n_tokens,
+               (s.n_tokens * 1000000) // t.nt AS share_e6,
+               CAST(ROUND((CAST(s.n_tokens AS DOUBLE) * (t.nt_ln - s.ns_ln))
+                          * 1000000e0) AS BIGINT) AS contrib_e6,
+               t.nt, t.ns_cnt_ln
+        FROM s_ln s CROSS JOIN tot_ln t
+    ),
+    h AS (
+        SELECT CAST(SUM(contrib_e6) // MIN(nt) AS BIGINT) AS entropy_e6,
+               CAST(ROUND(MIN(ns_cnt_ln) * 1000000e0) AS BIGINT)
+                   - CAST(SUM(contrib_e6) // MIN(nt) AS BIGINT) AS kl_uniform_e6
+        FROM c
+    )
+    SELECT c.source, c.n_tokens, c.share_e6, c.contrib_e6,
+           h.entropy_e6, h.kl_uniform_e6
+    FROM c CROSS JOIN h
+    ORDER BY c.source
+    """
+
+
+@query("curation_mixture_entropy", oracle=_mixture_entropy_oracle())
+def curation_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-MIXTURE entropy telemetry — the standard corpus-composition
+    dashboard numbers (how concentrated is the training mix): Shannon
+    entropy of the per-source token shares H = Σ pᵢ·ln(1/pᵢ) and the KL
+    divergence from the uniform mix KL = ln S − H, both in exact
+    micro-nats via the deterministic-ln chain (functions/detmath.py), so
+    the floats are BIT-IDENTICAL on both engines and every sum is an
+    integer sum (per-source contributions round to BIGINT micro-nat·token
+    units FIRST — the text_unigram_nll discipline — then integer-divide
+    by the token total; no order-dependent double accumulation).
+
+    Scale: one scan computing per-doc token counts in the projection, one
+    bounded groupBy(source), then source-count-sized arithmetic — the
+    mixture frame is S rows whatever the corpus size."""
+    from flink_net_spark.functions import detmath as DM
+
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    src = (
+        d.select("source", F.size(F.split("text", " ")).alias("nw"))
+        .groupBy("source")
+        .agg(F.sum("nw").cast("long").alias("n_tokens"))
+    )
+    tot = src.agg(
+        F.sum("n_tokens").cast("long").alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    tot = DM.spark_with_det_ln(tot, "nt", "nt")
+    tot = DM.spark_with_det_ln(tot, "n_sources", "ns_cnt").select(
+        "nt", "nt_ln", "ns_cnt_ln"
+    )
+    s = DM.spark_with_det_ln(src, "n_tokens", "ns")
+    c = (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.expr("(n_tokens * 1000000) div nt").alias("share_e6"),
+            F.expr(
+                "CAST(ROUND((CAST(n_tokens AS DOUBLE) * (nt_ln - ns_ln))"
+                " * 1000000e0) AS BIGINT)"
+            ).alias("contrib_e6"),
+            "nt",
+            "ns_cnt_ln",
+        )
+    )
+    h = c.agg(
+        F.expr("CAST(SUM(contrib_e6) div MIN(nt) AS BIGINT)").alias("entropy_e6"),
+        (
+            F.expr("CAST(ROUND(MIN(ns_cnt_ln) * 1000000e0) AS BIGINT)")
+            - F.expr("CAST(SUM(contrib_e6) div MIN(nt) AS BIGINT)")
+        ).alias("kl_uniform_e6"),
+    )
+    return (
+        c.select("source", "n_tokens", "share_e6", "contrib_e6")
+        .crossJoin(F.broadcast(h))
+        .orderBy("source")
+    )

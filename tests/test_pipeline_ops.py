@@ -368,3 +368,31 @@ def test_temporal_holdout_is_leak_free_by_construction(spark):
         assert got[split]["n_users"] == len(exp[split][1]), split
         assert got[split]["sum_event_id"] == sum_ids[split], split
     assert got["test"]["n_events"] == len(by_user)  # exactly one per user
+
+
+def test_mixture_entropy_matches_float_shannon(spark):
+    """entropy_e6 / kl_uniform_e6 must sit within 2 micro-nats of the
+    straight float Shannon entropy over the same counts (the det-ln chain
+    is exact to ~1 ulp; the integer plumbing must not lose more), and the
+    per-source contributions must integer-sum to entropy * N exactly."""
+    import math
+
+    from flink_net_spark.queries import QUERIES
+    from flink_net_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("source", "text").collect()
+    counts: dict = {}
+    for r in docs:
+        counts[r["source"]] = counts.get(r["source"], 0) + len(r["text"].split(" "))
+    n = sum(counts.values())
+    h_float = sum((c / n) * math.log(n / c) for c in counts.values())
+    kl_float = math.log(len(counts)) - h_float
+
+    rows = QUERIES["curation_mixture_entropy"](spark, sf).collect()
+    assert {r["source"] for r in rows} == set(counts)
+    ent = rows[0]["entropy_e6"]
+    kl = rows[0]["kl_uniform_e6"]
+    assert abs(ent - h_float * 1e6) <= 2, (ent, h_float * 1e6)
+    assert abs(kl - kl_float * 1e6) <= 2, (kl, kl_float * 1e6)
+    assert sum(r["contrib_e6"] for r in rows) // n == ent

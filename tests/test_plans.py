@@ -313,9 +313,10 @@ def test_no_sf_scaled_broadcast_hints():
                 # (dedup_rate_curve)
                 "dedup.py": {"keys", "mx", "xs", "ys"},
                 # t = the 1-row Σw weight-total scalar
-                # (curation_token_budget_mix)
+                # (curation_token_budget_mix); h = the 1-row
+                # entropy/KL aggregate (curation_mixture_entropy)
                 "pipeline_ops.py": {
-                    "bw", "cells", "eval_sh", "k0row", "nrow", "ntok",
+                    "bw", "cells", "eval_sh", "h", "k0row", "nrow", "ntok",
                     "shift", "t", "tau", "thr", "tot", "wts",
                 },
                 # tot/merged = the 1-row exact-total resp. merged-sketch-
