@@ -100,7 +100,6 @@ HEADLINE = [
     "dedup_substring_winnow",
     "dedup_embedding_ann",
     "sim_ann_lsh",
-    "sim_ann_multiprobe",
     "udaf_value_mad",
     "mm_decode_stats",
     "sim_ann_ivf",
@@ -183,7 +182,6 @@ HEADLINE = [
     "emb_kmeans_seed",
     "mm_speech_segments",
     "agg_hll_sketch_union",
-    "graph_bfs_levels",
     "agg_weighted_quantiles",
     "text_collocations_pmi",
     "agg_ks_drift",
@@ -199,6 +197,15 @@ HEADLINE = [
     "join_null_safe",
     # round-13 rotation (one out, one in — see size policy above)
     "graph_connected_components",
+    # round-14 rotation (two in, two out — see size policy above):
+    # graph_sssp_weighted replaces graph_bfs_levels (frontier-expansion
+    # joins are exercised by connected_components + the new relaxation
+    # rounds; bfs stays in the registry and the ×10 smoke), and
+    # sim_maxsim_late_interaction replaces sim_ann_multiprobe (the probe
+    # fan-out shape is covered by sim_ann_lsh/ivf; MaxSim is the r13
+    # perf-watch query — its salted two-phase fix needs panel eyes).
+    "graph_sssp_weighted",
+    "sim_maxsim_late_interaction",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
@@ -312,6 +319,16 @@ SCALE_SMOKE = [
     # per-round join linearly — and the convergence audit column proves
     # the denser graph still converges inside CC_ROUNDS
     "graph_connected_components",
+    # round-14: Bellman-Ford relaxation volume is linear in edges per
+    # round with a fixed round count — ×10 edges must scale each
+    # relaxation join linearly and the n_improved_last audit must stay 0;
+    # k-core's peel depth may GROW with density (measured 2/3/7 at
+    # sf0.001/0.01/0.1), so the smoke watches both wall time and the
+    # n_removed_last audit; MaxSim's corpus pass is the linear map stage
+    # and its rank is now salt-bounded
+    "graph_sssp_weighted",
+    "graph_kcore",
+    "sim_maxsim_late_interaction",
 ]
 
 # One more decade for the five most expensive shapes (opt-in:
