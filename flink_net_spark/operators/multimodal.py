@@ -642,23 +642,46 @@ def audio_energy(
     :func:`fake_frame_sample`); a frame's energy is the exact integer sum
     of squared code points; a frame is "loud" when its energy strictly
     exceeds the clip's mean frame energy (integer cross-multiplication:
-    ``e * n_frames > total_energy``).  A real audio decoder (PCM via
-    soundfile/av) swaps into the same schema: (doc_id, n_frames,
-    total_energy, n_loud, max_energy).  numpy-vectorized per row."""
+    ``e * n_frames > total_energy``).  Round-14: a RIFF/WAVE payload takes
+    the REAL PCM branch — stdlib :mod:`wave` (no third-party codec)
+    decodes 16-bit PCM and the exact same framing/energy/loudness maths
+    run over the int16 samples, so the fake-unit branch and a real codec
+    demonstrably share one pipeline (same schema, same reductions):
+    (doc_id, n_frames, total_energy, n_loud, max_energy).
+    numpy-vectorized per row."""
     from flink_net_spark.session import ship_package_to_executors
 
     ship_package_to_executors(df.sparkSession)
 
     def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
         import numpy as np
 
         for pdf in batches:
             ids, nf, tot, loud, mx = [], [], [], [], []
             for i, raw in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(raw)
+                ids.append(int(i))
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    # real-codec branch: stdlib wave, 16-bit PCM samples
+                    with wave.open(io.BytesIO(b)) as w:
+                        pcm = w.readframes(w.getnframes())
+                    cp_all = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                    n = len(cp_all) // AUDIO_FRAME
+                    if n == 0:
+                        nf.append(0); tot.append(0); loud.append(0); mx.append(0)
+                        continue
+                    cp = cp_all[: n * AUDIO_FRAME]
+                    e = (cp * cp).reshape(n, AUDIO_FRAME).sum(axis=1)
+                    total = int(e.sum())
+                    nf.append(n); tot.append(total)
+                    loud.append(int((e * n > total).sum()))
+                    mx.append(int(e.max()))
+                    continue
                 s = _frame_units(b[HEADER_LEN:] if b[:4] == PAYLOAD_MAGIC else b)
                 n = len(s) // AUDIO_FRAME
-                ids.append(int(i))
                 if n == 0:
                     nf.append(0); tot.append(0); loud.append(0); mx.append(0)
                     continue

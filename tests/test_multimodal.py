@@ -737,3 +737,50 @@ def test_golden_parity_pil_branch(spark):
         assert (de[i].width, de[i].height) == (w, h), n
         assert de[i].body_md5 == pil_md5, n
         assert ph[i].phash == gold_ph, (n, ph[i].phash)
+
+
+def test_audio_energy_real_wav_branch_matches_hand_math(spark):
+    """Round-14 (VERDICT r13 #7): a RIFF/WAVE payload must take the REAL
+    stdlib-`wave` PCM branch — same framing/energy/loudness maths over
+    int16 samples — while non-WAV payloads keep the fake-unit branch in
+    the same batch.  Energies are hand-computed from the exact samples we
+    wrote, so a codec-branch regression cannot hide behind the fake
+    path."""
+    import io
+    import wave
+
+    from flink_net_spark.operators.multimodal import AUDIO_FRAME, audio_energy
+
+    n_samples = AUDIO_FRAME * 2 + 5  # 2 full frames + a dropped tail
+    samples = [((i * 37) % 200) - 100 for i in range(n_samples)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"".join(s.to_bytes(2, "little", signed=True) for s in samples))
+    wav = buf.getvalue()
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+
+    frames = [samples[i * AUDIO_FRAME:(i + 1) * AUDIO_FRAME] for i in range(2)]
+    energies = [sum(s * s for s in f) for f in frames]
+    total = sum(energies)
+    exp_wav = (2, total, sum(1 for e in energies if e * 2 > total), max(energies))
+
+    fake = "ab" * AUDIO_FRAME  # 2 frames of code points via the fake branch
+    fe = [
+        sum(ord(c) ** 2 for c in fake[i * AUDIO_FRAME:(i + 1) * AUDIO_FRAME])
+        for i in range(2)
+    ]
+    exp_fake = (2, sum(fe), sum(1 for e in fe if e * 2 > sum(fe)), max(fe))
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(fake.encode()))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: (r["n_frames"], r["total_energy"], r["n_loud"], r["max_energy"])
+        for r in audio_energy(df).collect()
+    }
+    assert got[1] == exp_wav, (got[1], exp_wav)
+    assert got[2] == exp_fake, (got[2], exp_fake)
