@@ -51,6 +51,10 @@ NESTED_LOOP_ALLOWED = {
     # k-means step; semdedup's pair join itself is equi on (cluster, sub)).
     "emb_kmeans_assign",
     "emb_kmeans_iterate",
+    # curation_mixture_entropy — crossJoins against the 1-row token-total
+    # det-ln scalar and the 1-row entropy/KL aggregate; the mixture frame
+    # itself is S rows (bounded by the source count).
+    "curation_mixture_entropy",
     # curation_temperature_mix — crossJoin against the ONE-row broadcast
     # (tot_e6, n_total) scalar: S×1 work on the S-row source histogram,
     # the corpus itself only meets a broadcast-hash equi-join on source.
