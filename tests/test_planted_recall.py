@@ -66,3 +66,28 @@ def test_planted_audit_catches_banding_regression(spark, monkeypatch):
         (ann.query_id == planted.query_id) & (ann.neighbor_id == planted.neighbor_id),
     ).count()
     assert caught < 40, caught
+
+
+def test_maxsim_pruned_full_recall_and_score_parity(spark):
+    """At test scale the per-token candidate fan-in (M=32 per token, 5
+    tokens per query) must recover the exhaustive top-k EXACTLY: n_caught
+    == MAXSIM_TOPK for every query, and each caught doc's pruned score
+    must equal its exhaustive score (pruning may only REMOVE candidates,
+    never change a survivor's exact Σ-max score)."""
+    from flink_net_spark.queries import QUERIES
+    from flink_net_spark.queries.similarity import MAXSIM_TOPK
+    from flink_net_spark.tables import release_persisted
+
+    sf = "/root/testdata/sf0.001"
+    pr = QUERIES["sim_maxsim_pruned"](spark, sf)
+    pruned = pr.collect()
+    release_persisted(pr)
+    assert pruned, "fixture must produce ranked rows"
+    assert all(r["n_caught"] == MAXSIM_TOPK for r in pruned)
+
+    exh = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in QUERIES["sim_maxsim_late_interaction"](spark, sf).collect()
+    }
+    for r in pruned:
+        assert exh[(r["query_id"], r["doc_id"])] == r["score"], r
