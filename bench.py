@@ -1254,7 +1254,13 @@ def exec_frac_panel(spark, queries, timings: dict, top_n: int = 10) -> dict:
     while a re-collect on the SAME handle pays execution only, so
     recollect/fresh is the execution fraction.  Emitting it every round
     for the panel's heavy hitters catches the next driver-side drift
-    before a gate has to flag it."""
+    before a gate has to flag it.
+
+    Caveat recorded per row (round-14 review): for queries whose result
+    handle pins persisted/checkpointed intermediates (``scoped`` true),
+    the re-collect replays those caches, so exec_frac there reads the
+    CACHE-REPLAY fraction — still a stable per-query baseline to diff
+    round-over-round, but not a pure analysis/execution split."""
     from flink_net_spark.tables import release_persisted
 
     out: dict[str, dict] = {}
@@ -1270,6 +1276,7 @@ def exec_frac_panel(spark, queries, timings: dict, top_n: int = 10) -> dict:
             t0 = time.perf_counter()
             df.collect()
             recollect = time.perf_counter() - t0
+            scoped = getattr(df, "_fns_release", None) is not None
             release_persisted(df)
             del df
             spark.catalog.clearCache()
@@ -1277,6 +1284,7 @@ def exec_frac_panel(spark, queries, timings: dict, top_n: int = 10) -> dict:
                 "fresh_sec": round(fresh, 4),
                 "recollect_sec": round(recollect, 4),
                 "exec_frac": round(recollect / fresh, 3) if fresh else None,
+                "scoped": scoped,
             }
         except Exception as ex:  # pragma: no cover - panel is best-effort
             out[name] = {"err": str(ex)[:80]}
@@ -1317,7 +1325,9 @@ def xsession_stream_probe(cur_1k: int | None, cur_1m: int | None) -> dict:
     vals_1k = [cur_1k] if cur_1k else []
     vals_1m = [cur_1m] if cur_1m else []
     building = _building_round()
-    sessions = 1
+    # the current session only occupies a slot when it contributed a rate
+    # (round-14 review: same contributes-at-least-one rule as the sidecars)
+    sessions = 1 if (cur_1k or cur_1m) else 0
     for path in sorted(glob.glob(os.path.join(OUT_DIR, "r*.json")), reverse=True):
         if sessions >= 3:
             break

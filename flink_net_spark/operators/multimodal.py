@@ -594,6 +594,38 @@ def perceptual_hash(
 AUDIO_FRAME = 32  # code points per analysis frame (the fake corpus's "samples")
 
 
+def _audio_units(b: bytes):
+    """Decode a payload into the int64 unit stream the audio operators
+    frame — ONE decode stage shared by :func:`audio_energy` and
+    :func:`audio_frames` so the per-frame stream and the per-clip summary
+    can never disagree on the same document.
+
+    RIFF/WAVE payloads take the REAL stdlib-:mod:`wave` PCM branch when
+    they parse as 16-bit PCM (any channel count — interleaved samples form
+    the unit stream, like a mono downmix-free energy pass).  Anything the
+    codec rejects (compressed/ADPCM formats, truncated chunks, non-16-bit
+    widths) falls back to the deterministic fake-unit branch instead of
+    failing the task — decode robustness is a per-ROW property, never a
+    job-level one."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        try:
+            with wave.open(io.BytesIO(b)) as w:
+                if w.getsampwidth() == 2:
+                    pcm = w.readframes(w.getnframes())
+                    return np.frombuffer(
+                        pcm[: len(pcm) - (len(pcm) % 2)], dtype="<i2"
+                    ).astype(np.int64)
+        except (wave.Error, EOFError):
+            pass
+    s = _frame_units(b[HEADER_LEN:] if b[:4] == PAYLOAD_MAGIC else b)
+    return np.fromiter(map(ord, s), dtype=np.int64, count=len(s))
+
+
 def audio_frames(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -611,14 +643,11 @@ def audio_frames(
         for pdf in batches:
             ids, ks, es = [], [], []
             for i, raw in zip(pdf[id_col], pdf[payload_col]):
-                b = bytes(raw)
-                s = _frame_units(b[HEADER_LEN:] if b[:4] == PAYLOAD_MAGIC else b)
-                n = len(s) // AUDIO_FRAME
+                units = _audio_units(bytes(raw))
+                n = len(units) // AUDIO_FRAME
                 if n == 0:
                     continue
-                cp = np.fromiter(
-                    map(ord, s[: n * AUDIO_FRAME]), dtype=np.int64, count=n * AUDIO_FRAME
-                )
+                cp = units[: n * AUDIO_FRAME]
                 e = (cp * cp).reshape(n, AUDIO_FRAME).sum(axis=1)
                 ids.extend([int(i)] * n)
                 ks.extend(range(n))
@@ -647,47 +676,26 @@ def audio_energy(
     decodes 16-bit PCM and the exact same framing/energy/loudness maths
     run over the int16 samples, so the fake-unit branch and a real codec
     demonstrably share one pipeline (same schema, same reductions):
-    (doc_id, n_frames, total_energy, n_loud, max_energy).
+    (doc_id, n_frames, total_energy, n_loud, max_energy).  The decode
+    stage is :func:`_audio_units`, SHARED with :func:`audio_frames` so
+    the frame stream and the clip summary always agree per document, and
+    codec failures fall back per row (never fail the job).
     numpy-vectorized per row."""
     from flink_net_spark.session import ship_package_to_executors
 
     ship_package_to_executors(df.sparkSession)
 
     def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave
-
-        import numpy as np
-
         for pdf in batches:
             ids, nf, tot, loud, mx = [], [], [], [], []
             for i, raw in zip(pdf[id_col], pdf[payload_col]):
-                b = bytes(raw)
+                units = _audio_units(bytes(raw))
                 ids.append(int(i))
-                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                    # real-codec branch: stdlib wave, 16-bit PCM samples
-                    with wave.open(io.BytesIO(b)) as w:
-                        pcm = w.readframes(w.getnframes())
-                    cp_all = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
-                    n = len(cp_all) // AUDIO_FRAME
-                    if n == 0:
-                        nf.append(0); tot.append(0); loud.append(0); mx.append(0)
-                        continue
-                    cp = cp_all[: n * AUDIO_FRAME]
-                    e = (cp * cp).reshape(n, AUDIO_FRAME).sum(axis=1)
-                    total = int(e.sum())
-                    nf.append(n); tot.append(total)
-                    loud.append(int((e * n > total).sum()))
-                    mx.append(int(e.max()))
-                    continue
-                s = _frame_units(b[HEADER_LEN:] if b[:4] == PAYLOAD_MAGIC else b)
-                n = len(s) // AUDIO_FRAME
+                n = len(units) // AUDIO_FRAME
                 if n == 0:
                     nf.append(0); tot.append(0); loud.append(0); mx.append(0)
                     continue
-                cp = np.fromiter(
-                    map(ord, s[: n * AUDIO_FRAME]), dtype=np.int64, count=n * AUDIO_FRAME
-                )
+                cp = units[: n * AUDIO_FRAME]
                 e = (cp * cp).reshape(n, AUDIO_FRAME).sum(axis=1)
                 total = int(e.sum())
                 nf.append(n)

@@ -1964,12 +1964,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must keep THIS handle alive until the derived job finishes —
     # dropping it lets the upstream finalizer unpersist lineage-truncated
     # checkpoint blocks mid-collect.
-    from flink_net_spark.tables import release_persisted
+    from flink_net_spark.tables import attach_release, release_persisted
 
     out._fns_upstream = base
 
     def _release_upstream(b=base):
         release_persisted(b)
 
-    out._fns_release = _release_upstream
+    attach_release(out, _release_upstream)
     return out

@@ -205,8 +205,26 @@ def scoped_persist(result: DataFrame, *cached: DataFrame) -> DataFrame:
     # and the GC backstop then no-ops.  Consumers that transform `result`
     # first simply fall back to the GC path (release_persisted degrades to
     # a no-op on DataFrames without the handle).
-    result._fns_release = fin
+    attach_release(result, fin)
     return result
+
+
+def attach_release(result: DataFrame, fin) -> None:
+    """Attach ``fin`` to ``result._fns_release``, COMPOSING with any
+    release already attached (scoped_persist / release_rdds_with_result /
+    query-level upstream pins stack in any call order — round-14 review:
+    an unconditional overwrite silently dropped the earlier handle when
+    the helpers were nested the other way around)."""
+    prev = getattr(result, "_fns_release", None)
+    if prev is None:
+        result._fns_release = fin
+        return
+
+    def _both(prev=prev, fin=fin):
+        prev()
+        fin()
+
+    result._fns_release = _both
 
 
 def release_persisted(result: DataFrame) -> None:
@@ -277,14 +295,5 @@ def release_rdds_with_result(result: DataFrame, spark: SparkSession, ids: list[i
     attached (r13 ADVICE: GC-only release leaks until the collector runs)."""
     import weakref
 
-    fin = weakref.finalize(result, release_rdd_ids, spark, list(ids))
-    prev = getattr(result, "_fns_release", None)
-    if prev is None:
-        result._fns_release = fin
-    else:
-        def _both(prev=prev, fin=fin):
-            prev()
-            fin()
-
-        result._fns_release = _both
+    attach_release(result, weakref.finalize(result, release_rdd_ids, spark, list(ids)))
     return result

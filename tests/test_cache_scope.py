@@ -135,3 +135,32 @@ def test_release_rdds_with_result_composes_with_scoped_persist(spark):
     assert ids and _persistent_rdd_ids(spark) - baseline
     release_persisted(out)
     assert _persistent_rdd_ids(spark) - baseline == set()
+
+
+def test_release_attach_composes_in_either_nesting_order(spark):
+    """Round-14 review: scoped_persist used to OVERWRITE _fns_release, so
+    scoped_persist(release_rdds_with_result(...)) — the reverse of the
+    graph.py order — silently dropped the checkpoint release.  attach_release
+    must compose regardless of nesting order."""
+    from flink_net_spark.tables import (
+        _persistent_rdd_ids,
+        checkpoint_tracked_lazy,
+        release_persisted,
+        release_rdds_with_result,
+        scoped_persist,
+    )
+
+    gc.collect()
+    baseline = _persistent_rdd_ids(spark)
+    cached = spark.range(64).persist()
+    ids: list[int] = []
+    lc = checkpoint_tracked_lazy(spark.range(32), ids)
+    # REVERSE order: rdds first, then scoped_persist on top
+    out = scoped_persist(
+        release_rdds_with_result(lc.crossJoin(cached.limit(1)), spark, ids),
+        cached,
+    )
+    out.collect()
+    assert ids and _persistent_rdd_ids(spark) - baseline
+    release_persisted(out)
+    assert _persistent_rdd_ids(spark) - baseline == set()

@@ -784,3 +784,47 @@ def test_audio_energy_real_wav_branch_matches_hand_math(spark):
     }
     assert got[1] == exp_wav, (got[1], exp_wav)
     assert got[2] == exp_fake, (got[2], exp_fake)
+
+
+def test_audio_wav_branch_is_row_robust_and_shared_with_frames(spark):
+    """Codec robustness is a per-ROW property: a RIFF header over garbage
+    (or a non-16-bit WAV) must fall back to the fake-unit branch for THAT
+    row, never fail the task — and audio_frames must decode through the
+    SAME stage, so its per-frame energies sum to audio_energy's totals
+    for every payload kind in one batch."""
+    import io
+    import wave
+
+    from flink_net_spark.operators.multimodal import audio_energy, audio_frames
+
+    # well-formed 16-bit STEREO wav (interleaved samples form the stream)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(
+            b"".join(
+                (i % 97).to_bytes(2, "little", signed=True) for i in range(200)
+            )
+        )
+    stereo = buf.getvalue()
+    # RIFF/WAVE magic over garbage: wave.open must fail -> fake fallback
+    fake_riff = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"not-a-wav" * 20
+    rows = [
+        (1, bytearray(stereo)),
+        (2, bytearray(fake_riff)),
+        (3, bytearray(("xy" * 40).encode())),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    summary = {r["doc_id"]: r for r in audio_energy(df).collect()}
+    assert set(summary) == {1, 2, 3}  # nothing crashed, every row emitted
+    assert summary[1]["n_frames"] > 0  # stereo PCM decoded
+    frames = audio_frames(df).collect()
+    per_doc: dict = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r["e"])
+    for doc_id, s in summary.items():
+        es = per_doc.get(doc_id, [])
+        assert len(es) == s["n_frames"], doc_id
+        assert sum(es) == s["total_energy"], doc_id

@@ -40,6 +40,20 @@ def probe_once(spark, stage, schema, n_keys, parts, provider=None):
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider["cls"])
         for k, v in provider.get("conf", {}).items():
             spark.conf.set(k, v)
+    else:
+        # a phase WITHOUT a provider override must not inherit a previous
+        # phase's leftovers (round-14 review: the changelog conf leaked
+        # past the manual providerClass reset)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "false",
+        )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "4")
@@ -71,7 +85,9 @@ def probe_once(spark, stage, schema, n_keys, parts, provider=None):
                 "rows": p["numInputRows"],
                 "trigger_ms": d.get("triggerExecution", 0),
                 "addBatch_ms": d.get("addBatch", 0),
-                "commit_ms": ops[0].get("allUpdatesTimeMs"),
+                # field names match the engine's own semantics (round-14
+                # review: 'commit_ms' used to carry allUpdatesTimeMs)
+                "state_update_ms": ops[0].get("allUpdatesTimeMs"),
                 "state_commit_ms": ops[0].get("commitTimeMs"),
                 "mem": ops[0].get("memoryUsedBytes"),
             }
