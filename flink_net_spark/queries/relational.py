@@ -2225,3 +2225,75 @@ def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("q_pct")
     )
     return scoped_persist(out, sk)
+
+
+# --------------------------------------------------------------------------
+# Exact per-group mode (round-14).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, cents
+    ),
+    r AS (
+        SELECT event_type, cents, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, cents) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_distinct
+        FROM c
+    )
+    SELECT event_type,
+           cents AS mode_cents,
+           n     AS mode_count,
+           n_distinct
+    FROM r WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group MODE — the most frequent value per key with a total
+    deterministic tie-break (highest count, then lowest value), the
+    categorical summary statistic the MIN/MAX/AVG battery lacks (neither
+    engine ships a deterministic MODE: DuckDB's is tie-arbitrary, Spark
+    has none).
+
+    Shape: the classic two-level aggregation — groupBy(key, value) count
+    (map-side partial combine collapses duplicates BEFORE the shuffle, so
+    the exchange carries one row per distinct (key, value), bounded by
+    the value domain — here ~10^4 distinct cents × 5 event types), then a
+    per-key rank over the distinct-value frame.  The rank partition is
+    the per-key DISTINCT-value set (domain-bounded), never raw rows, so
+    no salting is needed — the same reasoning as agg_weighted_quantiles'
+    distinct-value pre-collapse.
+
+    Integer cents (the module's money discipline) keep the tie-break
+    exact on both engines."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents")
+    )
+    c = ev.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), "cents")
+    wc = Window.partitionBy("event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_distinct", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("cents").alias("mode_cents"),
+            F.col("n").alias("mode_count"),
+            "n_distinct",
+        )
+        .orderBy("event_type")
+    )

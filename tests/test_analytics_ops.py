@@ -318,3 +318,23 @@ def test_rolling_median_matches_handrolled(spark):
         for r in QUERIES["window_rolling_median"](spark, SF_DIR).collect()
     }
     assert got == exp
+
+
+def test_mode_exact_matches_counter(spark):
+    """agg_mode_exact must equal a Counter-based mode with the (count
+    DESC, cents ASC) tie-break, recomputed independently at sf0.001."""
+    from collections import Counter
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value").collect()
+    groups: dict = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], Counter())[int(round(r["value"] * 100))] += 1
+    exp = {}
+    for t, c in groups.items():
+        cents, n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        exp[t] = (cents, n, len(c))
+    got = {
+        r["event_type"]: (r["mode_cents"], r["mode_count"], r["n_distinct"])
+        for r in QUERIES["agg_mode_exact"](spark, SF_DIR).collect()
+    }
+    assert got == exp
