@@ -2944,3 +2944,152 @@ def sim_maxsim_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("query_id", "rank")
     )
     return scoped_persist(out, mx)
+
+
+# --------------------------------------------------------------------------
+# Greedy k-center coreset selection (round-14).
+# --------------------------------------------------------------------------
+KCENTER_K = 6  # centers to select (farthest-first rounds)
+
+
+def _kcenter_dist_sql(a_vq: str, c_vq: str) -> str:
+    return (
+        "list_sum(["
+        f"({a_vq}[i] - {c_vq}[i]) * ({a_vq}[i] - {c_vq}[i]) "
+        f"for i in range(1, {DIM + 1})])"
+    )
+
+
+def _duck_kcenter_oracle() -> str:
+    """Unrolled farthest-first traversal (Gonzalez 1985): round i+1 picks
+    the point with the MAXIMUM min-distance to the selected set (ties to
+    the lower vec_id), the classic 2-approximation for the k-center
+    objective.  Each round's min-dist frame is MATERIALIZED (referenced
+    by both the pick and the next frame)."""
+    d = _kcenter_dist_sql("a.vq", "c.vq")
+    ctes = [
+        f"""e AS MATERIALIZED (
+            SELECT vec_id,
+                   [CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)
+                    for x in embedding] AS vq
+            FROM embeddings
+        )""",
+        "p0 AS (SELECT CAST(0 AS BIGINT) AS cid, CAST(0 AS BIGINT) AS sel_dist)",
+        f"""m0 AS MATERIALIZED (
+            SELECT a.vec_id, {d} AS mind
+            FROM e a CROSS JOIN (SELECT vq FROM e WHERE vec_id = 0) c
+        )""",
+    ]
+    for i in range(1, KCENTER_K):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+            SELECT vec_id AS cid, CAST(mind AS BIGINT) AS sel_dist
+            FROM m{i - 1} ORDER BY mind DESC, vec_id LIMIT 1
+        )"""
+        )
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (
+            SELECT a.vec_id, LEAST(m.mind, {d}) AS mind
+            FROM m{i - 1} m
+            JOIN e a ON a.vec_id = m.vec_id
+            CROSS JOIN (SELECT e.vq FROM e JOIN p{i} ON e.vec_id = p{i}.cid) c
+        )"""
+        )
+    picks = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS sel_round, cid, sel_dist FROM p{i}"
+        for i in range(KCENTER_K)
+    )
+    return f"""
+    WITH {','.join(ctes)},
+    picks AS ({picks}),
+    cov AS (
+        SELECT CAST(MAX(mind) AS BIGINT) AS coverage_radius,
+               CAST(COUNT(*) AS BIGINT)  AS n_vecs
+        FROM m{KCENTER_K - 1}
+    )
+    SELECT p.sel_round, p.cid AS center_id, p.sel_dist,
+           c.coverage_radius, c.n_vecs
+    FROM picks p CROSS JOIN cov c
+    ORDER BY p.sel_round
+    """
+
+
+@query("sample_coreset_kcenter", oracle=_duck_kcenter_oracle())
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY k-CENTER coreset selection — farthest-first traversal
+    (Gonzalez 1985), the diversity-sampling primitive training-data
+    selection pipelines use when the budget buys k maximally-spread
+    exemplars (active learning's core-set approach, Sener & Savarese
+    2018): start from vector 0, then k−1 times pick the point FARTHEST
+    from everything already selected (exact integer squared L2 on the
+    1e-3-quantized vectors, ties to the lower vec_id).  The selection
+    radius at each pick and the final COVERAGE RADIUS (max over the
+    corpus of min-dist to the selected set — the k-center objective,
+    which greedy 2-approximates) ride the output, so the coreset's
+    quality is result data.
+
+    Scale (the MLlib/ivfpq discipline — bounded intermediates collected,
+    corpus never): each round is ONE scan computing min-dist to the
+    current ≤{KCENTER_K}-center literal array in the projection and a
+    TakeOrdered(1) argmax (per-partition top-1, driver merges task heads
+    — no global sort); the driver collects exactly one row per round.
+    Lineage stays flat because every round rebuilds from the base scan
+    plus a literal — nothing iterative accumulates in the plan."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0)"
+            " AS BIGINT))"
+        ).alias("vq"),
+    )
+    first = e.filter(F.col("vec_id") == 0).select("vq").collect()
+    if not first:
+        return spark.createDataFrame(
+            [],
+            "sel_round long, center_id long, sel_dist long, "
+            "coverage_radius long, n_vecs long",
+        )
+    centers = [(0, [int(x) for x in first[0]["vq"]])]
+    picks = [(0, 0, 0)]  # (sel_round, center_id, sel_dist)
+    corpus = spread_small_scan(e, min_partitions=8)
+
+    def mind_col() -> "F.Column":
+        lit = F.array(
+            *[
+                F.array(*[F.lit(x) for x in vq]).cast("array<bigint>")
+                for _, vq in centers
+            ]
+        )
+        return F.expr(
+            "array_min(transform(cs, c -> aggregate("
+            "zip_with(vq, c, (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)))"
+        ), lit
+
+    for i in range(1, KCENTER_K):
+        expr, lit = mind_col()
+        row = (
+            corpus.withColumn("cs", lit)
+            .select("vec_id", "vq", expr.alias("mind"))
+            .orderBy(F.desc("mind"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((i, int(row["vec_id"]), int(row["mind"])))
+        centers.append((int(row["vec_id"]), [int(x) for x in row["vq"]]))
+    expr, lit = mind_col()
+    cov = (
+        corpus.withColumn("cs", lit)
+        .select(expr.alias("mind"))
+        .agg(
+            F.max("mind").cast("long").alias("coverage_radius"),
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        )
+    )
+    out = spark.createDataFrame(
+        picks, "sel_round long, center_id long, sel_dist long"
+    )
+    return (
+        out.crossJoin(F.broadcast(cov))
+        .select("sel_round", "center_id", "sel_dist", "coverage_radius", "n_vecs")
+        .orderBy("sel_round")
+    )

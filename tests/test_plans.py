@@ -149,6 +149,10 @@ NESTED_LOOP_ALLOWED = {
     # a count×count product); each peel round is a pair of hash
     # equi-joins of edges against the survivor set.
     "graph_kcore",
+    # sample_coreset_kcenter — the K-row literal pick list crosses the
+    # 1-row coverage-radius aggregate; every corpus pass is a scan with
+    # the ≤K-center literal array folded into the projection.
+    "sample_coreset_kcenter",
     # agg_ks_drift — crossJoin against the schema-fixed 5-row event-type
     # dim to replicate the bounded baseline support; the ECDF joins are
     # hash equi on (t, v) over value-domain-bounded count frames.
@@ -343,11 +347,13 @@ def test_no_sf_scaled_broadcast_hints():
                 # (sim_maxsim_late_interaction / sim_maxsim_pruned);
                 # ncand/caught = its NQ-row per-query candidate-count and
                 # recall-audit aggregates (bounded by the query count)
+                # cov = the 1-row coverage-radius aggregate crossed onto
+                # the K-row pick list (sample_coreset_kcenter)
                 "similarity.py": {
                     "_st_planes_df", "adc", "c", "cb", "cb1", "caught",
-                    "cells", "cells1", "cent", "cents", "mrow", "ncand",
-                    "nn", "planes", "planted", "probes", "q", "q1", "s",
-                    "seeds", "sizes", "st",
+                    "cells", "cells1", "cent", "cents", "cov", "mrow",
+                    "ncand", "nn", "planes", "planted", "probes", "q",
+                    "q1", "s", "seeds", "sizes", "st",
                 },
                 "streaming_queries.py": {"nation"},
                 "temporal.py": {"converted"},

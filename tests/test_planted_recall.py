@@ -91,3 +91,38 @@ def test_maxsim_pruned_full_recall_and_score_parity(spark):
     }
     for r in pruned:
         assert exh[(r["query_id"], r["doc_id"])] == r["score"], r
+
+
+def test_kcenter_matches_independent_farthest_first(spark):
+    """sample_coreset_kcenter must equal an independent farthest-first
+    traversal over the same quantized vectors at sf0.001, including each
+    pick's selection radius and the final coverage radius."""
+    from flink_net_spark.queries import QUERIES
+    from flink_net_spark.queries.similarity import KCENTER_K
+    from flink_net_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    vecs = {
+        int(r["vec_id"]): [int(round(float(x) * 1000)) for x in r["embedding"]]
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    centers = [0]
+    picks = [(0, 0, 0)]
+    mind = {v: d2(vecs[v], vecs[0]) for v in vecs}
+    for i in range(1, KCENTER_K):
+        nxt = min(vecs, key=lambda v: (-mind[v], v))
+        picks.append((i, nxt, mind[nxt]))
+        centers.append(nxt)
+        for v in vecs:
+            mind[v] = min(mind[v], d2(vecs[v], vecs[nxt]))
+    radius = max(mind.values())
+
+    rows = QUERIES["sample_coreset_kcenter"](spark, sf).collect()
+    got = [(r["sel_round"], r["center_id"], r["sel_dist"]) for r in rows]
+    assert got == picks
+    assert all(r["coverage_radius"] == radius for r in rows)
+    assert all(r["n_vecs"] == len(vecs) for r in rows)
