@@ -789,3 +789,110 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact CUSUM changepoint per key (round-14).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_cusum_changepoint",
+    oracle="""
+    WITH ev AS (
+        -- µs-truncated ts (the round-14 ordering discipline)
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+        FROM events
+    ),
+    pre AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               SUM(v) OVER w AS prefix,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+               SUM(v) OVER (PARTITION BY user_id) AS total,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    st AS (
+        SELECT user_id, n, k, ms,
+               ABS(n * prefix - k * total) AS stat,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ABS(n * prefix - k * total) DESC,
+                                           k) AS rn
+        FROM pre
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           n,
+           k                        AS cp_k,
+           CAST(ms AS BIGINT)       AS cp_ts_ms,
+           CAST(stat AS BIGINT)     AS cusum_max
+    FROM st WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def window_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT CUSUM changepoint per key (Page 1954; the at-most-one-change
+    estimator): the most likely mean-shift position in each user's value
+    series is argmax_k |n·prefix_k − k·total| — the centered cumulative
+    sum |Σ_{i≤k}(vᵢ − μ)| cross-multiplied by n so everything stays in
+    BIGINTs (no μ division, no float drift; ties break to the EARLIEST
+    k).  The drift/regime-change telemetry primitive that complements the
+    rolling 3σ flags (pointwise outliers) and the KS drift test
+    (distribution-level, unlocalized) with a LOCALIZED shift estimate.
+
+    int64 bound: |n·prefix| ≤ n²·max_cents — safe while per-key series
+    stay under ~2·10⁷ rows at 4-decimal-dollar values; longer series
+    shift cents right first.
+
+    Scale: ONE user-keyed shuffle; the prefix/count/total/rank windows
+    all share the same partition (Spark collapses them into one sort
+    pass), state per key is a running (sum, count) pair, and keys
+    distribute freely — the same shape as every keyed window here.
+    Output is one row per key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wk = Window.partitionBy("user_id")
+    pre = ev.select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        F.sum("v").over(w).alias("prefix"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("long")
+        .alias("k"),
+        F.sum("v").over(wk).alias("total"),
+        F.count(F.lit(1)).over(wk).cast("long").alias("n"),
+    )
+    st = pre.select(
+        "user_id",
+        "n",
+        "k",
+        "ms",
+        F.abs(F.col("n") * F.col("prefix") - F.col("k") * F.col("total")).alias(
+            "stat"
+        ),
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.desc("stat"), "k")
+    return (
+        st.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "n",
+            F.col("k").alias("cp_k"),
+            F.col("ms").cast("long").alias("cp_ts_ms"),
+            F.col("stat").cast("long").alias("cusum_max"),
+        )
+        .orderBy("user_id")
+    )

@@ -338,3 +338,36 @@ def test_mode_exact_matches_counter(spark):
         for r in QUERIES["agg_mode_exact"](spark, SF_DIR).collect()
     }
     assert got == exp
+
+
+def test_cusum_changepoint_matches_bruteforce(spark):
+    """The per-user changepoint must equal a brute-force argmax of
+    |n*prefix_k - k*total| over the independently sorted series, ties to
+    the earliest k."""
+    from collections import defaultdict
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "value"
+    ).collect()
+    series = defaultdict(list)
+    for r in ev:
+        series[r["user_id"]].append(
+            (r["ts"], r["event_id"], int(round(r["value"] * 100)))
+        )
+    exp = {}
+    for u, rows in series.items():
+        rows.sort(key=lambda x: (x[0], x[1]))
+        vals = [v for _, _, v in rows]
+        n, total = len(vals), sum(vals)
+        prefix, best = 0, None
+        for k, v in enumerate(vals, start=1):
+            prefix += v
+            stat = abs(n * prefix - k * total)
+            if best is None or stat > best[0]:
+                best = (stat, k)
+        exp[u] = (n, best[1], best[0])
+    got = {
+        r["user_id"]: (r["n"], r["cp_k"], r["cusum_max"])
+        for r in QUERIES["window_cusum_changepoint"](spark, SF_DIR).collect()
+    }
+    assert got == exp
