@@ -864,7 +864,11 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Weighted seeded shortest paths: bounded-hop Bellman-Ford.
 # --------------------------------------------------------------------------
-SSSP_HOPS = 6
+# 8 rounds: weighted relaxation needs cheapest-path HOP length, not
+# diameter — measured convergence depth 5/5/6 at sf0.001/0.01/0.1 and 7 on
+# the skew-staged ×100 graph (a cheaper long path kept improving distances
+# the 6-round draft missed there; the n_improved_last audit caught it).
+SSSP_HOPS = 8
 SSSP_SEED_MOD = 100  # the PPR/BFS seed set: part nodes, partkey % 100 == 1
 
 
