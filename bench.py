@@ -611,6 +611,29 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # (bucket, lo, hi, key) row per bucket it spans (≤ 2 for the 7-day /
     # ≤ 14-day intervals vs 14-day buckets), filtered to March-1996:
     "join_interval_overlap": (["orders", "lineitem"], 0.1),  # measured 0.051
+    # round-14 registry ops with shuffle claims worth pinning:
+    # mode's exchange is one row per distinct (event_type, cents) after
+    # map-side combine.  Measured 0.663 on THIS corpus where cents are
+    # nearly unique (the agg_weighted_quantiles situation: collapse ~1:1
+    # here, but the domain is capped at ~1e5 (type, cents) keys, so the
+    # same exchange is a vanishing input fraction at 100 TB — the ratio
+    # only shrinks with scale):
+    "agg_mode_exact": (["events"], 1.0),
+    # cusum is ONE user-keyed exchange of (user, ms, v, event_id) rows —
+    # input-sized by necessity (every row participates in its key's
+    # running sum), reading 1.281 because row format loses to parquet
+    # columnar compression; the irreducible keyed-window transport, same
+    # class as window_session:
+    "window_cusum_changepoint": (["events"], 2.0),
+    # sssp: the weighted-edge groupBy(min) build + repartition(src) (two
+    # edge-sized exchanges — PPR's single distinct reads 1.178) plus
+    # 8 relaxation rounds of (node, dist) partial-agg pairs.  Measured
+    # 2.519; the per-round volume is node-bounded, the edge build
+    # input-bounded — both scale linearly, nothing quadratic:
+    "graph_sssp_weighted": (["lineitem"], 3.0),
+    # kcore runs on the l_quantity<=15 ∧ discount=0 subgraph — the
+    # filtered edge build plus shrinking survivor-set rounds:
+    "graph_kcore": (["lineitem"], 0.3),  # measured 0.084
     # round-12b: the exchange carries the distinct (group, cents) partial
     # rows.  On THIS corpus prices are nearly unique so the collapse is
     # ~1:1 and row format vs parquet columnar compression reads 1.13; the
