@@ -1300,9 +1300,12 @@ def exec_frac_panel(spark, queries, timings: dict, top_n: int = 10) -> dict:
             df.collect()
             recollect = time.perf_counter() - t0
             scoped = getattr(df, "_fns_release", None) is not None
+            # release ONLY this query's own handles (r14 ADVICE): a global
+            # clearCache() here evicted SHARED caches still registered in
+            # tables._PLAN_REFS, leaving their refcounts pointing at gone
+            # blocks and forcing recomputation later in the session.
             release_persisted(df)
             del df
-            spark.catalog.clearCache()
             out[name] = {
                 "fresh_sec": round(fresh, 4),
                 "recollect_sec": round(recollect, 4),

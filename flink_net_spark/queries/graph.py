@@ -954,7 +954,8 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2^{SSSP_HOPS} leaf copies otherwise — the connected-components
     lineage discipline) and released with the result handle.  Output is
     the bounded per-(kind, dist-decile) histogram: dist <= {SSSP_HOPS}*50,
-    so <= 2*31 rows at any corpus size."""
+    so dist div 10 spans buckets 0..{SSSP_HOPS}*5 — <= 2*({SSSP_HOPS}*5+1)
+    rows at any corpus size."""
     li = load_table(spark, sf_dir, "lineitem")
     pw = li.groupBy(
         (F.col("l_partkey") * 2).cast("long").alias("a"),

@@ -2244,7 +2244,7 @@ def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (
         SELECT event_type, cents, n,
                ROW_NUMBER() OVER (PARTITION BY event_type
-                                  ORDER BY n DESC, cents) AS rn,
+                                  ORDER BY n DESC, cents NULLS LAST) AS rn,
                CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
                    AS n_distinct
         FROM c
@@ -2283,7 +2283,12 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = ev.groupBy("event_type", "cents").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    w = Window.partitionBy("event_type").orderBy(F.desc("n"), "cents")
+    # cents NULLS LAST pinned on BOTH engines (r14 ADVICE): Spark's plain
+    # asc is NULLS FIRST while DuckDB defaults NULLS LAST, so a NULL value
+    # (none in current datagen — latent) would flip the rn=1 pick.
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.col("cents").asc_nulls_last()
+    )
     wc = Window.partitionBy("event_type")
     return (
         c.withColumn("rn", F.row_number().over(w))

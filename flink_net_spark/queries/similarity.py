@@ -2974,7 +2974,11 @@ def _duck_kcenter_oracle() -> str:
                     for x in embedding] AS vq
             FROM embeddings
         )""",
-        "p0 AS (SELECT CAST(0 AS BIGINT) AS cid, CAST(0 AS BIGINT) AS sel_dist)",
+        # seed-gated (r14 ADVICE): on a corpus without vec_id 0 the Spark
+        # side returns an empty frame, so p0 must be empty too — the gate
+        # cascades (empty p0 -> empty picks/m_i -> empty final join).
+        "p0 AS (SELECT CAST(0 AS BIGINT) AS cid, CAST(0 AS BIGINT) AS sel_dist"
+        " WHERE EXISTS (SELECT 1 FROM e WHERE vec_id = 0))",
         f"""m0 AS MATERIALIZED (
             SELECT a.vec_id, {d} AS mind
             FROM e a CROSS JOIN (SELECT vq FROM e WHERE vec_id = 0) c
