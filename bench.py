@@ -60,7 +60,11 @@ STAGING_VERSION = "v4"  # v4: + hot-label embeddings replicas (range-search skew
 # Stamping both into the sidecar lets tools/bench_compare.py REFUSE stream
 # comparisons across versions instead of misreading a staging change as an
 # engine delta.  Bump these whenever stream_probe staging/protocol changes.
-STREAM_PROBE_VERSION = {"staging": "v2", "protocol": "settle-v1"}
+# r15 protocol bump (settle-v1 -> settle-v2-solo): the probes moved to a
+# fresh solo subprocess BEFORE the panel (VERDICT r14 #1) and carry
+# session-age/GC/commit-frac telemetry — rates are not comparable with the
+# in-shared-session settle-v1 readings, so the gate refuses the cross.
+STREAM_PROBE_VERSION = {"staging": "v2", "protocol": "settle-v2-solo"}
 
 # Headline set: the flagship TPC-H shapes, the windowing/eventing surface,
 # and one representative per LLM-pipeline family.  Queries machine-tagged
@@ -1403,11 +1407,53 @@ def _load_prev_detail() -> tuple[dict, str] | None:
         return None
 
 
+def solo_stream_probes(sf_dir: str) -> dict | None:
+    """Run the baseline-facing stream probes in a FRESH subprocess before
+    anything else touches the box (VERDICT r14 #1).  The r14 adjudication
+    proved the 1M-key decline was aged-JVM state-store commit pressure in
+    the shared session (fresh 2.81M vs late-session 1.29-1.78M rec/s) —
+    a child process with its own JVM removes the confound instead of
+    sampling it.  Returns the probe bundle, or None so the caller can
+    fall back in-session (stamped as such)."""
+    import subprocess
+
+    from tools.stream_probe_solo import MARKER
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    script = os.path.join(root, "tools", "stream_probe_solo.py")
+    try:
+        proc = subprocess.run(
+            [sys.executable, script, sf_dir],
+            capture_output=True, text=True, cwd=root, timeout=2400,
+        )
+    except Exception as ex:
+        log(f"[bench] solo probe subprocess failed to launch: {ex}")
+        return None
+    for line in proc.stderr.splitlines():
+        if line.startswith("[probe]"):
+            log(f"[bench] {line}")
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith(MARKER):
+            try:
+                return json.loads(line[len(MARKER):])
+            except Exception as ex:
+                log(f"[bench] solo probe JSON parse failed: {ex}")
+                return None
+    log(f"[bench] solo probe subprocess rc={proc.returncode}, no marker line"
+        f" (stderr tail: {proc.stderr[-300:]!r})")
+    return None
+
+
 def main() -> int:
     from flink_net_spark.session import get_spark
     from flink_net_spark.tables import load_table
     import __spark_entry__ as entry_mod
     from flink_net_spark.queries import META
+
+    # SOLO-FIRST (r14 verdict #1): the stream probes run before this
+    # process even builds its SparkSession — a fresh JVM with the box to
+    # itself, matching the baseline's own fresh-pipeline measurement.
+    probe_bundle = solo_stream_probes(SF_DIR)
 
     spark = get_spark("flink_net_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -1449,171 +1495,23 @@ def main() -> int:
     # running micro-batch pipeline (file source -> map -> keyed count ->
     # sink).  The reference measures an ALREADY-RUNNING pipeline (topic
     # pre-produced, cluster warm: 1M msgs in 2.763s,
-    # stress_test_passed_output.txt:52-83), so we mirror that: stage 6M
-    # events as 12 files, stream them as ~2M-row micro-batches, and report
-    # the steady-state rate from the engine's own per-batch trigger
-    # timings, excluding batch 0 (query-start + codegen warm-up).
-    # Run TWICE: 1,024 keys (the reference's counter cardinality) and ~1M
-    # keys (state-store stress: every row its own state entry, round-2/3
-    # judge ask).
-    import json as _json
+    # stress_test_passed_output.txt:52-83).  Staging (x60 replication,
+    # ~2M-row micro-batches), partitioning (1k keys @ parts8, 1M keys @
+    # parts16), provider (HDFS-backed), and the settle-seeking protocol
+    # are unchanged since rounds 11-14 — see tools/stream_probe_solo.py,
+    # which also carries the probe-history rationale.  r15 (VERDICT r14
+    # #1): the probes normally ran ABOVE in a fresh subprocess
+    # (solo_stream_probes); this in-session path is the FALLBACK only,
+    # stamped probe_mode=in-session-fallback so a fallback reading is
+    # never mistaken for a solo one.
+    if probe_bundle is None:
+        log("[bench] solo probe subprocess unavailable — in-session fallback")
+        from tools.stream_probe_solo import run_probes
 
-    # ×60 replication → ~2M-row micro-batches (12 files, 4 per trigger).
-    # Round-11 A/B at the 1M-key probe (median-of-4 after 2 warmups,
-    # parts16): 1M-row batches 1.60M rec/s vs 2M-row batches 2.07M — the
-    # per-batch state-store commit is a fixed cost, so bigger batches
-    # amortize it, exactly like sizing micro-batches on a real cluster.
-    # The v2 suffix invalidates the ×30 staging from earlier rounds.
-    stage = os.path.join(
-        tempfile.gettempdir(), f"fns_bench_stream_v2_{os.path.basename(SF_DIR)}"
-    )
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        ev3 = load_table(spark, SF_DIR, "events").withColumn(
-            "rep", F.explode(F.sequence(F.lit(1), F.lit(60)))
-        )
-        ev3.repartition(12).write.mode("overwrite").parquet(stage)
-    schema = spark.read.parquet(stage).schema
-
-    def stream_probe_once(n_keys: int, shuffle_parts: str) -> tuple[int | None, float, dict]:
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", shuffle_parts)
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "4")
-            .parquet(stage)
-            .withColumn("k", F.abs(F.hash("user_id", "event_type", "rep")) % n_keys)
-            .groupBy("k")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
-        )
-        ckpt = tempfile.mkdtemp(prefix="fns_bench_ckpt_")
-        q = (
-            stream.writeStream.format("noop" if n_keys > 10_000 else "memory")
-            .queryName(f"fns_bench_stream_{n_keys}")
-            .outputMode("complete" if n_keys <= 10_000 else "update")
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        t0 = time.perf_counter()
-        q.processAllAvailable()
-        dt = time.perf_counter() - t0
-        progresses = [_json.loads(pr.json) for pr in q.recentProgress]
-        q.stop()
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        batches = [
-            (p["batchId"], p["numInputRows"], p["durationMs"].get("triggerExecution", 0))
-            for p in progresses
-            if p["numInputRows"] > 0
-        ]
-        # state-store accounting from the engine's own progress (round-5
-        # verdict #5: name the variance source) — last batch's stateOperators
-        state: dict = {}
-        for p in reversed(progresses):
-            ops = p.get("stateOperators") or []
-            if ops:
-                state = {
-                    k: ops[0].get(k)
-                    for k in ("numRowsTotal", "numRowsUpdated", "memoryUsedBytes")
-                }
-                break
-        steady = batches[1:] if len(batches) > 1 else batches
-        steady_rows = sum(r for _, r, _ in steady)
-        steady_ms = sum(d for _, _, d in steady)
-        rps = round(steady_rows / steady_ms * 1000) if steady_ms else None
-        shutil.rmtree(ckpt, ignore_errors=True)
-        log(
-            f"[bench] streaming probe ({n_keys} keys): steady-state {steady_rows} "
-            f"events in {steady_ms}ms = {rps} rec/s ({dt:.3f}s drain, state {state})"
-        )
-        return rps, dt, state
-
-    def _settled_window(runs: list[int], width: int = 3) -> tuple[float, list[int]]:
-        """The tightest ``width``-run cluster (by relative span around its
-        median) among ``runs`` — the most REPRODUCIBLE reading, not the
-        best one."""
-        s = sorted(runs)
-        best: tuple[float, list[int]] | None = None
-        for i in range(len(s) - width + 1):
-            win = s[i : i + width]
-            med = win[width // 2]
-            sp = (win[-1] - win[0]) / med if med else float("inf")
-            if best is None or sp < best[0]:
-                best = (sp, win)
-        return best if best is not None else (float("inf"), s)
-
-    def stream_probe(
-        n_keys: int,
-        shuffle_parts: str,
-        reps: int = 3,
-        warmups: int = 1,
-        max_reps: int | None = None,
-        settle_pct: float = 15.0,
-    ) -> dict:
-        """Settle-seeking streaming probe (round-11, VERDICT r10 #2).
-
-        The metric is the baseline's own quantity: the STEADY-STATE rate of
-        an already-running pipeline.  The r9/r10 protocol (fixed
-        warmups + median-of-N) held 10-17% spread in builder sessions but
-        the driver's colder/contended session still read 45-47%: a fixed
-        rep count can't distinguish the settled rate from transient dips
-        (GC, page-cache faults, co-scheduled harness work).  So the probe
-        now runs ``warmups`` discarded runs, then keeps measuring — up to
-        ``max_reps`` (reps+4 by default) — until the TIGHTEST 3-run
-        cluster agrees within ``settle_pct``; it reports that cluster's
-        median and spread as the settled rate.  Every raw run stays in the
-        sidecar (``runs`` / ``spread_all_pct``) so the selection is
-        auditable: the settled window is the most reproducible reading,
-        which for a sustained-throughput metric is the defensible one —
-        transient interference is not the pipeline's rate."""
-        max_reps = max_reps or reps + 4
-        for _ in range(warmups):  # warm: listing+codegen (discarded)
-            stream_probe_once(n_keys, shuffle_parts)
-        runs, states, dt_last = [], [], 0.0
-        while len(runs) < max_reps:
-            rps, dt_last, state = stream_probe_once(n_keys, shuffle_parts)
-            if rps is not None:
-                runs.append(rps)
-                states.append(state)
-            if len(runs) >= reps:
-                sp, _win = _settled_window(runs)
-                if sp * 100 <= settle_pct:
-                    break
-        if not runs:
-            return {"rps": None, "runs": [], "spread": None, "spread_pct": None,
-                    "state": {}, "drain_sec": round(dt_last, 3)}
-        sp, win = _settled_window(runs)
-        med = win[len(win) // 2]
-        all_med = _median(runs)
-        return {
-            "rps": med,
-            "runs": runs,
-            "spread": [win[0], win[-1]],
-            "spread_pct": round(sp * 100, 1),
-            "spread_all_pct": (
-                round((max(runs) - min(runs)) / all_med * 100, 1) if all_med else None
-            ),
-            "settled": sp * 100 <= settle_pct,
-            "state": states[-1] if states else {},
-            "drain_sec": round(dt_last, 3),
-        }
-
-    probe_1k = stream_probe(1024, "8")
-    # 1M-key partitioning re-tuned in round 9 (r8 verdict #8: profile the
-    # 1k-vs-1M gap).  Profiling showed the gap is per-partition state-store
-    # COMMIT overhead, not row throughput: at 32 partitions each 1M-row
-    # batch paid 32 delta-file create+serialize+fsync commits (aggregate
-    # commitTimeMs 7.5-10.7s inside a ~1.05s trigger), pinning the probe at
-    # ~0.96M rec/s.  Measured sweep on this box (median-of-3, warm):
-    # parts64 0.88M / parts32 0.96M / parts24 ~1.4M / parts16 1.43-1.51M /
-    # parts12 1.30M / parts8 1.14M — 16 halves the fixed commit cost while
-    # still overlapping commits across the 32 cores.  Same sizing logic a
-    # real cluster applies: state partitions are a per-commit fixed cost,
-    # so size them to the state volume, not the core count.
-    # State-store provider A/B at parts16 (median-of-3 after discarded
-    # warm, same probe): HDFS-backed 1.60M / RocksDB 0.99M / RocksDB +
-    # changelog checkpointing 1.51M rec/s — with every key updated every
-    # batch the delta IS the store, so RocksDB's LSM write amplification
-    # only adds work; the default HDFS-backed provider stays.
-    probe_1m = stream_probe(1_000_000, "16", reps=5, warmups=2)
+        probe_bundle = run_probes(spark, SF_DIR, log=log)
+        probe_bundle["probe_mode"] = "in-session-fallback"
+    probe_1k = probe_bundle["probe_1k"]
+    probe_1m = probe_bundle["probe_1m"]
     stream_rps, stream_dt = probe_1k["rps"], probe_1k["drain_sec"]
     stream_rps_1m = probe_1m["rps"]
 
@@ -1654,6 +1552,7 @@ def main() -> int:
         "stream_probe_1k": probe_1k,
         "stream_probe_1m": probe_1m,
         "stream_probe_version": STREAM_PROBE_VERSION,
+        "stream_probe_mode": probe_bundle.get("probe_mode"),
         "stream_probe_xsession": xsession_stream_probe(stream_rps, stream_rps_1m),
         "families": families,
         "shuffle_audit": shuf,
