@@ -1161,3 +1161,181 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("kind")
     )
     return release_rdds_with_result(scoped_persist(out, edges), spark, ck_ids)
+
+
+# --------------------------------------------------------------------------
+# Label-propagation community detection (synchronous, color-alternating).
+# --------------------------------------------------------------------------
+LPA_ROUNDS = 4
+LPA_EDGE_FILTER = "l_quantity <= 10 AND l_tax = 0.00"
+
+
+def _duck_lpa_oracle() -> str:
+    """Unrolled LPA rounds.  Each round is TWO color half-steps (parts then
+    suppliers — the bipartite 2-coloring), each half-step the exact
+    min-mode vote the Spark loop runs: per updating node, the neighbor
+    label with the highest count, ties to the LOWER label (the
+    agg_mode_exact tie-break).  Every label frame is referenced by the
+    vote join AND the carry union, so all CTEs are MATERIALIZED."""
+    ctes = [
+        f"""pw AS MATERIALIZED (
+            SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT)     AS a,
+                            CAST(l_suppkey * 2 + 1 AS BIGINT) AS b
+            FROM lineitem WHERE {LPA_EDGE_FILTER}
+        )""",
+        """e AS MATERIALIZED (
+            SELECT a AS s, b AS d FROM pw
+            UNION ALL
+            SELECT b AS s, a AS d FROM pw
+        )""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lbl FROM e)",
+    ]
+    cur = "l0"
+    for i in range(LPA_ROUNDS):
+        for phase, color in (("a", 0), ("b", 1)):
+            nxt = f"l{i}{phase}" if phase == "a" else f"l{i + 1}"
+            ctes.append(
+                f"""u{i}{phase} AS MATERIALIZED (
+                SELECT node, nl AS lbl FROM (
+                    SELECT e.d AS node, l.lbl AS nl,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY e.d
+                               ORDER BY COUNT(*) DESC, l.lbl) AS rn
+                    FROM e JOIN {cur} l ON l.node = e.s
+                    WHERE e.d % 2 = {color}
+                    GROUP BY e.d, l.lbl)
+                WHERE rn = 1
+            )"""
+            )
+            ctes.append(
+                f"""{nxt} AS MATERIALIZED (
+                SELECT node, lbl FROM u{i}{phase}
+                UNION ALL
+                SELECT node, lbl FROM {cur} WHERE node % 2 = {1 - color}
+            )"""
+            )
+            cur = nxt
+    h, p = f"l{LPA_ROUNDS}", f"l{LPA_ROUNDS - 1}"
+    return f"""
+    WITH {','.join(ctes)},
+    chg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_changed_last
+        FROM {h} a JOIN {p} b ON a.node = b.node
+        WHERE a.lbl <> b.lbl
+    ),
+    sizes AS MATERIALIZED (
+        SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz FROM {h} GROUP BY lbl
+    )
+    SELECT CASE WHEN f.node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+           CAST(COUNT(*) AS BIGINT)              AS n_nodes,
+           CAST(COUNT(DISTINCT f.lbl) AS BIGINT) AS n_communities,
+           CAST(SUM(f.lbl // 2) AS BIGINT)       AS sum_label_key,
+           CAST(MAX(s.sz) AS BIGINT)             AS max_comm_size,
+           (SELECT n_changed_last FROM chg)      AS n_changed_last
+    FROM {h} f JOIN sizes s ON s.lbl = f.lbl
+    GROUP BY 1
+    ORDER BY kind
+    """
+
+
+@query("graph_lpa_communities", oracle=_duck_lpa_oracle())
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-PROPAGATION community detection (Raghavan et al. 2007) —
+    the fifth classic graph primitive (r14 verdict #6): every node starts
+    as its own community, then repeatedly adopts its neighbors' MODE
+    label.  Curation pipelines use exactly this for domain clustering —
+    grouping sources/documents into link communities so a sampling mixture
+    can be balanced per community rather than per raw domain.
+
+    Determinism (the LPA literature's known gap — random tie-break and
+    update order): (a) ties go to the LOWEST label among max-count — the
+    agg_mode_exact tie-break, a total order since labels are unique within
+    a node's vote frame; (b) updates are SEMI-synchronous by the bipartite
+    2-coloring (parts then suppliers per round) — synchronous LPA
+    oscillates 2-cycles on bipartite graphs (Raghavan §3), while
+    color-alternating updates converge and are order-independent WITHIN a
+    color (no intra-color edges exist to race).
+
+    Graph: the sparse {LPA_EDGE_FILTER!r} part<->supplier subgraph
+    (measured sf0.01: 737 edges over 615 parts + 99 suppliers).
+    Convergence is MEASURED: ``n_changed_last`` rides every row (the
+    CC/SSSP/k-core audit discipline).
+
+    Scale: each half-step is one src-keyed equi-join of the edge frame
+    with the label frame, a groupBy(node, label) count (map-side combine
+    collapses parallel edges' votes pre-shuffle), and a rank over the
+    per-node DISTINCT-label frame — partitioned by node (high
+    cardinality), bounded by the node's distinct neighbor labels, never
+    raw rows.  Label frames are referenced twice per half-step (vote +
+    carry), so rounds are LOCAL-CHECKPOINTED with tracked ids released on
+    the result handle.  Output is the bounded 2-row per-kind summary whose
+    sum_label_key checksums the full label assignment."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(LPA_EDGE_FILTER)
+    pairs = li.select(
+        (F.col("l_partkey") * 2).cast("long").alias("s"),
+        (F.col("l_suppkey") * 2 + 1).cast("long").alias("d"),
+    ).distinct()
+    edges = (
+        pairs.union(pairs.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .repartition(F.col("s"))
+        .persist()
+    )
+    ck_ids: list[int] = []
+    labels = checkpoint_tracked_lazy(
+        edges.select(F.col("s").alias("node"), F.col("s").alias("lbl")).distinct(),
+        ck_ids,
+    )
+    prev = labels
+    rank = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("nl"))
+    for i in range(LPA_ROUNDS):
+        prev = labels
+        for color in (0, 1):
+            votes = (
+                edges.filter(F.col("d") % 2 == color)
+                .join(
+                    labels.select(
+                        F.col("node").alias("s"), F.col("lbl").alias("nl")
+                    ),
+                    "s",
+                )
+                .groupBy(F.col("d").alias("node"), "nl")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            upd = (
+                votes.withColumn("rn", F.row_number().over(rank))
+                .filter(F.col("rn") == 1)
+                .select("node", F.col("nl").alias("lbl"))
+            )
+            labels = checkpoint_tracked_lazy(
+                upd.union(labels.filter(F.col("node") % 2 == 1 - color)), ck_ids
+            )
+    chg = (
+        labels.select("node", "lbl")
+        .join(prev.select("node", F.col("lbl").alias("pl")), "node")
+        .filter(F.col("lbl") != F.col("pl"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_changed_last"))
+    )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    out = (
+        labels.join(sizes, "lbl")
+        .groupBy(
+            F.when(F.col("node") % 2 == 0, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.countDistinct("lbl").cast("long").alias("n_communities"),
+            F.sum(F.expr("lbl div 2")).cast("long").alias("sum_label_key"),
+            F.max("sz").cast("long").alias("max_comm_size"),
+        )
+        .crossJoin(F.broadcast(chg))
+        .select(
+            "kind", "n_nodes", "n_communities", "sum_label_key",
+            "max_comm_size", "n_changed_last",
+        )
+        .orderBy("kind")
+    )
+    return release_rdds_with_result(scoped_persist(out, edges), spark, ck_ids)

@@ -37,8 +37,22 @@ from flink_net_spark.streaming import session, tumbling, with_bounded_out_of_ord
 HOUR_MS = 3_600_000
 
 
-def _stage_dir(sf_dir: str, name: str) -> str:
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{name}".encode()).hexdigest()[:12]
+def _stage_dir(sf_dir: str, name: str, src: str = "events") -> str:
+    """Per-(corpus, stream) staging path.  The key includes the SOURCE
+    parquet's size+mtime fingerprint (round 15): staging is
+    marker-cached, and a corpus regenerated IN PLACE (the edge fixture
+    lives at a fixed /tmp path) used to replay the stale staged bytes —
+    16 stream queries diverged on the first ns-events edge replay purely
+    from that.  A source change now keys a fresh staging directory."""
+    fp = ""
+    try:
+        st = os.stat(os.path.join(sf_dir, f"{src}.parquet"))
+        fp = f":{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        pass
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{name}{fp}".encode()
+    ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"fns_stage_{key}")
 
 

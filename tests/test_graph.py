@@ -316,3 +316,64 @@ def test_kcore_matches_independent_peeling(spark):
     }
     assert got == exp
     assert all(r["n_removed_last"] == 0 for r in rows), "peeling not converged"
+
+
+def test_lpa_matches_independent_propagation(spark):
+    """graph_lpa_communities must equal an independent Python
+    color-alternating LPA run to FULL fixpoint at sf0.001 (no round bound
+    — so agreement plus a zero n_changed_last audit proves LPA_ROUNDS
+    suffices), including the label-sum checksum and community sizes."""
+    from collections import Counter, defaultdict
+
+    from flink_net_spark.queries.graph import LPA_EDGE_FILTER
+    from flink_net_spark.tables import load_table, release_persisted
+
+    sf = "/root/testdata/sf0.001"
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(LPA_EDGE_FILTER)
+        .select("l_partkey", "l_suppkey")
+        .collect()
+    )
+    adj = defaultdict(set)
+    for r in li:
+        a, b = int(r["l_partkey"]) * 2, int(r["l_suppkey"]) * 2 + 1
+        adj[a].add(b)
+        adj[b].add(a)
+    lbl = {n: n for n in adj}
+    while True:
+        changed = False
+        for color in (0, 1):
+            votes = {
+                v: Counter(lbl[m] for m in adj[v])
+                for v in adj
+                if v % 2 == color
+            }
+            for v, c in votes.items():
+                mx = max(c.values())
+                new = min(l for l, n in c.items() if n == mx)
+                if new != lbl[v]:
+                    lbl[v] = new
+                    changed = True
+        if not changed:
+            break
+    sizes = Counter(lbl.values())
+    exp: dict = {}
+    for n, l in lbl.items():
+        k = "part" if n % 2 == 0 else "supplier"
+        c, labs, sk, mx = exp.get(k, (0, set(), 0, 0))
+        exp[k] = (c + 1, labs | {l}, sk + l // 2, max(mx, sizes[l]))
+    exp = {k: (c, len(labs), sk, mx) for k, (c, labs, sk, mx) in exp.items()}
+
+    df = QUERIES["graph_lpa_communities"](spark, sf)
+    rows = df.collect()
+    release_persisted(df)
+    got = {
+        r["kind"]: (
+            r["n_nodes"], r["n_communities"], r["sum_label_key"],
+            r["max_comm_size"],
+        )
+        for r in rows
+    }
+    assert got == exp
+    assert all(r["n_changed_last"] == 0 for r in rows), "LPA not converged"

@@ -46,14 +46,71 @@ COPY_VERBATIM = [
     "part",
     "orders",
     "lineitem",
-    "events",
 ]
+
+
+def _write_ns_events() -> None:
+    """events at TIMESTAMP(NANOS) precision + sub-µs collision pairs
+    (round-15, VERDICT r14 #4): up-convert the sf0.001 events to ns and
+    append NEW users whose events collide inside single microseconds with
+    the ns part OPPOSED to the µs-level ordering — the exact pattern
+    tests/test_analytics_ops.py::_ns_collision_events_dir proved flips
+    asof match, count-window chunk sums, funnel conversion, and SCD2
+    version order under raw-ns ordering.  Replaying the full registry on
+    this corpus driver-gates EVERY ts-ordering oracle against the hazard:
+    Spark reads through load_table's nanosAsLong -> `div 1000` branch and
+    every oracle µs-truncates (CAST(ts AS TIMESTAMP)), so both engines
+    hold the µs view regardless of whether DuckDB reads NANOS truncated
+    (1.0.0) or native TIMESTAMP_NS (≥1.1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(SRC / "events.parquet")
+    d = src.to_pydict()
+    eid0 = max(d["event_id"]) + 1
+    uid0 = max(d["user_id"]) + 1
+    ns = [int(t.value) * 1000 for t in src["ts"]]  # µs -> epoch-ns
+    base = ((max(ns) // 10**9) + 3600) * 10**9  # 1h past the corpus
+    us = lambda k: base + k * 1000
+    collide = [
+        # (event_id, ts_ns, user_id, event_type, value) — see the unit
+        # fixture for why each pair discriminates raw-ns ordering.
+        (eid0 + 0, us(0) + 100, uid0 + 0, "view", 1.0),
+        (eid0 + 1, us(0) + 900, uid0 + 0, "click", 1.0),
+        (eid0 + 2, us(1), uid0 + 1, "click", 1.0),
+        (eid0 + 3, us(2), uid0 + 1, "click", 2.0),
+        (eid0 + 4, us(3), uid0 + 1, "click", 4.0),
+        (eid0 + 5, us(4), uid0 + 1, "click", 8.0),
+        (eid0 + 6, us(5) + 900, uid0 + 1, "click", 16.0),
+        (eid0 + 7, us(5) + 100, uid0 + 1, "click", 32.0),
+        (eid0 + 8, us(10) + 800, uid0 + 2, "signup", 1.0),
+        (eid0 + 9, us(10) + 200, uid0 + 2, "purchase", 1.0),
+        (eid0 + 10, us(20) + 900, uid0 + 3, "error", 1.0),
+        (eid0 + 11, us(20) + 100, uid0 + 3, "view", 1.0),
+        (eid0 + 12, us(30), uid0 + 3, "purchase", 1.0),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(d["event_id"] + [r[0] for r in collide], pa.int64()),
+            "ts": pa.array(ns + [r[1] for r in collide], pa.timestamp("ns")),
+            "user_id": pa.array(d["user_id"] + [r[2] for r in collide], pa.int64()),
+            "event_type": pa.array(
+                d["event_type"] + [r[3] for r in collide], pa.string()
+            ),
+            "value": pa.array(d["value"] + [r[4] for r in collide], pa.float64()),
+            "props": pa.array(d["props"] + ["{}"] * len(collide), pa.string()),
+        }
+    )
+    pq.write_table(t, OUT / "events.parquet", store_schema=False)
+    print(f"events: {src.num_rows} rows -> ns precision, +{len(collide)} sub-µs"
+          f" collision rows (users {uid0}..{uid0 + 3})")
 
 
 def main() -> None:
     OUT.mkdir(parents=True, exist_ok=True)
     for t in COPY_VERBATIM:
         shutil.copyfile(SRC / f"{t}.parquet", OUT / f"{t}.parquet")
+    _write_ns_events()
 
     con = duckdb.connect()
     docs = con.execute(f"SELECT * FROM read_parquet('{SRC}/documents.parquet')").df()
