@@ -1130,3 +1130,154 @@ def stream_tiered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_stream(tier2, mode="append").orderBy("window_start_ms", "event_type")
+
+
+def _lazy_inc_minhash_oracle() -> str:
+    """The batch dedup_incremental_minhash oracle VERBATIM — the stream op's
+    contract is 'same answer through real micro-batches' (r14 verdict #7),
+    so the oracle is literally the batch result's SQL."""
+    from flink_net_spark.queries import ORACLES
+
+    return ORACLES["dedup_incremental_minhash"]
+
+
+@query("stream_incremental_minhash", oracle=_lazy_inc_minhash_oracle())
+def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH ingest dedup AS A LIVE STREAM (r14 verdict
+    #7 — the batch ``dedup_incremental_minhash`` semantics replayed
+    through real micro-batches): banded signature rows arrive as a file
+    stream — existing-corpus rows tagged ``old``, incoming-batch rows
+    (doc_id % 10 = 0) tagged ``new`` — and an ``applyInPandasWithState``
+    operator keyed on (band, band_key) CARRIES THE BAND INDEX as keyed
+    state, emitting a candidate pair the moment a new doc meets an old
+    doc in the same bucket.
+
+    Order-insensitivity (the property that makes this a real streaming
+    design, not a batch replay): state holds BOTH sides' arrivals per
+    bucket, and each batch emits new×(old_state ∪ old_batch) plus
+    new_state×old_batch — the full new↔old bipartite product accumulates
+    identically under ANY micro-batch slicing, so the drain equals the
+    batch banded join bit-for-bit.  Candidates then take the same exact
+    shingle-Jaccard verify (max Jaccard, tie → lowest existing doc_id)
+    as the batch op; the oracle is the batch oracle VERBATIM.
+
+    Scale: streaming state per (band, band_key) is one LSH bucket — the
+    banding bounds bucket population exactly as in dedup_minhash_lsh
+    (hot-bucket discipline); the shuffle carries (doc_id, band_key)
+    pairs, never text or signatures, and the exact verify touches only
+    candidate pairs."""
+    from flink_net_spark.queries.dedup import (
+        _INC_MOD,
+        _spark_shingle_hash_df,
+        H,
+        JACCARD_VERIFY_THRESHOLD,
+        LSH_BANDS,
+        MINHASH_K,
+    )
+    from flink_net_spark.streaming.stateful import map_groups_with_state
+    from flink_net_spark.tables import load_table, scoped_persist
+
+    sh = _spark_shingle_hash_df(spark, sf_dir).persist()
+
+    # v2: NULL band keys filtered at staging — bump invalidates v1 stages
+    stage = _stage_dir(sf_dir, "minhash_bands_v2", src="documents")
+    marker = os.path.join(stage, "_staged")
+    if not os.path.exists(marker):
+        sig = sh.withColumn("sig", F.expr(H.spark_minhash_sig("sh", MINHASH_K)))
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {LSH_BANDS - 1}), "
+                    f"b -> struct(b AS b, sig[2*b] * {H.MOD}L + sig[2*b+1]"
+                    " AS band_key))"
+                )
+            ).alias("bk"),
+        ).select(
+            "doc_id",
+            F.col("bk.b").alias("b"),
+            F.col("bk.band_key").alias("band_key"),
+            F.when(F.col("doc_id") % _INC_MOD == 0, F.lit("new"))
+            .otherwise(F.lit("old"))
+            .alias("role"),
+        )
+        # empty-shingle docs carry NULL band keys: the batch op's banded
+        # EQUI-JOIN drops them (NULL never equals NULL), but groupBy-keyed
+        # state would bucket them TOGETHER and emit zero-union pairs —
+        # filter to mirror the join semantics exactly.
+        bands = bands.filter(F.col("band_key").isNotNull())
+        bands.repartition(8).write.mode("overwrite").parquet(stage)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(stage)
+    )
+
+    def fn(ctx, pdfs):
+        import pandas as pd
+
+        olds = ctx.value("olds", [])
+        news = ctx.value("news", [])
+        b_olds: list[int] = []
+        b_news: list[int] = []
+        for pdf in pdfs:
+            for did, role in zip(pdf["doc_id"], pdf["role"]):
+                (b_news if role == "new" else b_olds).append(int(did))
+        pairs = [(n, o) for n in b_news for o in olds + b_olds]
+        pairs += [(n, o) for n in news for o in b_olds]
+        ctx.update("olds", olds + b_olds)
+        ctx.update("news", news + b_news)
+        if pairs:
+            yield pd.DataFrame(
+                {"new_id": [p[0] for p in pairs], "old_id": [p[1] for p in pairs]}
+            )
+
+    emitted = _run_stream(
+        map_groups_with_state(
+            stream, ["b", "band_key"], fn,
+            "new_id BIGINT, old_id BIGINT", output_mode="append",
+        ),
+        mode="append",
+    )
+    cand = emitted.select("new_id", "old_id").distinct()
+
+    x = sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n"))
+    y = sh.select(F.col("doc_id").alias("old_id"), F.col("sh").alias("sh_o"))
+    inter = F.size(F.array_intersect("sh_n", "sh_o"))
+    union = F.size("sh_n") + F.size("sh_o") - inter
+    ver = (
+        cand.join(x, "new_id")
+        .join(y, "old_id")
+        .select("new_id", "old_id", (inter * F.lit(1.0) / union).alias("jaccard"))
+    )
+    from pyspark.sql.window import Window as _W
+
+    wc = _W.partitionBy("new_id")
+    wr = _W.partitionBy("new_id").orderBy(F.col("jaccard").desc(), F.col("old_id"))
+    best = (
+        ver.withColumn("n_candidates", F.count(F.lit(1)).over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+    )
+    incoming = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _INC_MOD == 0)
+        .select("doc_id")
+    )
+    return scoped_persist(
+        incoming.join(best, incoming.doc_id == best.new_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("old_id", F.lit(-1)).cast("long").alias("best_match_id"),
+            F.round(F.coalesce("jaccard", F.lit(0.0)), 4).alias("best_jaccard"),
+            F.coalesce(
+                F.col("jaccard") >= JACCARD_VERIFY_THRESHOLD, F.lit(False)
+            ).alias("is_dup"),
+        )
+        .orderBy("doc_id"),
+        sh,
+    )

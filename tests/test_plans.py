@@ -149,6 +149,10 @@ NESTED_LOOP_ALLOWED = {
     # a count×count product); each peel round is a pair of hash
     # equi-joins of edges against the survivor set.
     "graph_kcore",
+    # graph_lpa_communities — crossJoin against the 1-row n_changed_last
+    # convergence audit; each half-step is an edges⋈labels hash equi-join
+    # plus a per-node rank over the distinct-label vote frame.
+    "graph_lpa_communities",
     # sample_coreset_kcenter — the K-row literal pick list crosses the
     # 1-row coverage-radius aggregate; every corpus pass is a scan with
     # the ≤K-center literal array folded into the projection.
