@@ -1296,10 +1296,19 @@ def exec_frac_panel(spark, queries, timings: dict, top_n: int = 10) -> dict:
         if fn is None:
             continue
         try:
+            # r15: BUILD (query-fn body — eager analysis + any checkpoint
+            # planning) timed apart from the first collect.  The r14
+            # verdict read low exec_frac as "analysis-dominated", but for
+            # scoped queries the re-collect replays caches, so fresh-heavy
+            # rows can be EXECUTION-dominated (measured: triangle_count
+            # build 0.7s / first-collect 5.3s, CC build 3.9s / 0.4s) —
+            # build_sec makes the split explicit instead of inferred.
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
+            build = time.perf_counter() - t0
+            t0 = time.perf_counter()
             df.collect()
-            fresh = time.perf_counter() - t0
+            fresh = build + (time.perf_counter() - t0)
             t0 = time.perf_counter()
             df.collect()
             recollect = time.perf_counter() - t0
@@ -1311,9 +1320,11 @@ def exec_frac_panel(spark, queries, timings: dict, top_n: int = 10) -> dict:
             release_persisted(df)
             del df
             out[name] = {
+                "build_sec": round(build, 4),
                 "fresh_sec": round(fresh, 4),
                 "recollect_sec": round(recollect, 4),
                 "exec_frac": round(recollect / fresh, 3) if fresh else None,
+                "build_frac": round(build / fresh, 3) if fresh else None,
                 "scoped": scoped,
             }
         except Exception as ex:  # pragma: no cover - panel is best-effort

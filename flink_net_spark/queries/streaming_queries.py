@@ -1099,9 +1099,14 @@ def stream_tiered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _stage_dir(sf_dir, "events_ordered")
     _stage_ordered_stream(spark, sf_dir, stage)
     schema = spark.read.parquet(stage).schema
+    # 2 files/trigger (r15, VERDICT r14 #5): the emitted set is slicing-
+    # independent (watermark cutoff = global max_ts - 1h; tier-1 windows
+    # finalize once regardless of batch boundaries), so 2 ordered batches
+    # keep the cross-batch-state property at half the fixed per-trigger
+    # cost of the old 1-file batches (~0.6s each on this box).
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "2")
         .parquet(stage)
     )
     tier1 = (
