@@ -2302,3 +2302,116 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    d AS (
+        SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM c GROUP BY event_type, cents
+    ),
+    cum AS (
+        SELECT event_type, cents, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM d
+    ),
+    b AS (
+        SELECT event_type, MAX(n) AS n,
+               MIN(CASE WHEN cum >= (5 * n + 99) // 100 THEN cents END)  AS p05,
+               MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN cents END) AS p95
+        FROM cum GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(b.n AS BIGINT) AS n_rows,
+           b.p05 AS p05_cents,
+           b.p95 AS p95_cents,
+           CAST(SUM(LEAST(GREATEST(d.cents, b.p05), b.p95) * d.cnt) AS BIGINT)
+               AS wins_sum_cents,
+           CAST(SUM(CASE WHEN d.cents < b.p05 THEN d.cnt ELSE 0 END) AS BIGINT)
+               AS n_clamped_low,
+           CAST(SUM(CASE WHEN d.cents > b.p95 THEN d.cnt ELSE 0 END) AS BIGINT)
+               AS n_clamped_high
+    FROM d JOIN b USING (event_type)
+    GROUP BY d.event_type, b.n, b.p05, b.p95
+    ORDER BY event_type
+    """,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED per-group statistics — values clamped to the exact
+    nearest-rank [p05, p95] before summing, plus the clamp counts: the
+    robust-mean companion to agg_percentiles that quality/curation
+    pipelines use to keep a few extreme documents from dragging a
+    per-source average (Dixon 1960; the standard robust-statistics
+    treatment of heavy tails).
+
+    Exactness: integer cents throughout; the percentile is the
+    NEAREST-RANK value (rank = ceil(p*n) spelled as the positive integer
+    ceiling ``(p*n + 99) div 100`` — identical truncating division on
+    both engines), never an interpolation, so no float can disagree.
+
+    Scale (the agg_mode_exact discipline): raw rows collapse FIRST to one
+    row per distinct (event_type, cents) via a map-side-combined groupBy
+    — the only corpus-sized exchange carries the distinct-value frame,
+    bounded by the ~10^4-cents x 5-types domain; the cumulative-count
+    window, the rank lookup, the 5-row broadcast join back, and the
+    clamped weighted sum all run over that bounded frame.  No raw-row
+    window, no single-reducer sort."""
+    from pyspark.sql.window import Window
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wcum = Window.partitionBy("event_type").orderBy("cents")
+    wall = Window.partitionBy("event_type")
+    cum = d.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    b = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.expr("cum >= (5 * n + 99) div 100"), F.col("cents"))
+        ).alias("p05"),
+        F.min(
+            F.when(F.expr("cum >= (95 * n + 99) div 100"), F.col("cents"))
+        ).alias("p95"),
+    )
+    return (
+        d.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "n", "p05", "p95")
+        .agg(
+            F.sum(
+                F.least(F.greatest(F.col("cents"), F.col("p05")), F.col("p95"))
+                * F.col("cnt")
+            )
+            .cast("long")
+            .alias("wins_sum_cents"),
+            F.sum(F.when(F.col("cents") < F.col("p05"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_low"),
+            F.sum(F.when(F.col("cents") > F.col("p95"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_high"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("p05").alias("p05_cents"),
+            F.col("p95").alias("p95_cents"),
+            "wins_sum_cents",
+            "n_clamped_low",
+            "n_clamped_high",
+        )
+        .orderBy("event_type")
+    )

@@ -667,3 +667,77 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# -- as-of join with a match tolerance (round-15) ---------------------------
+ASOF_TOLERANCE_MS = 1_800_000  # 30 min lookback cap
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    -- CAST(ts AS TIMESTAMP) truncates DuckDB's ns to the same µs Spark
+    -- sees (the round-14 ordering discipline).  Tolerance composes with
+    -- plain ASOF: the most recent click is the closest one, so if IT
+    -- falls outside the window no earlier click can fall inside —
+    -- asof-then-filter IS most-recent-within-tolerance.
+    SELECT v.event_id, v.user_id,
+           CAST(epoch_ms(v.ts) AS BIGINT) AS ts_ms,
+           CASE WHEN epoch_ms(v.ts) - epoch_ms(c.ts) <= {ASOF_TOLERANCE_MS}
+                THEN CAST(epoch_ms(c.ts) AS BIGINT) END AS asof_click_ms,
+           CASE WHEN epoch_ms(v.ts) - epoch_ms(c.ts) <= {ASOF_TOLERANCE_MS}
+                THEN CAST(epoch_ms(v.ts) - epoch_ms(c.ts) AS BIGINT) END
+               AS lag_ms
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id AND v.ts >= c.ts
+    ORDER BY v.event_id
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH A LOOKBACK TOLERANCE (pandas ``merge_asof(...,
+    tolerance=...)``, kdb ``wj``, QuestDB ``ASOF JOIN ... TOLERANCE`` —
+    the attribution-window shape: a click only explains a view within 30
+    minutes): every 'view' picks the most recent same-user 'click'
+    at-or-before it, but the match is kept ONLY if it lies within
+    {ASOF_TOLERANCE_MS} ms; stale matches report NULL, and the matched
+    lag rides the row.
+
+    Tolerance composes with the stacked-frame as-of (join_asof): the
+    running ``last(click_ts, ignorenulls)`` is the NEAREST preceding
+    click, so one post-predicate implements the window — no second join,
+    no range join.  Cost is IDENTICAL to join_asof: one user_id shuffle +
+    one within-partition sort, the same plan at any scale."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    is_right = F.col("event_type") == "click"
+    stacked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(is_right, F.col("ts")).alias("rts"),
+        F.when(is_right, 0).otherwise(1).alias("side"),  # right first on tie
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lag = F.unix_millis("ts") - F.unix_millis("asof_ts")
+    in_tol = lag <= ASOF_TOLERANCE_MS
+    return (
+        stacked.withColumn("asof_ts", F.last("rts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "view")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            F.when(in_tol, F.unix_millis("asof_ts")).alias("asof_click_ms"),
+            F.when(in_tol, lag).alias("lag_ms"),
+        )
+        .orderBy("event_id")
+    )

@@ -896,3 +896,89 @@ def window_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact truncated EWMA per key (round-15).
+# --------------------------------------------------------------------------
+EWMA_LAGS = 8  # truncation depth; alpha = 1/2 => weight 2^(LAGS-1-i) for lag i
+
+
+def _ewma_lag_sql(w: str) -> str:
+    return " + ".join(
+        f"COALESCE(LAG(v, {i}) OVER {w}, 0) * {1 << (EWMA_LAGS - 1 - i)}"
+        for i in range(EWMA_LAGS)
+    )
+
+
+@query(
+    "window_ewma_halflife",
+    oracle=f"""
+    WITH ev AS (
+        -- µs-truncated ts (the round-14 ordering discipline)
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+        FROM events
+    ),
+    ew AS (
+        SELECT event_type,
+               {_ewma_lag_sql("w")} AS ewma_scaled
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)          AS n_rows,
+           CAST(SUM(ewma_scaled) AS BIGINT)  AS sum_ewma_scaled,
+           CAST(MIN(ewma_scaled) AS BIGINT)  AS min_ewma_scaled,
+           CAST(MAX(ewma_scaled) AS BIGINT)  AS max_ewma_scaled
+    FROM ew
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def window_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT exponentially-weighted moving average per key, α = 1/2
+    (one-step half-life), TRUNCATED at {EWMA_LAGS} lags — the smoothing
+    primitive telemetry/monitoring pipelines pair with the rolling median
+    and the 3σ outlier test (pandas ``ewm(halflife=1)``, Prometheus-style
+    smoothing), made engine-exact the fixed-point way: α = 1/2 makes lag
+    i's weight the INTEGER 2^({EWMA_LAGS}-1-i), so the smoothed value is
+    a pure BIGINT dot product — no float recurrence, no summation-order
+    hazard, identical on any parallelism.  The value is deliberately
+    emitted SCALED by the 2^{EWMA_LAGS}-1 weight mass (never divided):
+    division is the consumer's choice, exactness is the engine's job.
+    Truncation error vs the infinite recurrence is < 1 part in
+    2^{EWMA_LAGS} of the weight mass — below the cents quantum for this
+    corpus — and the truncation is part of the operator contract, not a
+    silent cap.
+
+    Scale: ONE user-keyed shuffle + one in-partition sort shared by all
+    {EWMA_LAGS} LAG frames (Catalyst collapses same-spec window
+    functions into one Window op); per-row state is the O(lags) ring the
+    window executor keeps, constant in corpus size.  Output is the
+    bounded per-class rollup (count + checksum + extrema), so any wrong
+    smoothed value anywhere moves a sum."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ewma = sum(
+        F.coalesce(F.lag("v", i).over(w), F.lit(0))
+        * F.lit(1 << (EWMA_LAGS - 1 - i))
+        for i in range(EWMA_LAGS)
+    )
+    return (
+        ev.withColumn("ewma_scaled", ewma)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("ewma_scaled").cast("long").alias("sum_ewma_scaled"),
+            F.min("ewma_scaled").cast("long").alias("min_ewma_scaled"),
+            F.max("ewma_scaled").cast("long").alias("max_ewma_scaled"),
+        )
+        .orderBy("event_type")
+    )
