@@ -136,9 +136,7 @@ HEADLINE = [
     "text_hashed_bow",
     "agg_corr_covar_exact",
     "agg_skew_kurt_exact",
-    "window_first_last_nth",
     "window_range_frame_trailing",
-    "stream_window_sliding",
     "sim_semdedup",
     # text_bigram_nll rotated OUT in r13 (panel policy: its n-gram count-
     # table shape stays covered by text_kn_bigram_nll + trigram_backoff)
@@ -175,7 +173,6 @@ HEADLINE = [
     "mm_phash_stats",
     "dedup_containment",
     "dedup_containment_prefix",
-    "graph_pagerank",
     "graph_triangle_count",
     "text_bpe_pairs",
     "emb_jl_project",
@@ -196,7 +193,6 @@ HEADLINE = [
     "dedup_rate_curve",
     "sample_ab_assignment",
     "agg_regression_trend",
-    "agg_gini_binned",
     "window_cohort_retention",
     "join_null_safe",
     # round-13 rotation (one out, one in — see size policy above)
@@ -210,6 +206,26 @@ HEADLINE = [
     # perf-watch query — its salted two-phase fix needs panel eyes).
     "graph_sssp_weighted",
     "sim_maxsim_late_interaction",
+    # round-15 rotation (four in, four out — see size policy above):
+    # graph_lpa_communities replaces graph_pagerank (the iterative
+    # edge⋈label join shape stays covered by connected_components +
+    # sssp_weighted; LPA adds the per-node vote-rank shape),
+    # stream_incremental_minhash replaces stream_window_sliding (the
+    # sliding agg is covered by stream_window_tumbling_hourly + the batch
+    # window_sliding; the band-index-as-keyed-state op is the new shape
+    # needing panel eyes), agg_winsorized_stats replaces agg_gini_binned
+    # (value-domain rollup covered by agg_weighted_quantiles + mode;
+    # winsorized adds the cumulative-rank lookup + clamp), and
+    # window_ewma_halflife replaces window_first_last_nth (keyed
+    # first/lag frames covered by window_ntile_lead_cume +
+    # range_frame_trailing; EWMA adds the multi-LAG dot product).
+    # graph_common_neighbors / join_asof_tolerance stay registry+@mf-only:
+    # their plan shapes ARE triangle_count's basket expansion resp.
+    # join_asof's stacked frame.
+    "graph_lpa_communities",
+    "stream_incremental_minhash",
+    "agg_winsorized_stats",
+    "window_ewma_halflife",
 ]
 
 # Per-family rollup for the compact stdout line (order = first match wins).
@@ -333,6 +349,15 @@ SCALE_SMOKE = [
     "graph_sssp_weighted",
     "graph_kcore",
     "sim_maxsim_late_interaction",
+    # round-15: LPA rounds are fixed, so ×10 edges must scale each
+    # half-step's vote join linearly and n_changed_last must stay 0 on
+    # the denser graph; common-neighbors' capped pair expansion is the
+    # triangle-class scale question (CN_FANOUT_CAP must hold the
+    # quadratic term as suppliers-per-part grows with density);
+    # winsorized stats must stay bounded by the distinct-cents domain:
+    "graph_lpa_communities",
+    "graph_common_neighbors",
+    "agg_winsorized_stats",
 ]
 
 # One more decade for the five most expensive shapes (opt-in:
@@ -644,6 +669,32 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # domain is capped at ~6·10^7 cells, so at 100 TB the same exchange is
     # a vanishing fraction of input — the ratio only shrinks with scale:
     "agg_weighted_quantiles": (["lineitem"], 1.7),  # measured 1.131
+    # round-15 registry ops with shuffle claims worth pinning:
+    # lpa runs on the sparse l_quantity<=10 ∧ tax=0 subgraph: the filtered
+    # edge build plus 8 color half-steps of (node, lbl) BIGINT pairs and
+    # vote-frame ranks — measured 0.091:
+    "graph_lpa_communities": (["lineitem"], 0.2),
+    # common-neighbors pays the full fact table's edge-list build (the PPR
+    # 1.178 class: distinct over (part, supp) is input-sized and
+    # irreducible) THREE row-format ways — distinct, per-part gather,
+    # per-supplier degree — plus the capped pair expansion's count
+    # exchange.  Measured 3.336; the fused groupBy(p).collect_set(s)
+    # alternative measured 6.09 (scattered near-singleton partial sets
+    # inflate the exchange ~3x over distinct's flat rows), so
+    # distinct-then-gather is the cheaper shape.  Everything is linear in
+    # edges; the quadratic expansion is capped at CN_FANOUT_CAP:
+    "graph_common_neighbors": (["lineitem"], 4.0),  # measured 3.336
+    # winsorized stats: one distinct-(event_type, cents) partial-agg
+    # exchange (the agg_mode_exact class — domain-bounded, ~1:1 collapse
+    # on THIS corpus' near-unique cents, vanishing fraction at 100 TB):
+    "agg_winsorized_stats": (["events"], 1.0),  # measured 0.663
+    # ewma: ONE user-keyed exchange of (user, ts, type, v, event_id) rows
+    # — the irreducible keyed-window transport (window_cusum class), row
+    # format vs parquet columnar compression reads just over input:
+    "window_ewma_halflife": (["events"], 1.6),  # measured 1.037
+    # tolerance as-of: the join_asof stacked-frame shape — one user-keyed
+    # exchange of the filtered view/click rows + presentation sort:
+    "join_asof_tolerance": (["events"], 1.0),  # measured 0.574
 }
 
 

@@ -1403,6 +1403,11 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs pre-shuffle, two broadcast-size degree joins, and a
     TakeOrderedAndProject top-k (per-partition partial top-{CN_TOPK},
     driver merges task heads — never a global sort)."""
+    # Edge-list build: DISTINCT first, then gather.  (The fused
+    # groupBy(p).collect_set(s) over raw lineitem was measured at 6.09x
+    # input on the @mf layout vs 3.34x for distinct-then-gather: scattered
+    # near-singleton partial sets inflate the exchange ~3x over distinct's
+    # flat rows, so the "one less exchange" shape ships MORE bytes.)
     ps = (
         load_table(spark, sf_dir, "lineitem")
         .select(
@@ -1427,9 +1432,11 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = ps.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     da = deg.select(F.col("s").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("s").alias("b"), F.col("deg").alias("db"))
+    # no broadcast hint on the degree joins: deg scales with the supplier
+    # population, so the broadcast decision belongs to AQE's size stats
     out = (
-        cn.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
+        cn.join(da, "a")
+        .join(db, "b")
         .select(
             F.col("a").alias("supp_a"),
             F.col("b").alias("supp_b"),

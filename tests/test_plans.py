@@ -336,8 +336,10 @@ def test_no_sf_scaled_broadcast_hints():
                 # schema-fixed 5-row event-type dim (agg_ks_drift)
                 # exa / cells = the 1-row exact-quantile and sketch-size
                 # aggregates (agg_quantile_sketch_merge)
+                # b = the 5-row per-event-type nearest-rank percentile
+                # bounds frame (agg_winsorized_stats) — type-domain-bounded
                 "relational.py": {"n", "r", "tot", "merged", "types", "exa",
-                                  "cells"},
+                                  "cells", "b"},
                 # b = the 1-row global (h0, h1) hour-bounds scalar that
                 # frames the time grid (window_gap_fill_locf)
                 "windows.py": {"b"},
