@@ -3097,3 +3097,163 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sel_round", "center_id", "sel_dist", "coverage_radius", "n_vecs")
         .orderBy("sel_round")
     )
+
+
+# --------------------------------------------------------------------------
+# Binary sign-sketch ANN: Hamming prefilter + exact rerank (round-15).
+# --------------------------------------------------------------------------
+_BH_SALT = 16       # per-query salt fan-out for the two-phase hamming prune
+_BH_CAND = 8        # survivors kept per (query, salt) cell
+
+
+def _duck_binary_hamming_oracle() -> str:
+    w0 = ("list_sum(list_transform(range(1, 33), "
+          "i -> CASE WHEN v[i] > 0 THEN 1 << (i - 1) ELSE 0 END))")
+    w1 = ("list_sum(list_transform(range(33, 65), "
+          "i -> CASE WHEN v[i] > 0 THEN 1 << (i - 33) ELSE 0 END))")
+    dot = f"list_sum([q.v[i] * n.v[i] for i in range(1, {DIM + 1})])"
+    return f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              for x in embedding])) AS nrm
+        FROM embeddings
+        WHERE list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        for x in embedding]) > 0
+    ),
+    b AS MATERIALIZED (
+        SELECT vec_id, v, nrm,
+               CAST({w0} AS BIGINT) AS w0,
+               CAST({w1} AS BIGINT) AS w1
+        FROM e
+    ),
+    ham AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               CAST(bit_count(xor(q.w0, n.w0)) + bit_count(xor(q.w1, n.w1))
+                    AS BIGINT) AS hamming
+        FROM b q JOIN b n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    p1 AS (
+        SELECT query_id, neighbor_id, hamming
+        FROM (
+            SELECT query_id, neighbor_id, hamming,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id, neighbor_id % {_BH_SALT}
+                       ORDER BY hamming, neighbor_id) AS rn
+            FROM ham)
+        WHERE rn <= {_BH_CAND}
+    ),
+    rr AS (
+        SELECT p1.query_id, p1.neighbor_id, p1.hamming,
+               {dot} / (q.nrm * n.nrm) AS cosine,
+               CAST(COUNT(*) OVER (PARTITION BY p1.query_id) AS BIGINT)
+                   AS n_candidates
+        FROM p1
+        JOIN e q ON q.vec_id = p1.query_id
+        JOIN e n ON n.vec_id = p1.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, hamming,
+           ROUND(cosine, 4) AS cosine, n_candidates
+    FROM (
+        SELECT query_id, neighbor_id, hamming, cosine, n_candidates,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id)
+                    AS BIGINT) AS rank
+        FROM rr)
+    WHERE rank <= {TOPK}
+    ORDER BY query_id, rank
+    """
+
+
+@query("sim_binary_hamming_rerank", oracle=_duck_binary_hamming_oracle())
+def sim_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY sign-sketch ANN — 64-bit sign fingerprints (one bit per
+    dimension: the Charikar 2002 SimHash limit with axis-aligned planes,
+    the "binary embeddings" trick production vector stores ship for
+    32×-compressed first-stage retrieval) prefilter by exact Hamming
+    distance, then the survivors are reranked by EXACT cosine — the
+    standard coarse-then-exact two-stage serving shape.
+
+    The sketch packs into TWO 32-bit words (dims 1-32 / 33-64) rather
+    than one 64-bit word: bit 63 of a single-word pack is the BIGINT sign
+    bit, which differs between engines' shift semantics — two half-words
+    keep every intermediate positive and portable.  Hamming =
+    popcount(xor) per word, summed; all integer-exact on both engines.
+
+    Selection is the salted two-phase discipline (the MaxSim shape,
+    VERDICT r13 #1): phase 1 ranks each of the {N_QUERIES}×{_BH_SALT}
+    (query, neighbor % salt) cells by (hamming, neighbor_id) in parallel
+    and keeps {_BH_CAND} per cell — a bounded sort at ANY corpus size —
+    and phase 2 reranks only the ≤ {_BH_SALT}·{_BH_CAND} survivors per
+    query by exact cosine.  ``n_candidates`` rides every row, so the
+    prune width is visible result data.  The hamming-selected candidate
+    set is the operator's contract (approximate by design — recall@k vs
+    the exhaustive sim_cosine_topk truth is pinned by
+    tests/test_round15_ops.py, measured 0.8-1.0 per query at
+    sf0.001/sf0.01); both engines replay the identical two phases, so
+    the result is deterministic bit-for-bit.
+
+    Scale: fingerprints are computed in the scan projection (zero
+    shuffle); the hamming pass moves (query_id, neighbor_id, hamming)
+    constant-width rows against the broadcast {N_QUERIES}-row query
+    fingerprint frame; only the bounded survivor frame reaches the exact
+    dot products."""
+    e = _emb_with_norm(spark, sf_dir)
+    pack = (
+        "aggregate(sequence({lo}, {hi}), 0L, (acc, i) -> acc + "
+        "CASE WHEN element_at(v, i) > 0D THEN shiftleft(1L, i - {lo}) "
+        "ELSE 0L END)"
+    )
+    b = e.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.expr(pack.format(lo=1, hi=32)).alias("w0"),
+        F.expr(pack.format(lo=33, hi=64)).alias("w1"),
+    )
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    ham = (
+        F.broadcast(q)
+        .join(b, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.expr("qw0 ^ w0")) + F.bit_count(F.expr("qw1 ^ w1"))
+            )
+            .cast("long")
+            .alias("hamming"),
+            "qv",
+            "qn",
+            F.col("v").alias("nv"),
+            F.col("nrm").alias("nn"),
+        )
+    )
+    w1 = Window.partitionBy("query_id", F.col("neighbor_id") % _BH_SALT).orderBy(
+        "hamming", "neighbor_id"
+    )
+    p1 = ham.withColumn("rn", F.row_number().over(w1)).filter(
+        F.col("rn") <= _BH_CAND
+    )
+    wq = Window.partitionBy("query_id")
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        p1.withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(wq).cast("long"))
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id", "neighbor_id", "rank", "hamming",
+            F.round("cosine", 4).alias("cosine"), "n_candidates",
+        )
+        .orderBy("query_id", "rank")
+    )

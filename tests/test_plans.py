@@ -46,6 +46,11 @@ NESTED_LOOP_ALLOWED = {
     "q15_top_supplier",
     "sim_ann_ivf",
     "funnel_conversion",
+    # sim_binary_hamming_rerank — the hamming pass joins the corpus against
+    # the broadcast N_QUERIES(5)-row query fingerprint frame on `!=`
+    # (bounded-cardinality BNLJ, the sim_ann_lsh/ivf query-side shape);
+    # the salted two-phase prune bounds everything downstream.
+    "sim_binary_hamming_rerank",
     # emb_kmeans_assign / _iterate / sim_semdedup — crossJoin against the
     # K=8 centroid set (broadcast; N×K scoring is the canonical distributed
     # k-means step; semdedup's pair join itself is equi on (cluster, sub)).

@@ -45,3 +45,20 @@ def test_lpa_labels_are_community_members(spark):
         assert 1 <= r["n_communities"] <= r["n_nodes"]
         assert r["max_comm_size"] >= 1
         assert r["n_changed_last"] == 0
+
+
+def test_binary_hamming_rerank_recall_vs_exact(spark):
+    """The binary sign-sketch is a lossy prefilter — its value is recall
+    against the exhaustive cosine truth.  Pin the measured band (0.8-1.0
+    per query on this corpus) with headroom: >= 0.6 per query, >= 0.8
+    mean.  A broken packing, xor, or salt phase craters this long before
+    it perturbs the oracle-checked determinism."""
+    truth: dict = {}
+    for r in QUERIES["sim_cosine_topk"](spark, SF).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict = {}
+    for r in QUERIES["sim_binary_hamming_rerank"](spark, SF).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    rec = {q: len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth}
+    assert all(v >= 0.6 for v in rec.values()), rec
+    assert sum(rec.values()) / len(rec) >= 0.8, rec
