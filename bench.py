@@ -695,6 +695,11 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # tolerance as-of: the join_asof stacked-frame shape — one user-keyed
     # exchange of the filtered view/click rows + presentation sort:
     "join_asof_tolerance": (["events"], 1.0),  # measured 0.574
+    # binary hamming ANN: fingerprints pack in the scan projection; the
+    # exchange is the salted-prune survivor rows (which CARRY their two
+    # vectors into the exact rerank — bounded ROWS, vector-width each)
+    # plus the per-salt rank partials:
+    "sim_binary_hamming_rerank": (["embeddings"], 0.6),  # measured 0.359
 }
 
 

@@ -3212,16 +3212,20 @@ def sim_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(pack.format(lo=1, hi=32)).alias("w0"),
         F.expr(pack.format(lo=33, hi=64)).alias("w1"),
     )
+    # The hamming pass and the phase-1 prune move FINGERPRINTS ONLY —
+    # (query_id, neighbor_id, hamming) constant-width rows.  (The first
+    # cut kept both vectors on the pruned rows and measured 8.4x input on
+    # the @mf layout: 5 query-crossed copies of every corpus vector
+    # through the salt-window exchange.  Vectors now join back for the
+    # <= SALT*CAND survivors only — measured 0.359.)
     q = b.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
         F.col("w0").alias("qw0"),
         F.col("w1").alias("qw1"),
     )
     ham = (
         F.broadcast(q)
-        .join(b, F.col("vec_id") != F.col("query_id"))
+        .join(b.select("vec_id", "w0", "w1"), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -3230,24 +3234,34 @@ def sim_binary_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("hamming"),
-            "qv",
-            "qn",
-            F.col("v").alias("nv"),
-            F.col("nrm").alias("nn"),
         )
     )
     w1 = Window.partitionBy("query_id", F.col("neighbor_id") % _BH_SALT).orderBy(
         "hamming", "neighbor_id"
     )
-    p1 = ham.withColumn("rn", F.row_number().over(w1)).filter(
-        F.col("rn") <= _BH_CAND
+    p1 = (
+        ham.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _BH_CAND)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    nv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
     )
     wq = Window.partitionBy("query_id")
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        p1.withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
+        p1.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("cosine", F.expr(_DOT) / (F.col("qn") * F.col("nn")))
         .withColumn("n_candidates", F.count(F.lit(1)).over(wq).cast("long"))
         .withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= TOPK)
