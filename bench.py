@@ -358,6 +358,10 @@ SCALE_SMOKE = [
     "graph_lpa_communities",
     "graph_common_neighbors",
     "agg_winsorized_stats",
+    # boruvka: per-round candidate volume tracks surviving cross-component
+    # edges — x10 edges must scale the pick rounds linearly and the
+    # n_cross_last audit must stay 0 on the denser forest:
+    "graph_msf_boruvka",
 ]
 
 # One more decade for the five most expensive shapes (opt-in:
@@ -695,6 +699,12 @@ MULTIFILE_AUDIT: dict[str, tuple[list[str], float | None]] = {
     # tolerance as-of: the join_asof stacked-frame shape — one user-keyed
     # exchange of the filtered view/click rows + presentation sort:
     "join_asof_tolerance": (["events"], 1.0),  # measured 0.574
+    # boruvka MSF: the weighted-edge build (groupBy-min + repartition, the
+    # SSSP edge-build class) plus per-round candidate joins over the
+    # SHRINKING cross-component edge set and tiny merge-map frames; the
+    # parquet-checkpoint round trips write component-sized files, not
+    # corpus data:
+    "graph_msf_boruvka": (["lineitem"], 0.3),  # measured 0.087
     # binary hamming ANN: fingerprints pack in the scan projection; the
     # exchange is the salted-prune survivor rows (which CARRY their two
     # vectors into the exact rerank — bounded ROWS, vector-width each)

@@ -377,3 +377,56 @@ def test_lpa_matches_independent_propagation(spark):
     }
     assert got == exp
     assert all(r["n_changed_last"] == 0 for r in rows), "LPA not converged"
+
+
+def test_msf_boruvka_matches_kruskal(spark):
+    """graph_msf_boruvka must equal an independent Kruskal union-find run
+    under the SAME total edge order (w, lo, hi) at sf0.001 — with a total
+    order the MSF is unique, so the whole forest (edge count, weight, and
+    both endpoint checksums per weight bucket) must match, and the
+    n_cross_last audit must read 0 (fully contracted)."""
+    from flink_net_spark.queries.graph import MSF_EDGE_FILTER
+    from flink_net_spark.tables import load_table, release_persisted
+
+    sf = "/root/testdata/sf0.001"
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(MSF_EDGE_FILTER)
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .collect()
+    )
+    wmap: dict = {}
+    for r in li:
+        a, b = int(r["l_partkey"]) * 2, int(r["l_suppkey"]) * 2 + 1
+        mu, mx = min(a, b), max(a, b)
+        w = int(r["l_quantity"])
+        if (mu, mx) not in wmap or w < wmap[(mu, mx)]:
+            wmap[(mu, mx)] = w
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    exp: dict = {}
+    for w, mu, mx in sorted((w, mu, mx) for (mu, mx), w in wmap.items()):
+        ra, rb = find(mu), find(mx)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            k = w // 5
+            n, sw, lo, hi = exp.get(k, (0, 0, 0, 0))
+            exp[k] = (n + 1, sw + w, lo + mu // 2, hi + mx // 2)
+    n_comp = len({find(x) for x in {n for e in wmap for n in e}})
+
+    df = QUERIES["graph_msf_boruvka"](spark, sf)
+    rows = df.collect()
+    release_persisted(df)
+    got = {
+        r["w_bucket"]: (r["n_edges"], r["sum_w"], r["sum_lo_key"], r["sum_hi_key"])
+        for r in rows
+    }
+    assert got == exp
+    assert all(r["n_cross_last"] == 0 for r in rows), "Boruvka not contracted"
+    assert all(r["n_components"] == n_comp for r in rows)

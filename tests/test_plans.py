@@ -158,6 +158,10 @@ NESTED_LOOP_ALLOWED = {
     # convergence audit; each half-step is an edges⋈labels hash equi-join
     # plus a per-node rank over the distinct-label vote frame.
     "graph_lpa_communities",
+    # graph_msf_boruvka — two bounded 1-row crossJoins (cross-edge audit
+    # count × component/node counts); rounds are edge⋈label equi-joins +
+    # per-component ranks + file-backed merge-map self-joins.
+    "graph_msf_boruvka",
     # sample_coreset_kcenter — the K-row literal pick list crosses the
     # 1-row coverage-radius aggregate; every corpus pass is a scan with
     # the ≤K-center literal array folded into the projection.
@@ -360,11 +364,13 @@ def test_no_sf_scaled_broadcast_hints():
                 # recall-audit aggregates (bounded by the query count)
                 # cov = the 1-row coverage-radius aggregate crossed onto
                 # the K-row pick list (sample_coreset_kcenter)
+                # qv = the N_QUERIES(5)-row query-vector frame joined
+                # back onto the hamming survivors (sim_binary_hamming_rerank)
                 "similarity.py": {
                     "_st_planes_df", "adc", "c", "cb", "cb1", "caught",
                     "cells", "cells1", "cent", "cents", "cov", "mrow",
                     "ncand", "nn", "planes", "planted", "probes", "q",
-                    "q1", "s", "seeds", "sizes", "st",
+                    "q1", "qv", "s", "seeds", "sizes", "st",
                 },
                 "streaming_queries.py": {"nation"},
                 "temporal.py": {"converted"},
@@ -373,7 +379,10 @@ def test_no_sf_scaled_broadcast_hints():
                 # graph_sssp_weighted); alive = the 1-row survivor COUNT
                 # aggregate in graph_kcore's peel audit (an agg() of the
                 # alive frame, not the frame itself)
-                "graph.py": {"chg", "alive"},
+                # aud/nstats = the 1-row cross-edge-audit resp.
+                # component/node-count aggregates riding every MSF row
+                # (graph_msf_boruvka)
+                "graph.py": {"chg", "alive", "aud", "nstats"},
                 # n = the 1-row corpus token total framing the vocabulary-
                 # growth curve (text_heaps_law)
                 "text.py": {
