@@ -2317,7 +2317,8 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cum AS (
         SELECT event_type, cents, cnt,
-               SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type
+                              ORDER BY cents NULLS LAST) AS cum,
                SUM(cnt) OVER (PARTITION BY event_type) AS n
         FROM d
     ),
@@ -2373,7 +2374,12 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "cents")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    wcum = Window.partitionBy("event_type").orderBy("cents")
+    # cents NULLS LAST pinned on BOTH engines (the agg_mode_exact
+    # discipline): a NULL value (none in current datagen — latent) must
+    # not flip the cumulative ranks cross-engine.
+    wcum = Window.partitionBy("event_type").orderBy(
+        F.col("cents").asc_nulls_last()
+    )
     wall = Window.partitionBy("event_type")
     cum = d.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
         "n", F.sum("cnt").over(wall)
