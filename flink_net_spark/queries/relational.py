@@ -2421,3 +2421,108 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Benford first-digit expectations, e6-scaled Python literals (log10(1+1/d)
+# computed ONCE here, emitted identically into both engines' SQL — they sum
+# to exactly 1e6, so N*1e6 is the exact expected-mass total).
+_BENFORD_E6 = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_CASE = (
+    "CASE d " + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_E6.items())
+    + " END"
+)
+
+
+@query(
+    "agg_benford_deviation",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type,
+               CAST(SUBSTR(CAST(CAST(ROUND(value * 100, 0) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS d
+        FROM events
+        WHERE CAST(ROUND(value * 100, 0) AS BIGINT) > 0
+    ),
+    h AS (
+        SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS n
+        FROM c GROUP BY event_type, d
+    ),
+    t AS (
+        SELECT event_type, SUM(n) AS nt FROM h GROUP BY event_type
+    )
+    SELECT h.event_type,
+           CAST(t.nt AS BIGINT)                          AS n_rows,
+           CAST(SUM(ABS(h.n * 1000000 - t.nt * ({_BENFORD_CASE})))
+                AS BIGINT)                               AS l1_dev_e6,
+           CAST(MAX(h.n) AS BIGINT)                      AS max_digit_n,
+           CAST(SUM(h.d * h.n) AS BIGINT)                AS digit_checksum
+    FROM h JOIN t USING (event_type)
+    GROUP BY h.event_type, t.nt
+    ORDER BY event_type
+    """,
+)
+def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD first-significant-digit deviation per group (Benford 1938;
+    Nigrini 2012's forensic-accounting test) — the data-quality /
+    synthetic-data screen curation pipelines run on numeric corpora:
+    organically-generated positive values follow P(d) = log10(1+1/d),
+    while fabricated or template-generated numbers don't, so the L1
+    distance between a group's first-digit histogram and the Benford mass
+    function flags machine-synthesized segments.
+
+    Exactness: the nine expected masses are e6-scaled INTEGER literals
+    computed once in Python and emitted into both engines (they sum to
+    exactly 1e6), so the deviation statistic
+    ``sum_d |n_d * 1e6 - N * benford_e6(d)|`` is pure BIGINT arithmetic —
+    no log, no float, no rounding disagreement.  First digit =
+    leading character of the decimal rendering of positive integer cents,
+    identical on both engines.
+
+    Scale: one map-side digit projection + a groupBy over the ≤ 9 × types
+    histogram domain — the exchange carries at most 45 partial rows per
+    task; everything downstream is arithmetic on the bounded frame."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+        )
+        .filter(F.col("cents") > 0)
+        .select(
+            "event_type",
+            F.expr("CAST(SUBSTR(CAST(cents AS STRING), 1, 1) AS BIGINT)").alias(
+                "d"
+            ),
+        )
+    )
+    h = c.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = h.groupBy("event_type").agg(F.sum("n").alias("nt"))
+    return (
+        h.join(F.broadcast(t), "event_type")
+        .groupBy("event_type", "nt")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n") * F.lit(1_000_000)
+                    - F.col("nt") * F.expr(_BENFORD_CASE)
+                )
+            )
+            .cast("long")
+            .alias("l1_dev_e6"),
+            F.max("n").cast("long").alias("max_digit_n"),
+            F.sum(F.col("d") * F.col("n")).cast("long").alias("digit_checksum"),
+        )
+        .select(
+            "event_type",
+            F.col("nt").cast("long").alias("n_rows"),
+            "l1_dev_e6",
+            "max_digit_n",
+            "digit_checksum",
+        )
+        .orderBy("event_type")
+    )

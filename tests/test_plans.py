@@ -347,8 +347,10 @@ def test_no_sf_scaled_broadcast_hints():
                 # aggregates (agg_quantile_sketch_merge)
                 # b = the 5-row per-event-type nearest-rank percentile
                 # bounds frame (agg_winsorized_stats) — type-domain-bounded
+                # t = the 5-row per-event-type first-digit totals frame
+                # (agg_benford_deviation) — type-domain-bounded
                 "relational.py": {"n", "r", "tot", "merged", "types", "exa",
-                                  "cells", "b"},
+                                  "cells", "b", "t"},
                 # b = the 1-row global (h0, h1) hour-bounds scalar that
                 # frames the time grid (window_gap_fill_locf)
                 "windows.py": {"b"},
