@@ -32,6 +32,16 @@ EDGE_QUERIES = [
     "sim_range_search_blocked",
     "sim_semdedup",
     "mm_payload_stats",
+    # round-15: the edge corpus now carries TIMESTAMP(NANOS) events with
+    # sub-µs collision pairs (VERDICT r14 #4) — pin the ts-ordering oracle
+    # family in-suite against it (full coverage stays the per-round
+    # DRIVERSIM_edge replay).
+    "join_asof",
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "cdc_scd2_versions",
+    "funnel_conversion",
+    "window_count_per_key",
 ]
 
 
