@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_net_spark.queries import query
 from flink_net_spark.tables import (
-    checkpoint_tracked,
     checkpoint_tracked_lazy,
     load_table,
     release_rdds_with_result,
@@ -1693,6 +1692,26 @@ def graph_msf_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in msts[1:]:
         mst = mst.union(m)
     mst = mst.distinct()
+    # r15 ADVICE (medium): a merge chain deeper than 2^MSF_JUMPS would
+    # leave the merge map partially collapsed, let a same-component edge
+    # into the forest, and STILL read n_cross_last = 0 — and the DuckDB
+    # oracle unrolls the identical scheme, so cross-engine equality
+    # cannot catch it.  The forest invariant |MSF| == n_nodes −
+    # n_components is independent of the jump scheme, so check it HERE
+    # at build time over the already-materialized parquet rounds (tiny
+    # frames; two sub-second jobs) and raise instead of ever returning a
+    # silently-wrong forest.
+    n_nodes_v, n_comp_v = l.agg(
+        F.count(F.lit(1)), F.countDistinct("lbl")
+    ).first()
+    n_mst_v = mst.count()
+    if n_mst_v != n_nodes_v - n_comp_v:
+        shutil.rmtree(ckdir, ignore_errors=True)
+        raise AssertionError(
+            f"graph_msf_boruvka forest invariant violated: |MSF|={n_mst_v} "
+            f"!= n_nodes={n_nodes_v} - n_components={n_comp_v} — merge-path "
+            f"depth exceeded the 2^{MSF_JUMPS} pointer-jump budget"
+        )
     aud = (
         ed.join(l.select(F.col("node").alias("u"), F.col("lbl").alias("c")), "u")
         .join(l.select(F.col("node").alias("v"), F.col("lbl").alias("oc")), "v")
@@ -1720,5 +1739,12 @@ def graph_msf_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("w_bucket")
     )
     out = scoped_persist(out, ed)
-    attach_release(out, lambda d=ckdir: shutil.rmtree(d, ignore_errors=True))
+    # r15 VERDICT #1a: the ckpt dir must not strand /tmp when a caller
+    # drops the handle without release_persisted — a weakref.finalize is
+    # BOTH the explicit-release handle (attach_release composes it) and
+    # the GC backstop (it fires when the result handle is collected),
+    # and it is idempotent so the double path is safe.
+    import weakref
+
+    attach_release(out, weakref.finalize(out, shutil.rmtree, ckdir, True))
     return out

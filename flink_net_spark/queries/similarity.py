@@ -3104,6 +3104,11 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _BH_SALT = 16       # per-query salt fan-out for the two-phase hamming prune
 _BH_CAND = 8        # survivors kept per (query, salt) cell
+# Both engines pack the sign sketch as TWO 32-bit words over dims 1-32 /
+# 33-64; the bounds are written out literally in the Spark expression AND
+# the DuckDB oracle below.  A DIM change would silently truncate (or
+# under-fill) the sketch on both sides — fail loudly instead (r15 ADVICE).
+assert DIM == 64, "sim_binary_hamming_rerank packs exactly 64 dims (2x32)"
 
 
 def _duck_binary_hamming_oracle() -> str:

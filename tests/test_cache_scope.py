@@ -15,6 +15,7 @@ CacheManager dedupes by canonicalized plan) and confound the delta check.
 from __future__ import annotations
 
 import gc
+import os
 
 
 def test_scoped_persist_releases_cache_on_handle_drop(spark):
@@ -164,3 +165,26 @@ def test_release_attach_composes_in_either_nesting_order(spark):
     assert ids and _persistent_rdd_ids(spark) - baseline
     release_persisted(out)
     assert _persistent_rdd_ids(spark) - baseline == set()
+
+
+def test_msf_ckpt_dir_cleaned_on_handle_drop(spark):
+    """r15 VERDICT #1a: graph_msf_boruvka's parquet-checkpoint temp dir
+    must not strand /tmp when the caller DROPS the handle without calling
+    release_persisted — the rmtree is now a weakref.finalize on the
+    result, so GC is a sufficient backstop (and the explicit path stays
+    idempotent)."""
+    import glob
+    import tempfile
+
+    from flink_net_spark.queries import QUERIES
+
+    patt = os.path.join(tempfile.gettempdir(), "fns_msf_*")
+    before = set(glob.glob(patt))
+    df = QUERIES["graph_msf_boruvka"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    created = set(glob.glob(patt)) - before
+    assert created, "expected a fresh fns_msf_ checkpoint dir"
+    del df
+    gc.collect()
+    after = set(glob.glob(patt)) - before
+    assert not after, f"ckpt dir(s) leaked after handle drop: {after}"
