@@ -1002,12 +1002,16 @@ def curation_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle bytes; this form's only corpus-sized exchange is the distinct
     (doc_id, gram) dedup)."""
     from flink_net_spark.queries.dedup import _spark_shingle_hash_df
+    from flink_net_spark.tables import scoped_persist
 
     sh = _spark_shingle_hash_df(spark, sf_dir)
+    # persisted: consumed by BOTH the filter build and the broadcast
+    # exact probe (r16); bounded by the protected corpus' distinct grams
     eval_sh = (
         sh.filter(F.col("doc_id") % _BLOOM_EVAL_MOD == 0)
         .select(F.explode("sh").alias("g"))
         .distinct()
+        .persist()
     )
     pos_arr = "array(" + ", ".join(_bloom_pos_exprs("g")) + ")"
     bloom_words = (
@@ -1034,35 +1038,46 @@ def curation_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.filter(F.col("doc_id") % _BLOOM_EVAL_MOD != 0)
         .select("doc_id", F.explode("sh").alias("g"))
     )
-    bloom = (
+    # r16 (guide §2.4 — operations keyed the same way share one exchange):
+    # n_windows, bloom_hits and exact_hits used to be THREE separate
+    # consumptions of the train shingle stream — three doc-keyed
+    # exchanges, two doc-keyed joins, and (sh being a derived stream, not
+    # a cache) three re-tokenizations of the corpus.  They are now one
+    # pass: the Bloom test becomes a map-side conditional SUM instead of a
+    # filter, the exact semi-join becomes a broadcast LEFT join against
+    # the (distinct) eval set marked hit=1, and one groupBy(doc_id) emits
+    # all three counts.  Per-doc values are identical: the same rows
+    # counted under the same conditions (an inner-join count over a
+    # distinct key equals the left-join conditional sum).  eval_sh is
+    # scope-persisted because it now feeds both the filter build and the
+    # broadcast probe.  Measured solo at sf0.1: erratic 6.1-12.3 s warm
+    # (re-derivation-dominated) → see OPTIMIZATION_r16.md.
+    eval_marked = F.broadcast(eval_sh.withColumn("eh", F.lit(1)))
+    out = (
         tr.crossJoin(F.broadcast(bw))
-        .filter(F.expr(_bloom_hit_cond("spark")))
+        .join(eval_marked, "g", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("bloom_hits"))
-    )
-    exact = (
-        tr.join(F.broadcast(eval_sh), "g")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_hits"))
-    )
-    nw = tr.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_windows"))
-    return (
-        nw.join(bloom, "doc_id", "left")
-        .join(exact, "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(
+                F.when(F.expr(_bloom_hit_cond("spark")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("bloom_hits"),
+            F.sum(F.coalesce("eh", F.lit(0))).cast("bigint").alias("exact_hits"),
+        )
         .select(
             "doc_id",
             "n_windows",
-            F.coalesce("bloom_hits", F.lit(0)).cast("bigint").alias("bloom_hits"),
-            F.coalesce("exact_hits", F.lit(0)).cast("bigint").alias("exact_hits"),
-            (
-                F.coalesce("bloom_hits", F.lit(0))
-                - F.coalesce("exact_hits", F.lit(0))
-            )
+            "bloom_hits",
+            "exact_hits",
+            (F.col("bloom_hits") - F.col("exact_hits"))
             .cast("bigint")
             .alias("n_false_pos"),
         )
         .orderBy("doc_id")
     )
+    return scoped_persist(out, eval_sh)
 
 
 # --------------------------------------------------------------------------

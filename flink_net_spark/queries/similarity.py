@@ -1302,17 +1302,41 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr(f"zip_with(xq, marr, (x, mu) -> {c3d})").alias("c3"),
     )
-    # upper triangle only (2080 of 4096 products per vector); the driver
-    # mirrors the symmetric half when filling the matrix dict
-    pairs = cx.select(
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(0, {DIM - 1}), d -> "
-                f"transform(sequence(d, {DIM - 1}), e -> "
-                "struct(d AS d, e AS e, c3[d] * c3[e] AS p))))"
+    # Upper triangle only (2080 of 4096 products per vector); the driver
+    # mirrors the symmetric half when filling the matrix dict.
+    # r16 (guide §4.2): the first cut exploded the 2080 products per
+    # vector as struct rows through a hash aggregate — ~10.6M generated
+    # rows at sf0.1 materialized just to be re-summed (solo warm median
+    # 3.67 s, the Generate+HashAggregate pair dominating).  The partial
+    # Gramian is now ONE Arrow-vectorized mapInPandas pass: each task
+    # accumulates X^T·X over its batches in a numpy int64 [64×64] — the
+    # same int64 sums in the same (d, e) cells, so the shuffled partials
+    # and the final per-cell totals are bit-identical to the exploded
+    # form (products bounded by _PCA_B_C3² = 2.5e7, ≥3.6e11 rows per
+    # PARTITION before a partial could overflow int64) — and the shuffle
+    # carries ≤2080 rows per task instead of 2080 per vector.  This is
+    # the RowMatrix.computeGramianMatrix architecture (per-partition BLAS
+    # accumulation, tiny reduce), and the sim_ann_ivfpq encode precedent.
+    def _gram(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        acc = _np.zeros((DIM, DIM), dtype=_np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _np.stack(pdf["c3"].to_numpy()).astype(_np.int64)
+            acc += x.T @ x
+            seen = True
+        if seen:
+            iu = _np.triu_indices(DIM)
+            yield _pd.DataFrame(
+                {"d": iu[0].astype(_np.int64), "e": iu[1].astype(_np.int64),
+                 "p": acc[iu]}
             )
-        ).alias("q")
-    ).select("q.d", "q.e", "q.p")
+
+    pairs = cx.select("c3").mapInPandas(_gram, "d long, e long, p long")
     cov = (
         pairs.groupBy("d", "e")
         .agg(F.sum("p").alias("s"))
@@ -2348,14 +2372,10 @@ def sim_ann_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
         )
     )
-    legs = []
     hits = F.broadcast(planted.withColumn("hit", F.lit(1)))
-    for method, fn in (
-        ("ivf", sim_ann_ivf),
-        ("ivfpq", sim_ann_ivfpq),
-        ("lsh", sim_ann_lsh),
-        ("multiprobe", sim_ann_multiprobe),
-    ):
+
+    def _leg(method_fn):
+        method, fn = method_fn
         # Each leg's plan is consumed exactly ONCE (round-11 VERDICT #6):
         # n_ann_pairs and n_caught fold into a single aggregation over the
         # leg left-joined to the broadcast 40-row planted set.  Measured
@@ -2381,7 +2401,7 @@ def sim_ann_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_ann_pairs"),
             F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_caught"),
         )
-        legs.append(
+        return (
             np_.crossJoin(counts)
             .select(
                 F.lit(method).alias("method"),
@@ -2390,6 +2410,29 @@ def sim_ann_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_caught",
             )
         )
+
+    # r16 (guide §2.6 — overlap independent driver work): the four legs'
+    # fn() bodies are independent — each is ~0.5 s of py4j plan
+    # construction plus its own small driver-side index builds — and used
+    # to run sequentially.  They now build on a 4-thread pool
+    # (``inheritable_thread_target`` so job-group/description thread-locals
+    # propagate, the documented PySpark idiom); ``pool.map`` preserves leg
+    # order, so the assembled union — and the result — is byte-identical.
+    # The assembled DAG is still consumed by ONE action; leg execution was
+    # already concurrent under AQE's ready-stage materialization.
+    # Measured solo at sf0.1: warm total 7.8 s → 4.3-5.0 s.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    methods = [
+        ("ivf", sim_ann_ivf),
+        ("ivfpq", sim_ann_ivfpq),
+        ("lsh", sim_ann_lsh),
+        ("multiprobe", sim_ann_multiprobe),
+    ]
+    with ThreadPoolExecutor(max_workers=len(methods)) as pool:
+        legs = list(pool.map(inheritable_thread_target(_leg), methods))
     out = legs[0]
     for lg in legs[1:]:
         out = out.unionAll(lg)

@@ -2021,7 +2021,20 @@ def text_lm_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: zero new corpus-level shuffles — the transition stream, the
     unigram table and the KN score tables are the shared session build;
     this query adds only vocab-bounded det-ln work (cached as a shared
-    slot) and two per-doc partial aggregations."""
+    slot) and ONE per-doc partial aggregation.
+
+    r16 (guide §2.4 — operations keyed the same way share one exchange):
+    the unigram-cost and KN-cost legs used to be two separate consumptions
+    of the held-out bigram stream, each with its own per-doc aggregation,
+    joined back on doc_id at the end — three exchanges of the stream plus
+    a doc-keyed join, all to compute two sums over the SAME rows.  The
+    legs are now fused into one join chain (the ``ux_cost`` h2-join rides
+    the same stream-side exchange as the ``lmcont`` h2-join) ending in a
+    single groupBy(doc_id) that emits both sums.  Row-for-row identical:
+    the same per-transition costs summed over the same held-out stream —
+    both engines' results and the oracle are unchanged (solo warm median
+    4.97 → measured after below; exchanges in the final plan 3× stream +
+    doc join → 1× stream)."""
     t = shared_lm_tables(spark, sf_dir)
 
     def _build() -> dict:
@@ -2046,31 +2059,41 @@ def text_lm_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _shared_slot(t, "ux_cost", _build, ("ux_cost",))
     ux_floor = t["ux_floor"]  # 1-row OOV constant
-    udoc = (
+    # Populate the shared KN score-table slots (kn_lmseen/kn_lmctx/
+    # kn_lmcont/kn_k0row); the returned pre-assembled stream is not used —
+    # the fused chain below re-joins the same tables so the unigram leg
+    # can share its exchanges.
+    kn_scored_transitions(spark, sf_dir)
+    k0row = t["kn_k0row"]  # 1-row full-backoff constant
+    fused = (
         t["bg_all"]
         .filter(F.col("doc_id") % 10 == 0)
+        .withColumn("h1", F.expr(f"k12 div {_TRI_MOD}"))
         .withColumn("h2", F.expr(f"k12 % {_TRI_MOD}"))
+        .join(t["kn_lmseen"], "k12", "left")
+        .join(t["kn_lmctx"], "h1", "left")
+        .join(t["kn_lmcont"], "h2", "left")
         .join(t["ux_cost"], "h2", "left")
+        .crossJoin(F.broadcast(k0row))
         .crossJoin(F.broadcast(ux_floor))
         .groupBy("doc_id")
         .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
             F.sum(F.expr("COALESCE(u_e6, ufloor_e6)"))
             .cast("bigint")
-            .alias("sum_uni_e6")
-        )
-    )
-    scored, _k0row, _caches = kn_scored_transitions(spark, sf_dir)
-    kdoc = (
-        scored.filter(F.col("doc_id") % 10 == 0)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
-            F.sum("nll_e6").cast("bigint").alias("sum_kn_e6"),
+            .alias("sum_uni_e6"),
+            F.sum(
+                F.expr(
+                    "COALESCE(nll2_e6, a_e6 + COALESCE(cont_e6, k0_e6), "
+                    "COALESCE(cont_e6, k0_e6))"
+                )
+            )
+            .cast("bigint")
+            .alias("sum_kn_e6"),
         )
     )
     return (
-        kdoc.join(udoc, "doc_id")
-        .select(
+        fused.select(
             "doc_id",
             "n_transitions",
             "sum_uni_e6",
