@@ -27,9 +27,11 @@ def test_stream_incremental_minhash_equals_batch(spark):
     assert brows == srows
     assert brows, "fixture produced no incoming docs"
     # the edge near-dup discipline: at least one verified non-exact dup
-    # exists at sf0.001 (planted corpus duplicates), and non-candidates
-    # report the (0, -1, 0.0, false) contract row
-    assert any(r[4] for r in srows) or all(not r[4] for r in srows)
+    # exists at sf0.001 (planted corpus duplicates — 8 of 50 incoming docs
+    # verify as dups), and non-candidates report the (0, -1, 0.0, false)
+    # contract row.  (r15 ADVICE: the earlier `any(...) or all(not ...)`
+    # form was a tautology and enforced nothing.)
+    assert any(r[4] for r in srows)
     assert all(r[1] == 0 and r[2] == -1 for r in srows if r[3] == 0.0)
 
 
