@@ -1468,6 +1468,40 @@ def xsession_stream_probe(cur_1k: int | None, cur_1m: int | None) -> dict:
     }
 
 
+# Byte budget for the one printed line: the driver records a ~2000-char
+# stdout tail (BENCH_r04.json parsed=null when round 4's 5.6 kB line fell
+# off it); 1950 leaves margin for the trailing newline.
+_COMPACT_LINE_BUDGET = 1950
+
+
+def _compact_pin_names() -> list[str]:
+    """The committed pin list of query names that must ride the compact
+    line every round (bench_out/COMPACT_QUERIES.txt — additions-only: a
+    name, once emitted, must keep being emitted so the driver's cross-round
+    per-query join never sees a removal)."""
+    path = os.path.join(OUT_DIR, "COMPACT_QUERIES.txt")
+    try:
+        with open(path) as f:
+            return [ln.strip() for ln in f if ln.strip()]
+    except OSError:
+        return []
+
+
+def _compact_query_map(timings: dict[str, float]) -> tuple[dict[str, float], int]:
+    """Per-query medians for the printed line: every pinned name that was
+    measured, plus the most expensive unpinned entries as seed for the
+    budget-shedding pass in main() (which trims from the cheapest unpinned
+    end until the whole line fits _COMPACT_LINE_BUDGET).  Values rounded to
+    centiseconds — the full 4-decimal map stays in the detail sidecar."""
+    pinned = [n for n in _compact_pin_names() if n in timings]
+    extra = sorted(
+        (n for n in timings if n not in set(pinned)),
+        key=timings.get, reverse=True,
+    )[:16]
+    out = {n: round(timings[n], 2) for n in pinned + extra}
+    return out, len(timings) - len(out)
+
+
 def _load_prev_detail() -> tuple[dict, str] | None:
     """Previous round's sidecar for the round-over-round verdict: env
     override, else the newest committed bench_out/r*.json."""
@@ -1676,6 +1710,15 @@ def main() -> int:
                 compare_verdict["adj_persists_query"] = sum(
                     1 for a in adjs if a["verdict"] == "persists-query"
                 )
+                # r17 (VERDICT r16 #2): NAME the persisting rows on the
+                # line — the r16 driver run adjudicated adj_persists=1 but
+                # the truncated tail never said WHICH query persisted.
+                persist_names = [
+                    a["query"] for a in adjs
+                    if a["verdict"].startswith("persists")
+                ]
+                if persist_names:
+                    compare_verdict["adj_persist_names"] = persist_names[:4]
         except Exception as ex:  # pragma: no cover
             compare_verdict = {"err": str(ex)[:120]}
 
@@ -1687,10 +1730,27 @@ def main() -> int:
 
     # THE one compact stdout line (the driver keeps a bounded stdout tail —
     # this must stay well under it, per-query detail lives in the sidecar)
+    #
+    # r17 (VERDICT r16 #1): per-query medians now ride the line as a
+    # "queries" map so the driver's PERF builder can populate per_query —
+    # it reads ONLY the printed line, and every previous round's per_query
+    # was {} because this map lived solely in the sidecar.  The full
+    # 112-entry map is ~3 kB and the driver keeps a ~2000-char tail
+    # (round 4's 5.6 kB line fell off: BENCH_r04.json parsed=null), so the
+    # line carries the committed pin list bench_out/COMPACT_QUERIES.txt —
+    # the panel's most expensive entries by the r16 closing medians, FIXED
+    # so cross-round and cross-core-count joins see the same names — plus
+    # whatever further entries fit the byte budget, most expensive first.
+    # Additions-only: no previous round's line had any "queries" entries,
+    # and future rounds must keep emitting at least the pinned names.
+    # "qx" counts elided entries; the sidecar still has all of them.
+    compact_queries, n_elided = _compact_query_map(timings)
     compact = {
         "metric": "headline_queries_total_wall_time",
         "value": total,
         "unit": "sec",
+        "queries": compact_queries,
+        "qx": n_elided,
         "sf": _sf_from_dir(SF_DIR),
         "n_queries": len(timings),
         "reps": REPS,
@@ -1712,10 +1772,29 @@ def main() -> int:
     if compare_verdict is not None:
         compact["compare"] = compare_verdict
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1400:  # belt-and-braces: shed optional fields, keep parseable
+    # Byte budget: the driver's stdout tail is ~2000 chars; shed from the
+    # line until it fits with margin.  Order: unpinned per-query entries
+    # (cheapest first), then families, then the compare block — the pinned
+    # "queries" names and the headline totals go last because they are the
+    # driver's PERF contract.
+    if len(line) > _COMPACT_LINE_BUDGET:
+        pinned = set(_compact_pin_names())
+        for name in sorted(compact_queries, key=compact_queries.get):
+            if len(line) <= _COMPACT_LINE_BUDGET:
+                break
+            if name in pinned:
+                continue
+            compact_queries.pop(name, None)
+            compact["qx"] = len(timings) - len(compact_queries)
+            line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > _COMPACT_LINE_BUDGET:
         compact.pop("families", None)
         compact["compare"] = {k: compare_verdict[k] for k in ("vs", "reg", "imp")
                               if compare_verdict and k in compare_verdict}
+        line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > _COMPACT_LINE_BUDGET and compact_queries:
+        compact_queries.pop(min(compact_queries, key=compact_queries.get), None)
+        compact["qx"] = len(timings) - len(compact_queries)
         line = json.dumps(compact, separators=(",", ":"))
     log(f"[bench] compact line: {len(line)} chars")
     print(line)

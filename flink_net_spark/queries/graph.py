@@ -1707,6 +1707,12 @@ def graph_msf_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_mst_v = mst.count()
     if n_mst_v != n_nodes_v - n_comp_v:
         shutil.rmtree(ckdir, ignore_errors=True)
+        try:
+            # r16 ADVICE: no release handle is attached yet on this path,
+            # so the persisted edge frame would leak for the session
+            ed.unpersist()
+        except Exception:
+            pass
         raise AssertionError(
             f"graph_msf_boruvka forest invariant violated: |MSF|={n_mst_v} "
             f"!= n_nodes={n_nodes_v} - n_components={n_comp_v} — merge-path "

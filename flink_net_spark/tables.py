@@ -7,6 +7,7 @@ documents embeddings — one parquet file each under a scale-factor dir.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -141,7 +142,15 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
 # could evict a cache another live result still depends on the moment any
 # earlier handle was GC'd (r9 ADVICE minor).  Refcounting on the semantic
 # hash releases the cache only when the LAST scoped result is done with it.
+#
+# r17 (VERDICT r16 #5): mutations are guarded by _PLAN_REFS_LOCK — the
+# sim_ann_planted_recall legs build on a 4-thread pool, and the bare
+# read-modify-write `ent[0] += 1` can interleave at bytecode boundaries; a
+# lost increment would unpersist a cache another live result still uses
+# (silent recompute).  The lock covers bookkeeping only; py4j calls
+# (semanticHash, unpersist) stay outside it.
 _PLAN_REFS: dict[int, list] = {}  # key -> [refcount, DataFrame handle]
+_PLAN_REFS_LOCK = threading.Lock()
 
 
 def _plan_key(df: DataFrame) -> int:
@@ -160,9 +169,10 @@ def acquire_persisted(*cached: DataFrame) -> list[int]:
     result (same _PLAN_REFS key) is not evicted out from under it."""
     keys = []
     for df in cached:
-        k = _plan_key(df)
-        ent = _PLAN_REFS.setdefault(k, [0, df])
-        ent[0] += 1
+        k = _plan_key(df)  # py4j round trip — outside the lock
+        with _PLAN_REFS_LOCK:
+            ent = _PLAN_REFS.setdefault(k, [0, df])
+            ent[0] += 1
         keys.append(k)
     return keys
 
@@ -171,14 +181,18 @@ def release_acquired(keys: list[int]) -> None:
     """Drop one refcount per key; unpersist a cache only when the LAST
     scoped user releases it (idempotent against missing keys)."""
     for k in keys:
-        ent = _PLAN_REFS.get(k)
-        if ent is None:
-            continue
-        ent[0] -= 1
-        if ent[0] <= 0:
-            _PLAN_REFS.pop(k, None)
+        to_unpersist = None
+        with _PLAN_REFS_LOCK:
+            ent = _PLAN_REFS.get(k)
+            if ent is None:
+                continue
+            ent[0] -= 1
+            if ent[0] <= 0:
+                _PLAN_REFS.pop(k, None)
+                to_unpersist = ent[1]
+        if to_unpersist is not None:
             try:
-                ent[1].unpersist()
+                to_unpersist.unpersist()  # py4j — outside the lock
             except Exception:
                 pass
 
@@ -244,6 +258,14 @@ def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
     return {int(x) for x in s.split(",") if x}
 
 
+# r17: the before/after persistent-RDD-id diff below misattributes ids if
+# two threads checkpoint concurrently (r16 ADVICE).  Nothing does today —
+# the planted-recall thread pool builds plans only — but the lock makes the
+# tracking safe if a future builder checkpoints from a pool; held across
+# the localCheckpoint call on purpose (attribution requires it).
+_CKPT_TRACK_LOCK = threading.Lock()
+
+
 def checkpoint_tracked(df: DataFrame, ids_out: list[int]) -> DataFrame:
     """``df.localCheckpoint()`` (eager), recording the id(s) of the cached
     RDD(s) it creates into ``ids_out`` so they can be released later with
@@ -251,9 +273,10 @@ def checkpoint_tracked(df: DataFrame, ids_out: list[int]) -> DataFrame:
     invisible to DataFrame.unpersist, and used to leak for the session
     (iterative queries like connected components checkpoint per round)."""
     spark = df.sparkSession
-    before = _persistent_rdd_ids(spark)
-    lc = df.localCheckpoint()
-    ids_out.extend(_persistent_rdd_ids(spark) - before)
+    with _CKPT_TRACK_LOCK:
+        before = _persistent_rdd_ids(spark)
+        lc = df.localCheckpoint()
+        ids_out.extend(_persistent_rdd_ids(spark) - before)
     return lc
 
 
@@ -266,9 +289,10 @@ def checkpoint_tracked_lazy(df: DataFrame, ids_out: list[int]) -> DataFrame:
     collect time (no per-round count()), every round's checkpoint backs the
     final plan: tie the ids to the result with ``release_rdds_with_result``."""
     spark = df.sparkSession
-    before = _persistent_rdd_ids(spark)
-    lc = df.localCheckpoint(eager=False)
-    ids_out.extend(_persistent_rdd_ids(spark) - before)
+    with _CKPT_TRACK_LOCK:
+        before = _persistent_rdd_ids(spark)
+        lc = df.localCheckpoint(eager=False)
+        ids_out.extend(_persistent_rdd_ids(spark) - before)
     return lc
 
 

@@ -40,7 +40,8 @@ def main() -> int:
     reps = 2
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
-        if a == "--reps":
+        # bounds-checked (r16 ADVICE: a trailing bare --reps raised IndexError)
+        if a == "--reps" and i + 1 < len(argv):
             reps = int(argv[i + 1])
             args.remove(argv[i + 1])
 

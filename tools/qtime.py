@@ -30,12 +30,15 @@ def main() -> int:
     explain_dir = None
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
-        if a == "--reps":
-            reps = int(argv[i + 1])
-            args.remove(argv[i + 1])
-        if a == "--explain":
-            explain_dir = argv[i + 1]
-            args.remove(argv[i + 1])
+        # bounds-checked value fetch (r16 ADVICE: a trailing bare --reps/
+        # --explain used to raise IndexError)
+        val = argv[i + 1] if i + 1 < len(argv) else None
+        if a == "--reps" and val is not None:
+            reps = int(val)
+            args.remove(val)
+        if a == "--explain" and val is not None:
+            explain_dir = val
+            args.remove(val)
 
     from flink_net_spark.session import get_spark
     from flink_net_spark.tables import release_persisted
@@ -58,7 +61,7 @@ def main() -> int:
         df = fn(spark, SF_DIR)
         build0 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        df.collect()
+        n = len(df.collect())  # r16 ADVICE: --reps 0 left `n` unassigned
         coll0 = time.perf_counter() - t0
         if explain_dir:
             os.makedirs(explain_dir, exist_ok=True)
