@@ -486,45 +486,59 @@ def dedup_resolve_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # users are done (r10 ADVICE).
     mp_keys = acquire_persisted(*mp_caches)
     pairs = mp.select("doc_a", "doc_b")
-    edge_ids: list[int] = []
-    edges = checkpoint_tracked(
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
-            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-        ),
-        edge_ids,
+    # r17 (guide §2.2): the convergence loop runs under an input-derived
+    # shuffle-partition count — the pair graph is pairs-not-documents sized
+    # (512 edges at sf0.1), yet every round's eager checkpoint + count ran
+    # 32-task stages.  Measured at sf0.1 (tools/exp_iter_parts.py,
+    # fingerprints identical): 2.80 → 1.99 s warm median.  MIN-over-BIGINT
+    # label propagation is partition-count-independent.
+    from flink_net_spark.tables import (
+        derived_shuffle_partitions,
+        scoped_shuffle_partitions,
     )
-    label_ids: list[int] = []
-    labels = checkpoint_tracked(
-        edges.select(F.col("u").alias("id")).distinct().withColumn("label", F.col("id")),
-        label_ids,
-    )
-    for _ in range(50):  # bound: diameter of the largest component
-        nbr = (
-            edges.join(labels.withColumnRenamed("id", "v_id"), F.col("v") == F.col("v_id"))
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        new_ids: list[int] = []
-        new_labels = checkpoint_tracked(  # eager: materializes + truncates lineage
-            labels.withColumnRenamed("label", "old_label")
-            .join(nbr.withColumnRenamed("u", "id"), "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("old_label"), F.coalesce(F.col("nbr_min"), F.col("old_label"))
-                ).alias("label"),
-                "old_label",
+
+    with scoped_shuffle_partitions(
+        spark, derived_shuffle_partitions(sf_dir, ["documents"])
+    ):
+        edge_ids: list[int] = []
+        edges = checkpoint_tracked(
+            pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+                pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
             ),
-            new_ids,
+            edge_ids,
         )
-        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
-        # the new checkpoint is materialized: its parent round's cache is
-        # superseded — release it now instead of leaking one per iteration
-        release_rdd_ids(spark, label_ids)
-        label_ids = new_ids
-        labels = new_labels.select("id", "label")
-        if changed == 0:
-            break
+        label_ids: list[int] = []
+        labels = checkpoint_tracked(
+            edges.select(F.col("u").alias("id")).distinct().withColumn("label", F.col("id")),
+            label_ids,
+        )
+        for _ in range(50):  # bound: diameter of the largest component
+            nbr = (
+                edges.join(labels.withColumnRenamed("id", "v_id"), F.col("v") == F.col("v_id"))
+                .groupBy("u")
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            new_ids: list[int] = []
+            new_labels = checkpoint_tracked(  # eager: materializes + truncates lineage
+                labels.withColumnRenamed("label", "old_label")
+                .join(nbr.withColumnRenamed("u", "id"), "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("old_label"), F.coalesce(F.col("nbr_min"), F.col("old_label"))
+                    ).alias("label"),
+                    "old_label",
+                ),
+                new_ids,
+            )
+            changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+            # the new checkpoint is materialized: its parent round's cache is
+            # superseded — release it now instead of leaking one per iteration
+            release_rdd_ids(spark, label_ids)
+            label_ids = new_ids
+            labels = new_labels.select("id", "label")
+            if changed == 0:
+                break
     # the loop ran eagerly off the localCheckpoints; the shingle cache
     # behind the pair generation and the edge checkpoint are no longer
     # referenced — release them now.  The FINAL label checkpoint backs the

@@ -32,9 +32,11 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_net_spark.queries import query
 from flink_net_spark.tables import (
     checkpoint_tracked_lazy,
+    derived_shuffle_partitions,
     load_table,
     release_rdds_with_result,
     scoped_persist,
+    scoped_shuffle_partitions,
 )
 
 # Fixed-point PageRank parameters.  Damping 0.85 as the exact integer pair
@@ -620,56 +622,66 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") * 2).cast("long").alias("src"),
         (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
     ).distinct()
-    edges = (
-        pairs.union(
-            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .repartition(F.col("src"))
-        .persist()
-    )
-    # Lazy checkpoints: no per-round count() forces materialization, so
-    # EVERY round's label cache backs the final plan — track their RDD ids
-    # and tie release to the result handle (the dedup_resolve_groups
-    # discipline; untracked, they leak at the RDD layer for the session —
-    # r13 ADVICE).
-    cc_ids: list[int] = []
-    l = checkpoint_tracked_lazy(
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl")),
-        cc_ids,
-    )
-    persisted = [edges]
-    prev = l
-    for _ in range(CC_ROUNDS):
-        prev = l
-        nb = (
-            edges.join(
-                l.select(F.col("node").alias("src"), F.col("lbl").alias("slbl")),
-                "src",
+    # r17 (guide §2.2): the whole build loop runs under an input-derived
+    # shuffle-partition count — every round's frontier frame is tiny
+    # relative to the source, and the per-round AQE stage materializations
+    # were scheduling 32+ tasks each for kilobytes of labels.  Measured at
+    # sf0.1 (tools/exp_iter_parts.py, result fingerprints identical):
+    # 6.60 → 3.36 s warm median.  MIN-over-BIGINT label algebra is
+    # partition-count-independent by construction.
+    with scoped_shuffle_partitions(
+        spark, derived_shuffle_partitions(sf_dir, ["lineitem"])
+    ):
+        edges = (
+            pairs.union(
+                pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
-            .groupBy("dst")
-            .agg(F.min("slbl").alias("nmin"))
-            .withColumnRenamed("dst", "node")
-        )
-        m = (
-            l.join(nb, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("ml"),
-            )
+            .repartition(F.col("src"))
             .persist()
         )
-        j = m.select(F.col("node").alias("jn"), F.col("ml").alias("jl"))
+        # Lazy checkpoints: no per-round count() forces materialization, so
+        # EVERY round's label cache backs the final plan — track their RDD ids
+        # and tie release to the result handle (the dedup_resolve_groups
+        # discipline; untracked, they leak at the RDD layer for the session —
+        # r13 ADVICE).
+        cc_ids: list[int] = []
         l = checkpoint_tracked_lazy(
-            m.join(j, m.ml == j.jn, "left")
-            .select(
-                "node",
-                F.least(F.col("ml"), F.coalesce("jl", "ml")).alias("lbl"),
-            ),
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("lbl")),
             cc_ids,
         )
-        persisted.append(m)
+        persisted = [edges]
+        prev = l
+        for _ in range(CC_ROUNDS):
+            prev = l
+            nb = (
+                edges.join(
+                    l.select(F.col("node").alias("src"), F.col("lbl").alias("slbl")),
+                    "src",
+                )
+                .groupBy("dst")
+                .agg(F.min("slbl").alias("nmin"))
+                .withColumnRenamed("dst", "node")
+            )
+            m = (
+                l.join(nb, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("ml"),
+                )
+                .persist()
+            )
+            j = m.select(F.col("node").alias("jn"), F.col("ml").alias("jl"))
+            l = checkpoint_tracked_lazy(
+                m.join(j, m.ml == j.jn, "left")
+                .select(
+                    "node",
+                    F.least(F.col("ml"), F.coalesce("jl", "ml")).alias("lbl"),
+                ),
+                cc_ids,
+            )
+            persisted.append(m)
     chg = (
         l.select("node", "lbl")
         .join(prev.select("node", F.col("lbl").alias("plbl")), "node")
@@ -961,34 +973,41 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") * 2).cast("long").alias("a"),
         (F.col("l_suppkey") * 2 + 1).cast("long").alias("b"),
     ).agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
-    edges = (
-        pw.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
-        .union(pw.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
-        .repartition(F.col("src"))
-        .persist()
-    )
-    ck_ids: list[int] = []
-    dist = checkpoint_tracked_lazy(
-        edges.filter(
-            (F.col("src") % 2 == 0)
-            & (F.expr("src div 2") % SSSP_SEED_MOD == 1)
+    # r17 (guide §2.2): input-derived shuffle partitions for the relax loop
+    # — measured at sf0.1 (tools/exp_iter_parts.py, fingerprints identical):
+    # 5.79 → 3.20 s warm median.  MIN-over-BIGINT relaxation is
+    # partition-count-independent by construction.
+    with scoped_shuffle_partitions(
+        spark, derived_shuffle_partitions(sf_dir, ["lineitem"])
+    ):
+        edges = (
+            pw.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+            .union(pw.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+            .repartition(F.col("src"))
+            .persist()
         )
-        .select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("dist", F.lit(0).cast("long")),
-        ck_ids,
-    )
-    prev = dist
-    for _ in range(SSSP_HOPS):
-        prev = dist
-        relax = (
-            edges.join(dist.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
-        )
+        ck_ids: list[int] = []
         dist = checkpoint_tracked_lazy(
-            dist.unionByName(relax).groupBy("node").agg(F.min("dist").alias("dist")),
+            edges.filter(
+                (F.col("src") % 2 == 0)
+                & (F.expr("src div 2") % SSSP_SEED_MOD == 1)
+            )
+            .select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(0).cast("long")),
             ck_ids,
         )
+        prev = dist
+        for _ in range(SSSP_HOPS):
+            prev = dist
+            relax = (
+                edges.join(dist.withColumnRenamed("node", "src"), "src")
+                .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            )
+            dist = checkpoint_tracked_lazy(
+                dist.unionByName(relax).groupBy("node").agg(F.min("dist").alias("dist")),
+                ck_ids,
+            )
     chg = (
         dist.join(
             prev.select("node", F.col("dist").alias("pdist")), "node", "left"
@@ -1277,40 +1296,47 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") * 2).cast("long").alias("s"),
         (F.col("l_suppkey") * 2 + 1).cast("long").alias("d"),
     ).distinct()
-    edges = (
-        pairs.union(pairs.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .repartition(F.col("s"))
-        .persist()
-    )
-    ck_ids: list[int] = []
-    labels = checkpoint_tracked_lazy(
-        edges.select(F.col("s").alias("node"), F.col("s").alias("lbl")).distinct(),
-        ck_ids,
-    )
-    prev = labels
-    rank = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("nl"))
-    for i in range(LPA_ROUNDS):
+    # r17 (guide §2.2): input-derived shuffle partitions for the half-step
+    # loop — measured at sf0.1 (tools/exp_iter_parts.py, fingerprints
+    # identical): 3.77 → 2.70 s warm median.  The mode vote is a COUNT
+    # plus a total-order tie-break — partition-count-independent.
+    with scoped_shuffle_partitions(
+        spark, derived_shuffle_partitions(sf_dir, ["lineitem"])
+    ):
+        edges = (
+            pairs.union(pairs.select(F.col("d").alias("s"), F.col("s").alias("d")))
+            .repartition(F.col("s"))
+            .persist()
+        )
+        ck_ids: list[int] = []
+        labels = checkpoint_tracked_lazy(
+            edges.select(F.col("s").alias("node"), F.col("s").alias("lbl")).distinct(),
+            ck_ids,
+        )
         prev = labels
-        for color in (0, 1):
-            votes = (
-                edges.filter(F.col("d") % 2 == color)
-                .join(
-                    labels.select(
-                        F.col("node").alias("s"), F.col("lbl").alias("nl")
-                    ),
-                    "s",
+        rank = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("nl"))
+        for i in range(LPA_ROUNDS):
+            prev = labels
+            for color in (0, 1):
+                votes = (
+                    edges.filter(F.col("d") % 2 == color)
+                    .join(
+                        labels.select(
+                            F.col("node").alias("s"), F.col("lbl").alias("nl")
+                        ),
+                        "s",
+                    )
+                    .groupBy(F.col("d").alias("node"), "nl")
+                    .agg(F.count(F.lit(1)).alias("c"))
                 )
-                .groupBy(F.col("d").alias("node"), "nl")
-                .agg(F.count(F.lit(1)).alias("c"))
-            )
-            upd = (
-                votes.withColumn("rn", F.row_number().over(rank))
-                .filter(F.col("rn") == 1)
-                .select("node", F.col("nl").alias("lbl"))
-            )
-            labels = checkpoint_tracked_lazy(
-                upd.union(labels.filter(F.col("node") % 2 == 1 - color)), ck_ids
-            )
+                upd = (
+                    votes.withColumn("rn", F.row_number().over(rank))
+                    .filter(F.col("rn") == 1)
+                    .select("node", F.col("nl").alias("lbl"))
+                )
+                labels = checkpoint_tracked_lazy(
+                    upd.union(labels.filter(F.col("node") % 2 == 1 - color)), ck_ids
+                )
     chg = (
         labels.select("node", "lbl")
         .join(prev.select("node", F.col("lbl").alias("pl")), "node")

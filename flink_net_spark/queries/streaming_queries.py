@@ -151,7 +151,11 @@ def _run_stream(df: DataFrame, mode: str = "complete") -> DataFrame:
     table = f"fns_mem_{uuid.uuid4().hex[:10]}"
     ckpt = tempfile.mkdtemp(prefix="fns_ckpt_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # env-overridable for cluster sizing (state volume), default 8 (above)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8"),
+    )
     try:
         q = (
             df.writeStream.format("memory")
