@@ -1525,6 +1525,17 @@ _KN_CTES = f"""toks AS (
         .replace("{DET_PP}", DM.duckdb_det_lnd_select("p", "pp"))
 
 
+# The KN-smoothed per-transition cost in e6 units, as one SQL expression
+# over the joined (nll2_e6, a_e6, cont_e6, k0_e6) columns.  Shared by
+# kn_scored_transitions and text_lm_gain's fused aggregation — r16 VERDICT
+# flagged the inline duplicate as a drift hazard (the fused copy must stay
+# character-identical for the fusion's equivalence argument to hold).
+_KN_NLL_E6_EXPR = (
+    "COALESCE(nll2_e6, a_e6 + COALESCE(cont_e6, k0_e6), "
+    "COALESCE(cont_e6, k0_e6))"
+)
+
+
 def kn_scored_transitions(spark: SparkSession, sf_dir: str):
     """Spark half of the shared KN-lite LM: returns (scored, caches) where
     ``scored`` is every transition in the corpus as
@@ -1630,10 +1641,7 @@ def kn_scored_transitions(spark: SparkSession, sf_dir: str):
                 "CASE WHEN nll2_e6 IS NOT NULL THEN 0 "
                 "WHEN a_e6 IS NOT NULL THEN 1 ELSE 2 END"
             ).alias("bo"),
-            F.expr(
-                "COALESCE(nll2_e6, a_e6 + COALESCE(cont_e6, k0_e6), "
-                "COALESCE(cont_e6, k0_e6))"
-            ).alias("nll_e6"),
+            F.expr(_KN_NLL_E6_EXPR).alias("nll_e6"),
         )
     )
     return scored, k0row, []
@@ -2082,12 +2090,7 @@ def text_lm_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("COALESCE(u_e6, ufloor_e6)"))
             .cast("bigint")
             .alias("sum_uni_e6"),
-            F.sum(
-                F.expr(
-                    "COALESCE(nll2_e6, a_e6 + COALESCE(cont_e6, k0_e6), "
-                    "COALESCE(cont_e6, k0_e6))"
-                )
-            )
+            F.sum(F.expr(_KN_NLL_E6_EXPR))
             .cast("bigint")
             .alias("sum_kn_e6"),
         )
