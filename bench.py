@@ -1493,7 +1493,13 @@ def _compact_query_map(timings: dict[str, float]) -> tuple[dict[str, float], int
     budget-shedding pass in main() (which trims from the cheapest unpinned
     end until the whole line fits _COMPACT_LINE_BUDGET).  Values rounded to
     centiseconds — the full 4-decimal map stays in the detail sidecar."""
-    pinned = [n for n in _compact_pin_names() if n in timings]
+    pins = _compact_pin_names()
+    missing = [n for n in pins if n not in timings]
+    if missing:
+        # the panel contract forbids removals/renames — make a violation
+        # visible in the driver's stdout tail instead of silently shrinking
+        log(f"[bench] WARN pinned queries missing from panel: {missing[:4]}")
+    pinned = [n for n in pins if n in timings]
     extra = sorted(
         (n for n in timings if n not in set(pinned)),
         key=timings.get, reverse=True,

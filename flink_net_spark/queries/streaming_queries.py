@@ -60,6 +60,15 @@ _INC_TARGET_BUCKETS_PER_SHARD = 300
 _INC_SHARDS_MIN, _INC_SHARDS_MAX = 32, 4096
 
 
+def _write_marker_atomic(path: str, content: str) -> None:
+    """Atomic marker (re)write: a concurrent reader never sees a truncated
+    or empty marker mid-rewrite (r17 — the "ok"→row-count upgrade path)."""
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(content)
+    os.replace(tmp, path)
+
+
 def _inc_state_shards(n_band_rows: int) -> int:
     env = os.environ.get("SPARK_GRAFT_INC_STATE_SHARDS")
     if env:
@@ -1303,8 +1312,7 @@ def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # marker carries the staged row count so the shard derivation below
         # never costs an extra job on the marker-cached path
         n_staged = spark.read.parquet(stage).count()  # parquet metadata count
-        with open(marker, "w") as fh:
-            fh.write(str(n_staged))
+        _write_marker_atomic(marker, str(n_staged))
     with open(marker) as fh:
         _m = fh.read().strip()
     n_band_rows = (
@@ -1313,8 +1321,7 @@ def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         else spark.read.parquet(stage).count()
     )
     if not _m.isdigit():
-        with open(marker, "w") as fh:
-            fh.write(str(n_band_rows))
+        _write_marker_atomic(marker, str(n_band_rows))
     schema = spark.read.parquet(stage).schema
     stream = (
         spark.readStream.schema(schema)

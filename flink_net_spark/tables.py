@@ -272,8 +272,17 @@ def derived_shuffle_partitions(sf_dir: str, tables: list[str]) -> int:
         return int(env)
     total = 0
     for t in tables:
+        p = table_path(sf_dir, t)
         try:
-            total += os.path.getsize(table_path(sf_dir, t))
+            if os.path.isdir(p):
+                # directory-backed table (real deployments): sum the files —
+                # getsize() on a directory returns the dirent size and would
+                # peg the derivation at the floor regardless of data volume
+                for root, _dirs, files in os.walk(p):
+                    for f in files:
+                        total += os.path.getsize(os.path.join(root, f))
+            else:
+                total += os.path.getsize(p)
         except OSError:
             pass
     return max(_ITER_PART_FLOOR, -(-total // _ITER_PART_TARGET_BYTES))

@@ -146,6 +146,28 @@ def test_stage_dir_sweeps_aged_legacy_dirs(tmp_path):
     assert not os.path.exists(legacy), "aged legacy staging dir not swept"
 
 
+def test_derived_shuffle_partitions(tmp_path, monkeypatch):
+    """Input-byte derivation: floor at 4 for tiny corpora, grows with bytes
+    (128 MB/partition), sums directory-backed tables, env override wins."""
+    from flink_net_spark.tables import derived_shuffle_partitions
+
+    # single-file table
+    with open(tmp_path / "lineitem.parquet", "wb") as f:
+        f.write(b"x" * 1024)
+    assert derived_shuffle_partitions(str(tmp_path), ["lineitem"]) == 4
+    # directory-backed table: bytes are the SUM of the files, not the dirent
+    # (sparse files: st_size without the disk)
+    d = tmp_path / "orders.parquet"
+    d.mkdir()
+    for i in range(7):
+        with open(d / f"part-{i}.parquet", "wb") as f:
+            f.truncate(100 * 1024 * 1024)
+    # 700 MB / 128 MB -> ceil = 6 (> the floor of 4, so the sum is visible)
+    assert derived_shuffle_partitions(str(tmp_path), ["orders"]) == 6
+    monkeypatch.setenv("SPARK_GRAFT_ITER_SHUFFLE_PARTITIONS", "11")
+    assert derived_shuffle_partitions(str(tmp_path), ["orders"]) == 11
+
+
 def test_inc_state_shards_derivation_and_override(monkeypatch):
     """Derived shard count scales with the band-row estimate (bounded both
     ends) and the env override wins."""
